@@ -1,0 +1,94 @@
+"""Window operators (SURVEY §2.4, W1-W3 + ranking/lag extensions).
+
+The reference's windows are forward-looking row-frame sliding windows
+over CSV file order, size 10: ``AVG/MIN/MAX(x) OVER (ORDER BY row_id
+ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)`` — intent established by
+the CPU moving-average loop (stockify.cu:513-521). The GPU kernels
+carry two bugs we implement the *intent* of, not the behavior
+(SURVEY §2.4): loop-variable shadowing (stockify.cu:146,157) and
+out-of-bounds tail reads (stockify.cu:146,158,187). Tail frames here
+shrink per SQL standard; callers who need the reference CPU loop's
+``i < size-10`` guard filter on row_id afterwards.
+
+Scale note (SURVEY §7.4.1): a window with no PARTITION BY funnels
+every row through one task — fine at test scale, a documented hazard
+at 100 TB. Every helper therefore takes ``partition_by``; production
+callers partition by symbol/date-bucket so WindowExec parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def row_window(
+    order_by: list[str | Column],
+    partition_by: list[str | Column] | None = None,
+    start: int = Window.currentRow,
+    end: int = 9,
+) -> WindowSpec:
+    """Row-frame window spec; default frame = reference's
+    [CURRENT ROW, +9 FOLLOWING] (window size 10, stockify.cu:517)."""
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(*order_by).rowsBetween(start, end)
+
+
+def sliding_agg(
+    df: DataFrame,
+    agg: Column,
+    alias: str,
+    order_by: list[str | Column],
+    partition_by: list[str | Column] | None = None,
+    window_size: int = 10,
+    forward: bool = True,
+) -> DataFrame:
+    """Generic sliding aggregate over a row frame of ``window_size``.
+
+    ``forward=True`` anchors at the current row looking ahead
+    (the reference's shape); ``False`` gives the conventional
+    trailing window.
+    """
+    if forward:
+        spec = row_window(order_by, partition_by, Window.currentRow, window_size - 1)
+    else:
+        spec = row_window(order_by, partition_by, -(window_size - 1), Window.currentRow)
+    return df.withColumn(alias, agg.over(spec))
+
+
+def moving_average(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str | Column],
+    partition_by: list[str | Column] | None = None,
+    window_size: int = 10,
+    alias: str = "moving_avg",
+) -> DataFrame:
+    """W1 (getMovingAverage, stockify.cu:142-149; CPU intent 513-521)."""
+    return sliding_agg(df, F.avg(value_col), alias, order_by, partition_by, window_size)
+
+
+def rolling_min(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str | Column],
+    partition_by: list[str | Column] | None = None,
+    window_size: int = 10,
+    alias: str = "rolling_min",
+) -> DataFrame:
+    """W2 (getMinLowPrice, stockify.cu:153-162)."""
+    return sliding_agg(df, F.min(value_col), alias, order_by, partition_by, window_size)
+
+
+def rolling_max(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str | Column],
+    partition_by: list[str | Column] | None = None,
+    window_size: int = 10,
+    alias: str = "rolling_max",
+) -> DataFrame:
+    """W3 (getMaxHighPrice, stockify.cu:170-193). The reference tiles
+    the block into shared memory (stockify.cu:175-183); Spark's
+    WindowExec buffers partition rows — same locality idea, built in."""
+    return sliding_agg(df, F.max(value_col), alias, order_by, partition_by, window_size)

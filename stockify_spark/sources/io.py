@@ -1,0 +1,156 @@
+"""Readers/writers for the engine's tables.
+
+The reference's only source is a hard-coded positional CSV parse into
+an array-of-structs (stockify.cu:32-71); its only "sink" is stdout.
+Here sources are schema'd DataFrame readers (Parquet first — columnar,
+predicate-pushdown, column-pruned) and sinks are Parquet writers with
+optional sorted layout (the index-as-storage-layout replacement for
+the reference's runtime indexes, stockify.cu:659-727; SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The driver's star-schema tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Explicit schema for the reference's own table shape (stockify.cu:21-28
+# struct StockData + FIXTURES.md §A). ``row_id`` materializes the CSV
+# file order the reference's window ops implicitly depend on.
+STOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("row_id", T.LongType(), False),
+        T.StructField("date", T.StringType(), False),
+        T.StructField("close", T.DoubleType(), False),
+        T.StructField("volume", T.DoubleType(), False),
+        T.StructField("open", T.DoubleType(), False),
+        T.StructField("high", T.DoubleType(), False),
+        T.StructField("low", T.DoubleType(), False),
+    ]
+)
+
+# CSV surface of the reference input (no row_id column in the file;
+# column order is baked into the parse at stockify.cu:44-63).
+STOCKS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("date", T.StringType(), False),
+        T.StructField("close", T.DoubleType(), False),
+        T.StructField("volume", T.DoubleType(), False),
+        T.StructField("open", T.DoubleType(), False),
+        T.StructField("high", T.DoubleType(), False),
+        T.StructField("low", T.DoubleType(), False),
+    ]
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects. We read them as raw nanos (legacy conf) and convert
+# with integer division — a double division would lose precision at
+# ~1.7e18 ns — matching DuckDB's nanos→micros truncation.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from a scale-factor directory."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in nanos_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so each operator is also
+    reachable through ``spark.sql`` (SURVEY §3.4 entry point B)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_stocks_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema'd CSV read of the reference's input file.
+
+    Mirrors ``loadStocks`` (stockify.cu:32-71): explicit schema (no
+    inference — the reference's schema is positional and fixed),
+    header skipped, FAILFAST like ``std::stof`` throwing on malformed
+    rows. Adds no row_id — CSV has no stable order guarantee across
+    partitioned reads; use :func:`with_row_id` right after ingest if
+    window order matters.
+    """
+    return (
+        spark.read.schema(STOCKS_CSV_SCHEMA)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def with_row_id(df: DataFrame) -> DataFrame:
+    """Materialize a monotonically increasing row id.
+
+    Spark has no implicit row order (SURVEY §7.4); the id is unique
+    and increasing with partition order, which for a single-file CSV
+    read reproduces file order.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn("row_id", F.monotonically_increasing_id())
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_sorted_layout(df: DataFrame, path: str, sort_col: str, num_partitions: int | None = None) -> None:
+    """Persist a range-sorted Parquet layout keyed on ``sort_col``.
+
+    The Spark-idiomatic replacement for the reference's sorted-vector
+    / map indexes (stockify.cu:659-666, 710-717): row-group min/max
+    statistics over range-sorted files let the scan skip row groups
+    for ``sort_col >= k`` probes — the ``lower_bound`` seek
+    (stockify.cu:674) becomes storage-level data skipping. At 100 TB
+    this is the difference between reading every file and reading the
+    tail of the range partitioning.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

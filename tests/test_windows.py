@@ -1,0 +1,73 @@
+"""Window-operator properties (SURVEY §5.3): frame exactness at the
+tail (where the reference's OOB bug lived, stockify.cu:146,158,187)
+and the rolling/global identities used as *properties*."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockify_spark.operators import moving_average, rolling_min, rolling_max
+from stockify_spark.sources.fixtures import stocks_ramp
+
+
+@pytest.fixture(scope="module")
+def stocks(spark):
+    return stocks_ramp(spark, cycles=10).cache()  # 180 rows
+
+
+def test_moving_average_matches_cpu_reference_loop(spark, stocks):
+    """The CPU intent (stockify.cu:513-521): avg of close[i..i+9],
+    guarded to i < size-10. Our frames shrink at the tail instead;
+    restricting to the guarded region must reproduce the loop."""
+    rows = stocks.orderBy("row_id").select("close").collect()
+    close = [r[0] for r in rows]
+    expected = [sum(close[i : i + 10]) / 10.0 for i in range(len(close) - 10)]
+
+    out = (
+        moving_average(stocks, "close", order_by=["row_id"], window_size=10)
+        .filter(F.col("row_id") < len(close) - 10)
+        .orderBy("row_id")
+        .collect()
+    )
+    got = [r["moving_avg"] for r in out]
+    assert got == pytest.approx(expected)
+
+
+def test_tail_frames_shrink(spark, stocks):
+    """Last row's window contains only itself — SQL-standard shrink,
+    not the reference's out-of-bounds read."""
+    n = stocks.count()
+    out = moving_average(stocks, "close", order_by=["row_id"], window_size=10)
+    last = out.filter(F.col("row_id") == n - 1).collect()[0]
+    assert last["moving_avg"] == pytest.approx(last["close"])
+
+
+def test_rolling_bounds_property(spark, stocks):
+    """rolling_min <= moving_avg <= rolling_max, per row."""
+    df = moving_average(stocks, "close", order_by=["row_id"])
+    df = rolling_min(df, "close", order_by=["row_id"])
+    df = rolling_max(df, "close", order_by=["row_id"])
+    bad = df.filter(
+        (F.col("rolling_min") > F.col("moving_avg") + 1e-9)
+        | (F.col("moving_avg") > F.col("rolling_max") + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_min_of_rolling_min_is_global_min(spark, stocks):
+    """The reference's vacuous check (stockify.cu:582-590), legitimate
+    as a property (SURVEY §5.3)."""
+    df = rolling_min(stocks, "low", order_by=["row_id"])
+    a = df.agg(F.min("rolling_min")).collect()[0][0]
+    b = stocks.agg(F.min("low")).collect()[0][0]
+    assert a == b
+
+
+def test_partitioned_window_matches_global_on_single_partition(spark, stocks):
+    one = stocks.withColumn("pk", F.lit(1))
+    g = moving_average(stocks, "close", order_by=["row_id"]).select("row_id", "moving_avg")
+    p = moving_average(one, "close", order_by=["row_id"], partition_by=["pk"]).select(
+        "row_id", "moving_avg"
+    )
+    assert g.subtract(p).count() == 0 and p.subtract(g).count() == 0
