@@ -1,0 +1,110 @@
+"""Text-analysis functions for the training-data pipeline
+(north-star extension; the reference never touches its one string
+column after parsing it, stockify.cu:22,44 — SURVEY §2.6).
+
+All hot-path functions are built-in column expressions (JVM-side,
+codegen'd): tokenization is a regex split, ratios are length
+arithmetic, fingerprints are built-in hashes. No Python UDFs — at
+100 TB these run inside WholeStageCodegen on the scan output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer, shared with every consumer (dedup shingles,
+# quality, lang-id) so token semantics are consistent engine-wide.
+_WS = r"\s+"
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# language heuristic. Deliberately tiny and hard-coded: the heuristic
+# must be a pure column expression, and profiles are public-knowledge
+# function words.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "les"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "den"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of lower-cased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), _WS)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_len(col: str | Column) -> Column:
+    """Mean token length — a basic quality signal."""
+    t = tokens(col)
+    return F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.size(t)
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    """Fraction of tokens that are (given-language) stopwords."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return hits / F.size(t)
+
+
+def punct_ratio(col: str | Column, punct_class: str = r"[.,!?;:]") -> Column:
+    """Fraction of characters that are punctuation (explicit class so
+    oracle SQL can use the identical regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, punct_class, "")
+    return (F.length(c) - F.length(stripped)) / F.length(c)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    reasonable length, penalizes very short docs and extreme mean
+    token length. Pure column arithmetic — one pass, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    mean_len = avg_token_len(c)
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    shape_term = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(length_term * shape_term, 6)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (lower, trimmed, whitespace collapsed). Stable across engines —
+    the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), _WS, " ")
+    return F.md5(normalized)
+
+
+def _isin_pred(stopwords: tuple[str, ...]):
+    # single-parameter lambda factory: a two-parameter lambda (e.g.
+    # ``lambda x, sw=sw``) would be interpreted by Spark's higher-order
+    # functions as an (element, index) lambda and receive the array
+    # index as the second argument
+    return lambda x: x.isin(*stopwords)
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-id evidence)."""
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, _isin_pred(sw))) for lang, sw in LANG_PROFILES.items()
+    }
+
+
+def lang_id(col: str | Column, default: str = "unknown") -> Column:
+    """Argmax language over the stopword profiles; ``default`` when no
+    profile matches at all. Deterministic tie-break: profile order."""
+    scores = lang_scores(col)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang

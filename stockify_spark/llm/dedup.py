@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension — the reference's only dedup is an accidental index quirk,
+std::map last-write-wins on volume, stockify.cu:713, which SURVEY
+§4.3 explicitly excludes from the engine).
+
+Scale design:
+  * exact dedup — hash-groupBy on a fingerprint: one shuffle keyed on
+    a 32-char digest, partial aggregation map-side.
+  * MinHash+LSH — signatures are computed map-side with built-in
+    ``xxhash64`` (no Python); candidate generation is an equi-join on
+    (band, band_hash), so cost tracks the number of *colliding* pairs,
+    not n². The only shuffle keys are band hashes — naturally spread.
+  * SimHash — 64-bit signature per doc via an Arrow-batched pandas
+    UDF (per-token loop can't be expressed as column ops without an
+    explode+64-agg shuffle; the UDF keeps it map-side, no shuffle),
+    then banded equi-join on 16-bit chunks + exact hamming verify
+    with built-in ``bit_count``.
+  * n-gram Jaccard — candidates from a shared-shingle equi-join
+    (inverted-index style), verified with exact set Jaccard on
+    distinct shingles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stockify_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One surviving id per distinct (normalized) text.
+
+    Returns (fingerprint, keeper_id = min id, n_copies). Deterministic
+    keeper choice — ``dropDuplicates`` picks an arbitrary row, which
+    is fine for filtering but not for a differential oracle.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string> column expression.
+
+    Built from sequence+transform+slice — pure JVM, no explode, no
+    shuffle. Docs shorter than k words yield their whole token array
+    joined (one shingle).
+    """
+    t = tokens(col)
+    n = F.size(t)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(col: str | Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of the
+    document's k-shingle set.
+
+    Each permutation is approximated by seeded ``xxhash64`` — a
+    built-in JVM hash, so signatures are computed inside codegen on
+    the scan output. Empty docs get MAX_LONG sentinels.
+    """
+    sh = shingles(col, k)
+
+    def seeded(i: int):
+        # single-parameter lambda factory — a default-arg lambda would
+        # be read as an (element, index) lambda by F.transform
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    mins = [F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
+    return F.array(*[F.coalesce(m, F.lit(2**63 - 1)) for m in mins])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    rows_per_band = num_hashes/bands sets the LSH S-curve; candidates
+    collide on any band. The band join is an equi-join on
+    (band_id, band_hash) — shuffle keys are hashes, so no skew unless
+    the corpus contains giant duplicate classes (which AQE splits).
+    Output: (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold, exact Jaccard on distinct shingle sets.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k).alias("_sh"),
+        minhash_signature(text_col, num_hashes, k).alias("_sig"),
+    )
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(F.slice("_sig", b * r + 1, r), F.lit(b)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_sh", "band.band_id", "band.band_hash")
+
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_id", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Candidates are pairs sharing at least one k-shingle (explode →
+    self equi-join on the shingle), then exact Jaccard. Complete
+    (recall 1.0) unlike LSH, but candidate count grows with shingle
+    collision frequency — the scale path is :func:`minhash_lsh_pairs`.
+    """
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
+    inv = base.select("_id", F.explode("_sh").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash of whitespace tokens (blake2b
+    token hashes — stable across processes, unlike ``hash()``)."""
+    acc = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    # wrap to signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash64(t or ""))
+
+
+def simhash(df: DataFrame, text_col: str, alias: str = "simhash") -> DataFrame:
+    """Attach a 64-bit SimHash signature column (Arrow-batched pandas
+    UDF — map-side only, no shuffle)."""
+    return df.withColumn(alias, _simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into 4 chunks of
+    16 bits; any pair within hamming distance 3 agrees exactly on at
+    least one chunk, so an equi-join per chunk finds all candidates.
+    Verification uses built-in ``bit_count(xor)`` — pure JVM.
+    """
+    sig = simhash(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_text")
+
+    chunks = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+
+    a = chunks.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk_val"
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,116 @@
+"""Multimodal (image/audio/video) column plumbing (north-star
+extension). Media are opaque ``binary`` columns with typed metadata;
+the Spark-side machinery — schema, partition sizing, Arrow batch
+shape, UDF signatures — is real and tested. The actual codecs
+(PIL/ffmpeg/librosa) are NOT in this container, so the decode step is
+STUBBED: ``decode_stub=True`` produces deterministic fake features
+(hash-seeded), ``decode_stub=False`` raises NotImplementedError at
+the point a real codec would run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical media-table schema: content rides as opaque bytes; all
+# pipeline decisions (routing, batching, filtering) use metadata
+# columns so the hot path never deserializes payloads it will drop.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),   # image/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),  # audio/video
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table exercising the real plumbing
+    (binary payloads, nullable per-kind metadata)."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * 8
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                len(payload),
+                64 if kind != "audio" else None,
+                48 if kind != "audio" else None,
+                None if kind == "image" else 1000 + i,
+                payload,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_feature(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a decoded-content embedding: bytes →
+    blake2b → FEATURE_DIM floats in [-1, 1)."""
+    h = hashlib.blake2b(content, digest_size=FEATURE_DIM * 2).digest()
+    vals = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
+    return vals / 32768.0 - 1.0
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + featurize each media payload via ``mapInPandas``.
+
+    The iterator-of-batches shape is the real one for heavy decode:
+    one Arrow batch in, one out, bounded memory per task regardless
+    of payload sizes. Partition the input by size (e.g.
+    ``repartition`` after a ``n_bytes`` bucket) before calling at
+    scale so one task doesn't get all the 4K videos.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg/librosa, not in this container"
+                )
+            feats = [_fake_feature(c).tolist() for c in pdf["content"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (the decode of each frame is the stubbed step). Pure
+    column ops — the explode happens before decode so frame work
+    distributes across tasks."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (north-star extension;
+no analog in the reference — SURVEY §2.6).
+
+Two tiers, per the 100 TB design rule:
+  * brute-force cosine top-k — the correctness baseline: broadcast
+    the (small) query set against the full corpus; dot products are
+    built-in ``zip_with``+``aggregate`` column expressions (JVM,
+    codegen), top-k per query is a partitioned window. Linear in
+    corpus size, embarrassingly parallel, zero Python in the loop.
+  * IVF (inverted-file) — the scale path: partition the corpus into
+    ``n_centroids`` Voronoi cells (centroids fitted on a bounded
+    driver-side sample — model fitting, constant memory), persist the
+    cell id, and probe only ``n_probe`` cells per query. Scan cost
+    drops by ~n_centroids/n_probe; recall is tested against the
+    brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("double")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double, left-to-right — matches DuckDB's list
+    accumulation order, so differential comparison is exact."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: _as_double(x) * _as_double(y))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + _as_double(x) * _as_double(x)))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector.
+
+    ``queries`` is broadcast — it must be the small side (typical ANN
+    workloads: thousands of queries vs billions of corpus vectors).
+    Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc
+    with neighbor_id as the deterministic tiebreaker.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("_cos", cosine("_qvec", "_cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the all-pairs correctness baseline. O(n²/2): fine
+    for a bounded candidate set (e.g. within-bucket verification);
+    at corpus scale run it per IVF/LSH bucket instead of globally.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("_cos", cosine("_va", "_vb"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF — the scale path
+# ---------------------------------------------------------------------------
+
+def fit_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_limit: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means on a bounded sample (constant driver memory regardless
+    of corpus size). Model fitting, not a data operator — at 100 TB
+    the sample is still ``sample_limit`` rows."""
+    sample = df.select(vec_col).limit(sample_limit).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def _centroid_scores(vec_col: str, centroids: np.ndarray) -> Column:
+    """array of (centroid_id, dot) structs — centroids inlined as
+    literals (they are the 'broadcast model')."""
+    entries = []
+    for j, c in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(v)) for v in c])
+        entries.append(
+            F.struct(F.lit(j).alias("centroid_id"), dot(F.col(vec_col), lit_vec).alias("score"))
+        )
+    return F.array(*entries)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the nearest-centroid (max dot) cell id — map-side only.
+    Persist the result partitioned by cell for pruned probes."""
+    scores = _centroid_scores(vec_col, centroids)
+    best = F.array_max(F.transform(scores, lambda s: F.struct(s["score"], s["centroid_id"])))
+    return df.withColumn(cell_col, best["centroid_id"])
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """ANN top-k probing only ``n_probe`` cells per query: queries get
+    their n_probe best cells (map-side), then an equi-join on cell id
+    prunes the corpus before exact cosine + windowed top-k."""
+    scores = _centroid_scores(vec_col, centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(F.transform(scores, lambda s: F.struct(s["score"], s["centroid_id"])))),
+                1,
+                n_probe,
+            )
+        ).alias("_probe"),
+    ).select("query_id", "_qvec", F.col("_probe.centroid_id").alias(cell_col))
+
+    c = corpus_with_cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), cell_col
+    )
+    pairs = c.join(F.broadcast(q), cell_col).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("_cos", cosine("_qvec", "_cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -167,4 +167,4 @@ def range_join_bucketed(
     )
     if extra_on is not None:
         cond = cond & extra_on
-    return lb.join(rb.drop("_bucket").withColumn("_bucket", rb["_bucket"]), cond).drop("_bucket")
+    return lb.join(rb, cond).select(*left.columns, *right.columns)

@@ -51,6 +51,6 @@ def top_k_per_group(
     window — parallel across groups, state bounded by k per group."""
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        df.withColumn(rank_alias, F.row_number().over(w))
+        df.withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_alias) <= k)
     )

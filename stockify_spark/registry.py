@@ -357,9 +357,9 @@ def window_rank(spark, sf_dir):
     return df.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(by_price).alias("rnk"),
-        F.dense_rank().over(by_price).alias("drnk"),
-        F.row_number().over(stable).alias("rn"),
+        F.rank().over(by_price).cast("long").alias("rnk"),
+        F.dense_rank().over(by_price).cast("long").alias("drnk"),
+        F.row_number().over(stable).cast("long").alias("rn"),
     )
 
 
@@ -424,3 +424,8 @@ def range_scan_price(spark, sf_dir):
     the stand-in column; over a sorted layout this is row-group-
     skipped (bench measures the ratio, BASELINE.md E2)."""
     return range_scan(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 95000.0)
+
+
+# Extension queries (groupby/joins/setops/functions/streaming/LLM) —
+# imported last so they register into the same QUERIES/ORACLE dicts.
+from stockify_spark import registry_ext  # noqa: E402,F401  (registration side effect)

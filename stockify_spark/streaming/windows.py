@@ -1,0 +1,107 @@
+"""Structured Streaming operators over the events stream (north-star
+extension, SURVEY §7.6.5 — the reference is strictly one-shot batch,
+§2.6).
+
+Each transformation is written against a plain DataFrame so the SAME
+function serves batch (driver-contract oracle queries) and streaming
+(``readStream`` in tests): Structured Streaming's core promise is
+that a streaming query is the incrementalized version of the batch
+plan. Watermarks bound state: without one, a windowed aggregate's
+state grows forever at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockify_spark.sources.io import NANOS_TS_COLS
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (the local stand-in
+    for Kafka; same downstream plan either way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource wants a directory/glob, not a single file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    for c in NANOS_TS_COLS.get("events", ()):
+        if dict(stream.dtypes).get(c) == "bigint":
+            stream = stream.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-(window, event_type) count + sum over tumbling event-time
+    windows. ``streaming=True`` adds the watermark (late rows beyond
+    it are dropped and state is reclaimed); the batch path runs the
+    identical aggregation for the oracle."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding event-time windows (each row lands in window/slide
+    overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (F.session_window handles the merge-on-overlap state
+    machine in both batch and streaming)."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates of a key
+    arriving within the watermark horizon are dropped; state for
+    older keys is reclaimed. (Batch calls dropDuplicates.)"""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -1,0 +1,88 @@
+"""Dedup-operator tests on crafted fixtures with planted duplicates
+(the sf tables carry natural near-dups too — those are covered by the
+oracle gate; here we control the ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockify_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy cat and runs far away into the green forest tonight"
+)
+OTHER = "completely different text about database engines and distributed query processing systems"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),              # exact dup of 0
+        (2, "  " + BASE + " "),  # whitespace-variant dup of 0
+        (3, NEAR),              # near dup (1 word of 17 changed)
+        (4, OTHER),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_normalizes_whitespace(docs):
+    out = exact_dedup(docs, "text", "doc_id").collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_keeper[0] == 3  # docs 0,1,2 collapse
+    assert by_keeper[3] == 1 and by_keeper[4] == 1 and by_keeper[5] == 1
+    assert sum(by_keeper.values()) == 6
+
+
+def test_ngram_jaccard_finds_planted_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 3)] >= 0.4  # one word changed → most shingles shared
+    assert (0, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard_recall(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=16,
+                             jaccard_threshold=0.5).collect()}
+    # LSH verifies candidates with the exact jaccard, so it can only
+    # miss pairs whose bands never collide; at 16 bands×2 rows and
+    # j>=0.5 collision probability is ~0.99 per pair
+    assert lsh == exact
+    assert exact  # fixture actually contains qualifying pairs
+
+
+def test_minhash_signature_entries_differ_across_seeds(spark, docs):
+    """Regression: seeds must vary per hash (a two-arg lambda bug once
+    made all 32 signature entries identical)."""
+    from stockify_spark.llm.dedup import minhash_signature
+
+    sig = docs.filter(F.col("doc_id") == 0).select(
+        minhash_signature("text", num_hashes=8).alias("sig")
+    ).collect()[0]["sig"]
+    assert len(set(sig)) > 1
+
+
+def test_simhash_deterministic_and_discriminative(docs):
+    a = simhash(docs, "text").orderBy("doc_id").collect()
+    b = simhash(docs, "text").orderBy("doc_id").collect()
+    assert [r["simhash"] for r in a] == [r["simhash"] for r in b]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0          # exact dups → identical signature
+    assert pairs[(0, 3)] <= 10         # near dup → small hamming
+    assert (0, 4) not in pairs         # unrelated text → far

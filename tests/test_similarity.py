@@ -1,0 +1,71 @@
+"""Similarity-search tests: brute-force correctness vs numpy ground
+truth, IVF recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stockify_spark.llm.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    fit_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+from stockify_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _numpy_topk(vecs: dict[int, np.ndarray], qid: int, k: int) -> list[int]:
+    q = vecs[qid]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in vecs.items()
+        if i != qid
+    }
+    return [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+def test_brute_force_matches_numpy(emb):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    for qid in range(3):
+        got = [r["neighbor_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == _numpy_topk(vecs, qid, 5), f"query {qid}"
+
+
+def test_dup_pairs_symmetric_threshold(emb):
+    pairs = embedding_dup_pairs(emb, threshold=0.4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_recall_against_brute_force(emb):
+    cents = fit_centroids(emb, n_centroids=8, sample_limit=500, seed=42)
+    corpus = ivf_assign(emb, cents).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(corpus, queries, cents, k=5, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # probing 4/8 cells
+
+
+def test_ivf_assign_is_total_partition(emb):
+    cents = fit_centroids(emb, n_centroids=8, sample_limit=500)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == emb.count()

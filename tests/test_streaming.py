@@ -1,0 +1,67 @@
+"""Structured Streaming tests: the streaming plan must converge to
+the batch plan's answer once all input is processed (the core
+incremental-equals-batch contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockify_spark.sources.io import load_table
+from stockify_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir):
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"), window="1 hour")
+    expected = {tuple(r) for r in batch.collect()}
+    stream = tumbling_counts(
+        stream_events(spark, sf_dir), window="1 hour", streaming=True
+    )
+    got = {tuple(r) for r in _run_stream(spark, stream, "t_tumbling")}
+    assert got == expected
+    assert expected  # non-trivial
+
+
+def test_session_agg_stream_runs_and_matches_batch_totals(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    batch = session_agg(events, gap="5 minutes")
+    total_batch = batch.agg(F.sum("n_events")).collect()[0][0]
+    assert total_batch == events.count()  # sessions partition all events
+
+    stream = session_agg(stream_events(spark, sf_dir), gap="5 minutes", streaming=True)
+    rows = _run_stream(spark, stream, "t_session")
+    assert sum(r["n_events"] for r in rows) == total_batch
+
+
+def test_dedup_within_watermark_batch_and_stream(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    n_types = dedup_within_watermark(events, ["event_type"]).count()
+    assert n_types == events.select("event_type").distinct().count()
+
+    sdf = dedup_within_watermark(stream_events(spark, sf_dir), ["event_type"])
+    q = sdf.writeStream.outputMode("append").format("memory").queryName("t_dedup").start()
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
+    finally:
+        q.stop()
+    assert got == n_types

@@ -1,0 +1,52 @@
+"""Text-analysis function tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockify_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_token_count(spark):
+    df = _one(spark, "  Hello   world  foo ")
+    assert df.select(token_count("text").alias("n")).collect()[0]["n"] == 3
+
+
+def test_fingerprint_normalization_invariants(spark):
+    a = _one(spark, "Hello   World").select(fingerprint("text").alias("f")).collect()[0]["f"]
+    b = _one(spark, "  hello world ").select(fingerprint("text").alias("f")).collect()[0]["f"]
+    c = _one(spark, "hello worlds").select(fingerprint("text").alias("f")).collect()[0]["f"]
+    assert a == b
+    assert a != c
+    assert len(a) == 32  # md5 hex
+
+
+def test_lang_id_on_function_words(spark):
+    cases = {
+        "the cat sat on the mat and it is warm in the sun": "en",
+        "el perro corre en la calle y es un dia bueno": "es",
+        "le chien est dans la maison et il est un ami": "fr",
+        "der hund ist in der stadt und das ist ein haus": "de",
+        "xyzzy qwerty plugh": "unknown",
+    }
+    for text, expected in cases.items():
+        got = _one(spark, text).select(lang_id("text").alias("l")).collect()[0]["l"]
+        assert got == expected, text
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    short = _one(spark, "hi").select(quality_score("text").alias("q")).collect()[0]["q"]
+    decent = _one(spark, " ".join(["word"] * 100)).select(
+        quality_score("text").alias("q")
+    ).collect()[0]["q"]
+    assert 0.0 <= short <= 1.0 and 0.0 <= decent <= 1.0
+    assert decent > short
