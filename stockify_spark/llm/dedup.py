@@ -83,6 +83,39 @@ def minhash_signature(col: str | Column, num_hashes: int = 32, k: int = 3) -> Co
     return F.array(*[F.coalesce(m, F.lit(2**63 - 1)) for m in mins])
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(_id, _sig array<bigint>) via explode → seeded hash → min-agg.
+
+    One evaluation of the shingle expression per row, then one seeded
+    ``xxhash64`` row per (doc, shingle) and a groupBy(_id) min per
+    seed. All shingles of a doc live in its input partition, so the
+    partial aggregate collapses them map-side — what crosses the
+    shuffle is exactly one signature row per document. (The naive
+    all-column-expression form re-evaluated the shingle pipeline once
+    per hash inside interpreted higher-order functions — ~30× slower.)
+    """
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
+    inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
+    hashed = inv.select(
+        "_id", *[F.xxhash64("_shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "_id",
+        F.array(
+            *[F.coalesce(F.col(f"_h{i}"), F.lit(2**63 - 1)) for i in range(num_hashes)]
+        ).alias("_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -96,24 +129,21 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_hashes/bands sets the LSH S-curve; candidates
     collide on any band. The band join is an equi-join on
-    (band_id, band_hash) — shuffle keys are hashes, so no skew unless
-    the corpus contains giant duplicate classes (which AQE splits).
-    Output: (id_a, id_b, jaccard) with id_a < id_b and
+    (band_id, band_hash) carrying IDS ONLY — shingle arrays are joined
+    back per-side after candidate dedup, so the wide payload never
+    rides through the band shuffle. Band-hash keys are uniform, so no
+    skew unless the corpus has giant duplicate classes (AQE splits
+    those). Output: (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold, exact Jaccard on distinct shingle sets.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(text_col, k).alias("_sh"),
-        minhash_signature(text_col, num_hashes, k).alias("_sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
 
-    banded = base.select(
+    banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -125,25 +155,26 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("_id", "_sh", "band.band_id", "band.band_hash")
+    ).select("_id", "band.band_id", "band.band_hash")
 
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_id", "band_hash"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_id", "band_hash"
-    )
     cand = (
-        left.join(right, ["band_id", "band_hash"])
+        banded.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
+        .join(banded.select(F.col("_id").alias("id_b"), "band_id", "band_hash"),
+              ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
+    joined = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -99,6 +99,65 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups via blocked matrix multiply.
+
+    Same result set as :func:`embedding_dup_pairs`, different physics:
+    vectors are hashed into ``n_blocks`` blocks, each vector is
+    replicated to the ``n_blocks`` unordered block-pairs it belongs
+    to, and each (block_a, block_b) group computes its cross-pairs in
+    ONE numpy float64 matmul inside ``applyInPandas`` (Arrow-batched).
+    Replication factor is n_blocks, group working set is
+    2·(n/n_blocks) vectors — tune n_blocks ≈ sqrt(n·dim·8 / mem) so a
+    group fits in executor memory. Replaces per-pair interpreted
+    lambda evaluation (~50× slower) while staying exact.
+    """
+    import pandas as pd
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
+    )
+    # replicate each vector to every unordered block pair containing
+    # its block; the same-block pair (b, b) gets it exactly once
+    replicated = v.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("_ob"),
+    ).select(
+        "_id",
+        "_v",
+        "_b",
+        F.least("_b", "_ob").alias("_ka"),
+        F.greatest("_b", "_ob").alias("_kb"),
+    )
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        blk = pdf["_b"].to_numpy()
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        if pdf["_ka"].iat[0] != pdf["_kb"].iat[0]:
+            cross = blk[ia] != blk[ib]  # same-block pairs belong to (b, b)
+            ia, ib = ia[cross], ib[cross]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ids[ia], ids[ib]), "id_b": np.maximum(ids[ia], ids[ib])}
+        )
+
+    return replicated.groupBy("_ka", "_kb").applyInPandas(find, "id_a long, id_b long")
+
+
 # ---------------------------------------------------------------------------
 # IVF — the scale path
 # ---------------------------------------------------------------------------

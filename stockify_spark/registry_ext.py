@@ -596,4 +596,6 @@ def sim_cosine_topk(spark, sf_dir):
     " WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
 )
 def sim_embedding_dup(spark, sf_dir):
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    from stockify_spark.llm.similarity import embedding_dup_pairs_blocked
+
+    return embedding_dup_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.4)

@@ -1,0 +1,414 @@
+"""Second extension wave: subqueries (decorrelated the way Catalyst
+does it — joins, not per-row probes), TPC-H query shapes, range/rank
+window frames, regexp functions, multiset set ops, sliding/session
+event-time windows with exact SQL oracles, and the probabilistic /
+multimodal operators (rows-only checks, recall proven in tests).
+
+Same determinism conventions as registry.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stockify_spark.operators.aggregates import group_agg
+from stockify_spark.operators.joins import dim_join, fact_join, semi_join
+from stockify_spark.registry import register, _t
+from stockify_spark.streaming.windows import session_agg, sliding_counts
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (SURVEY §2.6 — absent from the reference). Each is the
+# decorrelated plan Catalyst itself would produce: scalar subquery →
+# broadcast of a 1-row aggregate; IN → left-semi join; correlated
+# aggregate → groupBy + equi-join. At 100 TB that means zero per-row
+# subquery execution and one bounded broadcast.
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_scalar",
+    "SELECT p_partkey, p_retailprice FROM part"
+    " WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)",
+)
+def subquery_scalar(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    threshold = part.agg(F.avg("p_retailprice").alias("_avg_price"))
+    return (
+        part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("p_retailprice") > F.col("_avg_price"))
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "subquery_in",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    " WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+)
+def subquery_in(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return semi_join(orders, F.broadcast(building), orders["o_custkey"] == F.col("c_custkey")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "subquery_correlated",
+    "SELECT l1.l_orderkey, l1.l_partkey, l1.l_quantity FROM lineitem l1"
+    " WHERE l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2"
+    " WHERE l2.l_partkey = l1.l_partkey)",
+)
+def subquery_correlated(spark, sf_dir):
+    """TPC-H Q17 shape. Decorrelated: one pass computes per-part avg
+    (partial/final agg), joined back on the part key — the correlated
+    probe becomes a single shuffle keyed on l_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_threshold")
+    )
+    return (
+        fact_join(li, per_part, li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes (multi-operator pipelines on the star schema).
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q6",
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6: every predicate is scan-pushable (timestamp range +
+    two numeric ranges), so the 100 TB plan is a row-group-pruned scan
+    feeding one partial/final agg — no shuffle of data rows at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q3",
+    "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+    " o_orderdate, o_orderpriority FROM customer"
+    " JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-03-15'"
+    " AND l_shipdate > TIMESTAMP '1997-03-15'"
+    " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+    " ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3: filtered dims broadcast, one fact shuffle on the
+    order key, grouped agg, then TakeOrderedAndProject for the top-10
+    (per-partition heaps — never a global sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    # orders ⋈ broadcast(filtered customers) is dim-shaped; the fact
+    # join shuffles lineitem once on l_orderkey.
+    joined = fact_join(
+        li,
+        dim_join(orders, cust, orders["o_custkey"] == cust["c_custkey"]),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    agg = group_agg(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+    return agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority").orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Window frames beyond ROWS (SURVEY §2.4 note: absent in reference,
+# free in Spark).
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_range_frame",
+    "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id"
+    " ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 6)"
+    " AS hour_sum FROM events",
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event-time: all events of the trailing hour,
+    however many rows that is (vs the ROWS frames of W1-W3). Ordering
+    key is integer epoch-millis so both engines compare exactly."""
+    df = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("_ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ms")
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return df.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("hour_sum")
+    )
+
+
+@register(
+    "window_ntile",
+    "SELECT o_orderkey, CAST(NTILE(4) OVER w AS BIGINT) AS quartile,"
+    " ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,"
+    " ROUND(CUME_DIST() OVER w, 6) AS cume FROM orders"
+    " WINDOW w AS (ORDER BY o_totalprice, o_orderkey)",
+)
+def window_ntile(spark, sf_dir):
+    """Distribution functions. Global ORDER BY window — single
+    partition by construction; at scale use the partitioned variants
+    (window_rank) or approx percentiles (agg_percentile)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last",
+    "SELECT event_id, user_id,"
+    " first_value(value) OVER w AS first_val,"
+    " last_value(value) OVER w AS last_val,"
+    " nth_value(value, 2) OVER w AS second_val FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+)
+def window_first_last(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp scalar functions (§7.6.4 continued).
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_regexp",
+    "SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS first_word,"
+    " regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,"
+    " CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,"
+    " starts_with(p_name, 'small') AS is_small FROM part",
+)
+def fn_regexp(spark, sf_dir):
+    df = _t(spark, sf_dir, "part")
+    return df.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.expr("size(regexp_extract_all(p_name, '[a-z]+', 0))").cast("long").alias("n_words"),
+        F.col("p_name").startswith("small").alias("is_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (§7.6.3 continued: bag semantics).
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_intersect_all",
+    "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'"
+    " INTERSECT ALL SELECT l_partkey FROM lineitem WHERE l_quantity >= 45",
+)
+def setop_intersect_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'"
+    " EXCEPT ALL SELECT l_partkey FROM lineitem WHERE l_quantity >= 45",
+)
+def setop_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_union_by_name",
+    "SELECT c_custkey AS entity_key, c_acctbal AS balance FROM customer"
+    " UNION ALL SELECT s_suppkey, s_acctbal FROM supplier",
+)
+def setop_union_by_name(spark, sf_dir):
+    """unionByName: schema aligned by column NAME (the two inputs
+    project in different physical orders)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"), F.col("c_acctbal").alias("balance")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("balance"), F.col("s_suppkey").alias("entity_key")
+    )
+    return cust.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows, sliding + session (§7.6.5 continued). The same
+# functions run under readStream in tests/test_streaming.py; batch
+# oracles below are the exact SQL semantics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_sliding_counts",
+    # A 1h window sliding every 30min: each event belongs to exactly
+    # two windows, whose starts are its 30-min bucket and the one
+    # before (both engines align buckets to the epoch-origin grid).
+    "SELECT window_start, event_type, COUNT(*) AS n FROM ("
+    " SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),"
+    " time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start,"
+    " event_type FROM events) GROUP BY window_start, event_type",
+)
+def stream_sliding_counts(spark, sf_dir):
+    out = sliding_counts(_t(spark, sf_dir, "events"), window="1 hour", slide="30 minutes")
+    return out.select("window_start", "event_type", "n")
+
+
+@register(
+    "stream_session_agg",
+    # Gaps-and-islands: a new session starts when the previous event
+    # of the user is >= 5 minutes older (merge iff gap < 5min, which
+    # is F.session_window's semantics); session end = last ts + gap.
+    "WITH marked AS (SELECT user_id, ts, value, CASE WHEN"
+    " ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'"
+    " OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS is_new"
+    " FROM events), numbered AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id"
+    " ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM marked)"
+    " SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL '5 minutes' AS session_end,"
+    " user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value"
+    " FROM numbered GROUP BY user_id, sess",
+)
+def stream_session_agg(spark, sf_dir):
+    return session_agg(_t(spark, sf_dir, "events"), gap="5 minutes")
+
+
+@register(
+    "stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Key-level exact dedup — the batch face of
+    dropDuplicatesWithinWatermark (streaming path exercised in
+    tests/test_streaming.py; whole-row dedup is nondeterministic in
+    which row survives, so the oracle compares the key set)."""
+    from stockify_spark.streaming.windows import dedup_within_watermark
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return dedup_within_watermark(ev, ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish regex token counting (training-data pipeline).
+# ---------------------------------------------------------------------------
+
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_tokens",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)"
+    " AS n_bpe_tokens FROM documents",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """GPT-2-style pre-tokenizer count: runs of letters / digits /
+    punctuation, each optionally absorbing one leading space — the
+    standard proxy for LLM token budgeting, as a pure codegen'd
+    column expression (no Python in the loop)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_RE}', 0))").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point (SURVEY §3.4 B): the same engine surface through
+# spark.sql over registered views — including GROUPING SETS, which
+# the DataFrame API doesn't expose directly.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n,"
+    " ROUND(SUM(l_quantity), 2) AS sum_qty FROM {table}"
+    " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+)
+
+
+@register("groupby_grouping_sets", _GROUPING_SETS_SQL.format(table="lineitem"))
+def groupby_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="_gs_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path + multimodal plumbing (rows-only driver checks;
+# recall/shape proven in tests/test_similarity.py, test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+@register("sim_ivf_topk")  # probabilistic (centroid-dependent) → rows-only check
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: probe 4 of 8 Voronoi cells per query instead of the
+    full corpus (llm/similarity.py); recall vs brute force is tested,
+    values are centroid-dependent so there is no SQL oracle."""
+    from stockify_spark.llm.similarity import fit_centroids, ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = fit_centroids(emb, n_centroids=8, sample_limit=2000)
+    corpus = ivf_assign(emb, cent)
+    return ivf_topk(corpus, emb.filter(F.col("vec_id") < 5), cent, k=5, n_probe=4)
+
+
+@register("media_features")  # synthetic media fixture → rows-only check
+def media_features(spark, sf_dir):
+    """Multimodal decode+featurize plumbing over mapInPandas (decode
+    stubbed — no codecs in this container; Arrow batch shape is
+    real)."""
+    from stockify_spark.llm.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=96)).select("media_id", "kind")
+
+
+@register("media_frame_plan")  # synthetic media fixture → rows-only check
+def media_frame_plan(spark, sf_dir):
+    from stockify_spark.llm.multimodal import frame_sample_plan, synthetic_media
+
+    return frame_sample_plan(synthetic_media(spark, n=96), every_ms=250)

@@ -13,7 +13,12 @@ from stockify_spark.sources.io import load_table
 
 @pytest.fixture(scope="module")
 def lineitem(spark, sf_dir):
-    return load_table(spark, sf_dir, "lineitem").cache()
+    df = load_table(spark, sf_dir, "lineitem").cache()
+    yield df
+    # unpersist, or the CacheManager substitutes InMemoryRelation for
+    # this parquet scan in every later test's plan (test_plans asserts
+    # on PushedFilters, which a cached scan doesn't have)
+    df.unpersist()
 
 
 @pytest.mark.parametrize("op,inverse", [("ge", "lt"), ("gt", "le"), ("eq", "ne")])

@@ -69,3 +69,20 @@ def test_ivf_assign_is_total_partition(emb):
     assigned = ivf_assign(emb, cents)
     assert assigned.filter(F.col("cell").isNull()).count() == 0
     assert assigned.count() == emb.count()
+
+
+def test_blocked_dup_pairs_match_allpairs_baseline(spark):
+    """embedding_dup_pairs_blocked must return the exact same pair set
+    as the expression-based all-pairs baseline (it is a physical
+    rewrite, not an approximation)."""
+    from stockify_spark.llm.similarity import embedding_dup_pairs, embedding_dup_pairs_blocked
+    from stockify_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(emb, threshold=0.4).collect()}
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_blocked(emb, threshold=0.4, n_blocks=4).collect()
+    }
+    assert blocked == exact
+    assert exact  # fixture contains qualifying pairs
