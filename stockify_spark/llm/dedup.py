@@ -27,6 +27,7 @@ import hashlib
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -140,7 +141,22 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # the shingle base feeds the signature pipeline AND both sides of
+    # the verification join — persist it once (cf. ngram_jaccard_pairs)
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
+    inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
+    hashed = inv.select(
+        "_id", *[F.xxhash64("_shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    sig = mins.select(
+        "_id",
+        F.array(
+            *[F.coalesce(F.col(f"_h{i}"), F.lit(2**63 - 1)) for i in range(num_hashes)]
+        ).alias("_sig"),
+    )
 
     banded = sig.select(
         "_id",
@@ -166,7 +182,6 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
     joined = cand.join(
         base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
     ).join(base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
@@ -189,17 +204,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
-    Candidates are pairs sharing at least one k-shingle (explode →
-    self equi-join on the shingle), then exact Jaccard. Complete
-    (recall 1.0) unlike LSH, but candidate count grows with shingle
-    collision frequency — the scale path is :func:`minhash_lsh_pairs`.
+    Candidates come from a PREFIX-FILTERED inverted index (the
+    AllPairs/PPJoin bound): sort each doc's shingles by global
+    document frequency (rarest first); if J(A,B) >= t then A and B
+    must share a shingle within the first ``|d| - ceil(t*|d|) + 1``
+    of each — so only that prefix is indexed. High-frequency shingles
+    ("the x of" 3-grams), which drive the naive self-join quadratic,
+    fall outside every prefix and generate no candidates, while
+    recall stays exactly 1.0. Cost: one df-count aggregation + a per-doc
+    window rank, both keyed on naturally-spread hash keys.
     """
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
-    inv = base.select("_id", F.explode("_sh").alias("shingle"))
+    # base and prefix feed multiple downstream branches (self-join
+    # sides + verification); persist them or the shingle pipeline is
+    # re-evaluated once per branch. At warehouse scale this persist is
+    # the materialized shingle/prefix index you would write to storage.
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")
+    ).persist()
+    inv = base.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
+
+    doc_freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = inv.join(doc_freq, "shingle").withColumn(
+        "_pos",
+        F.row_number().over(
+            W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_id", "_n", "shingle").persist()
+
     cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
         .filter(F.col("a._id") < F.col("b._id"))
+        # length bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so sets
+        # whose sizes differ by more than t can never qualify
+        .filter(
+            F.least(F.col("a._n"), F.col("b._n"))
+            >= F.ceil(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

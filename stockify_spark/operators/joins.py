@@ -135,6 +135,33 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys are split across ``salt``
+    sub-keys.
+
+    Left rows get a deterministic salt in [0, salt); right rows are
+    replicated once per salt value; the join key becomes (key, salt),
+    so a key holding 30% of the table spreads over ``salt`` tasks
+    instead of one straggler. Cost: right side is shuffled ``salt``×
+    — use for fact⋈fact joins with known hot keys when AQE's runtime
+    skew split isn't available (e.g. a fixed partitioning is being
+    reused downstream). Result equals ``left.join(right, key, how)``.
+    """
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

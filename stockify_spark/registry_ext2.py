@@ -412,3 +412,17 @@ def media_frame_plan(spark, sf_dir):
     from stockify_spark.llm.multimodal import frame_sample_plan, synthetic_media
 
     return frame_sample_plan(synthetic_media(spark, n=96), every_ms=250)
+
+
+@register(
+    "stream_stateful_totals",
+    "SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value"
+    " FROM events GROUP BY user_id",
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Batch face of the applyInPandasWithState running-totals
+    operator (streaming/stateful.py); the streaming path converges to
+    exactly this result (tests/test_streaming.py)."""
+    from stockify_spark.streaming.stateful import running_user_totals
+
+    return running_user_totals(_t(spark, sf_dir, "events"))

@@ -136,6 +136,52 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side — at 100 TB that converts the nightly
+    orders⋈lineitem from a cluster-wide shuffle into a zip of
+    co-located buckets. Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the parquet files).
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "month",
+    partition_col: str = "p_date",
+) -> None:
+    """Persist hive-partitioned by a truncated date of ``ts_col``.
+
+    Directory-level partition pruning is the coarse sibling of
+    row-group skipping: a query filtering on ``partition_col`` never
+    lists, opens, or schedules the other partitions' files — the
+    first lever against a 100 TB scan.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(partition_col, F.to_date(F.date_trunc(granularity, ts_col)))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_sorted_layout(df: DataFrame, path: str, sort_col: str, num_partitions: int | None = None) -> None:
     """Persist a range-sorted Parquet layout keyed on ``sort_col``.
 

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import sys
+import tempfile
 
 import pytest
 
@@ -14,7 +15,15 @@ SF_SMALL = "/root/testdata/sf0.01"
 def spark():
     from stockify_spark.session import get_spark
 
-    s = get_spark("stockify-tests", cpus=8, shuffle_partitions=8)
+    # warehouse dir is a static conf — point it at a tmp dir at session
+    # creation so bucketed-table tests don't write into the repo
+    wh = tempfile.mkdtemp(prefix="stockify_wh_")
+    s = get_spark(
+        "stockify-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

@@ -60,3 +60,18 @@ def test_range_join_bucketed_equals_naive(spark):
         "pid", "iid"
     )
     assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in bucketed.collect()}
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    """salted_join is a physical rewrite: same rows as the plain
+    equi-join, even when one key dominates the distribution."""
+    from stockify_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, f"l{i}") for i in range(1000)], "k long, lv string"
+    )
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(20)], "k long, rv string")
+    plain = {tuple(r) for r in left.join(right, "k").collect()}
+    salted = {tuple(r) for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain
+    assert plain

@@ -96,3 +96,47 @@ def test_partitioned_windows_declare_partitioning(spark, name):
     assert "partitionBy" not in plan or "Window" in plan
     # hashpartitioning on the declared keys, not SinglePartition
     assert "SinglePartition" not in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge join with
+    zero Exchange — the write-once pre-shuffle that makes repeated
+    fact⋈fact joins scale."""
+    from stockify_spark.sources.io import load_table, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    # at fixture scale Catalyst would broadcast instead; disable it so
+    # the plan shows the big-big shape bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            on=[spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey],
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(jmode)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must surface as PartitionFilters
+    (directory pruning), with unpruned partitions never scanned."""
+    from stockify_spark.sources.io import load_table, write_date_partitioned
+
+    path = str(tmp_path / "events_by_month")
+    write_date_partitioned(load_table(spark, SF_DIR, "events"), path, "ts", "month")
+    df = spark.read.parquet(path).filter("p_date = DATE '2024-01-01'")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "p_date" in part_lines[0], plan
+    assert df.count() > 0

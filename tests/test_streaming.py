@@ -65,3 +65,37 @@ def test_dedup_within_watermark_batch_and_stream(spark, sf_dir):
     finally:
         q.stop()
     assert got == n_types
+
+
+def test_stateful_running_totals_converge_to_batch(spark, sf_dir):
+    """applyInPandasWithState per-user totals must equal the batch
+    groupBy once the stream drains (update mode → keep each user's
+    last emitted row)."""
+    from stockify_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in running_user_totals(events).collect()
+    }
+
+    stream = running_user_totals(stream_events(spark, sf_dir), streaming=True)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode appends a row per (user, micro-batch); the final
+        # state is each user's row with the highest n_events
+        rows = spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n,"
+            " max_by(sum_value, n_events) AS s FROM t_stateful GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n"], r["s"]) for r in rows}
+    assert got == expected
+    assert expected
