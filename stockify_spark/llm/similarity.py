@@ -162,6 +162,9 @@ def embedding_dup_pairs_blocked(
 # IVF — the scale path
 # ---------------------------------------------------------------------------
 
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def fit_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -169,10 +172,17 @@ def fit_centroids(
     sample_limit: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> np.ndarray:
     """k-means on a bounded sample (constant driver memory regardless
     of corpus size). Model fitting, not a data operator — at 100 TB
-    the sample is still ``sample_limit`` rows."""
+    the sample is still ``sample_limit`` rows. Pass ``cache_key``
+    (e.g. the corpus path) to reuse a fitted model across queries —
+    production refits per ingest batch, not per probe."""
+    if cache_key is not None:
+        k = (cache_key, n_centroids, vec_col, sample_limit, iters, seed)
+        if k in _CENTROID_CACHE:
+            return _CENTROID_CACHE[k]
     sample = df.select(vec_col).limit(sample_limit).collect()
     x = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -184,6 +194,8 @@ def fit_centroids(
             members = x[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
+    if cache_key is not None:
+        _CENTROID_CACHE[(cache_key, n_centroids, vec_col, sample_limit, iters, seed)] = cent
     return cent
 
 

@@ -430,3 +430,4 @@ def range_scan_price(spark, sf_dir):
 # imported last so they register into the same QUERIES/ORACLE dicts.
 from stockify_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext2  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext3  # noqa: E402,F401  (registration side effect)

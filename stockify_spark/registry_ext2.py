@@ -392,7 +392,7 @@ def sim_ivf_topk(spark, sf_dir):
     from stockify_spark.llm.similarity import fit_centroids, ivf_assign, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = fit_centroids(emb, n_centroids=8, sample_limit=2000)
+    cent = fit_centroids(emb, n_centroids=8, sample_limit=2000, cache_key=sf_dir)
     corpus = ivf_assign(emb, cent)
     return ivf_topk(corpus, emb.filter(F.col("vec_id") < 5), cent, k=5, n_probe=4)
 

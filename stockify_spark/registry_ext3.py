@@ -1,0 +1,220 @@
+"""Third extension wave: statistical aggregates, ordered collection
+aggregates, array explode/unnest, additional date arithmetic, null
+handling, and the pandas-UDF surface verified against a declarative
+SQL oracle. Same determinism conventions as registry.py."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (§7.6.1 continued) — all one-pass partial/final.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_stddev_corr",
+    "SELECT ROUND(stddev_samp(l_extendedprice), 4) AS price_sd,"
+    " ROUND(stddev_pop(l_extendedprice), 4) AS price_sd_pop,"
+    " ROUND(var_samp(l_quantity), 4) AS qty_var,"
+    " ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,"
+    " ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_cov"
+    " FROM lineitem",
+)
+def agg_stddev_corr(spark, sf_dir):
+    """Moment-based aggregates: Spark computes all of them with
+    single-pass merge formulas (partial/final), no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("price_sd_pop"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_cov"),
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    "SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)"
+    " AS statuses FROM lineitem GROUP BY l_returnflag",
+)
+def agg_collect_ordered(spark, sf_dir):
+    """Ordered collection aggregate. collect_set is unordered by
+    contract — sorting before joining makes the result deterministic
+    (required for any differential check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+@register("agg_percentile_approx")  # sketch-based → engine-specific values, rows-only
+def agg_percentile_approx(spark, sf_dir):
+    """The 100 TB percentile path: a mergeable quantile sketch
+    (single pass, bounded memory) instead of the exact sort-based
+    percentile. Estimates are engine-defined, so no SQL oracle; the
+    exact-vs-approx error bound is asserted in tests/test_windows.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array explode / unnest (§7.6.4 continued).
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_explode",
+    "SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token"
+    " FROM documents WHERE doc_id < 50",
+)
+def fn_explode(spark, sf_dir):
+    """Row-generating explode: one output row per token. The scale
+    note is explode-early-project-late — explode only the columns the
+    downstream needs, or row width multiplies by fan-out."""
+    from stockify_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+
+
+@register(
+    "fn_posexplode",
+    "SELECT doc_id, CAST(generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) - 1"
+    " AS INT) AS pos, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token"
+    " FROM documents WHERE doc_id < 50",
+)
+def fn_posexplode(spark, sf_dir):
+    from stockify_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic beyond fn_date (§7.6.4 continued).
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_date_arith",
+    "SELECT o_orderkey,"
+    " CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,"
+    " last_day(CAST(o_orderdate AS DATE)) AS month_end,"
+    # DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+    " CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,"
+    " CAST(quarter(o_orderdate) AS INT) AS qtr,"
+    " ROUND((CAST(epoch_ms(TIMESTAMP '2000-06-15') AS DOUBLE)"
+    "  - CAST(epoch_ms(o_orderdate) AS DOUBLE)) / 86400000.0, 6) AS days_to_y2k5"
+    " FROM orders",
+)
+def fn_date_arith(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.round(
+            (
+                F.unix_millis(F.lit("2000-06-15").cast("timestamp"))
+                # parquet gives TIMESTAMP_NTZ; cast to LTZ (session is
+                # UTC) for the epoch-millis arithmetic
+                - F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            ).cast("double")
+            / 86400000.0,
+            6,
+        ).alias("days_to_y2k5"),
+    )
+
+
+@register(
+    "fn_null_handling",
+    "SELECT c_custkey,"
+    " COALESCE(NULLIF(c_acctbal, 0.0), -1.0) AS bal_or_sentinel,"
+    " NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building,"
+    " ifnull(NULLIF(c_name, c_name), 'redacted') AS always_redacted"
+    " FROM customer",
+)
+def fn_null_handling(spark, sf_dir):
+    """NULL algebra (absent from the reference — NULLs do not exist
+    there, SURVEY §1.1): nullif/coalesce/ifnull/isnull compose the
+    three-valued logic the engine inherits from Spark SQL."""
+    df = _t(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "bal_or_sentinel"
+        ),
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("is_building"),
+        F.ifnull(F.nullif(F.col("c_name"), F.col("c_name")), F.lit("redacted")).alias(
+            "always_redacted"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The pandas-UDF surface (§7.6.7), verified against a declarative
+# oracle: the blessed extension mechanism must produce the same
+# numbers as the pure-SQL formulation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "udf_group_zscore",
+    "SELECT event_id, user_id, ROUND((value - avg_v) / NULLIF(sd_v, 0), 6) AS zscore"
+    " FROM (SELECT event_id, user_id, value,"
+    " AVG(value) OVER (PARTITION BY user_id) AS avg_v,"
+    " stddev_samp(value) OVER (PARTITION BY user_id) AS sd_v FROM events)",
+)
+def udf_group_zscore(spark, sf_dir):
+    """Per-user z-score via applyInPandas (grouped-map pandas UDF).
+    Deliberately also expressible as a window — the oracle runs that
+    formulation, proving the Arrow batch path computes identically.
+    The UDF shape is the template for logic that ISN'T expressible
+    declaratively (model scoring, tokenizers, custom sketches)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / sd if sd and sd == sd else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(6)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, zscore double"
+    )
+
+
+@register(
+    "udf_scalar_pandas",
+    "SELECT l_orderkey, l_linenumber,"
+    " ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge"
+    " FROM lineitem WHERE l_quantity >= 40",
+)
+def udf_scalar_pandas(spark, sf_dir):
+    """Scalar pandas UDF (Arrow-vectorized) vs the identical column
+    expression in the oracle — same IEEE ops, same order, exact match.
+    In production prefer the built-in expression (stays in codegen);
+    this entry pins that the UDF boundary itself is lossless."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1 - disc) * (1 + tax)).round(6)
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
