@@ -58,7 +58,7 @@ def agg_percentile_approx(spark, sf_dir):
     """The 100 TB percentile path: a mergeable quantile sketch
     (single pass, bounded memory) instead of the exact sort-based
     percentile. Estimates are engine-defined, so no SQL oracle; the
-    exact-vs-approx error bound is asserted in tests/test_windows.py."""
+    exact-vs-approx error bound is asserted in tests/test_aggregates.py."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
