@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY §5.3): invariants over generated
+literals/window sizes rather than hand-picked constants. Examples are
+deliberately few (Spark jobs per example are not free); each property
+is also covered at fixed literals elsewhere in the suite."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stockify_spark.operators import compare, filter_rows, moving_average, rolling_max, rolling_min
+from stockify_spark.sources.fixtures import stocks_rand
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def stocks(spark):
+    df = stocks_rand(spark, n=2000).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@given(lit=st.floats(min_value=90, max_value=210))
+@settings(**SETTINGS)
+def test_filter_complement_partitions_table(stocks, lit):
+    """|close >= x| + |close < x| == |table| for any literal,
+    including ones outside the data range (all / none selected)."""
+    n = stocks.count()
+    ge = filter_rows(stocks, compare("close", "ge", lit)).count()
+    lt = filter_rows(stocks, compare("close", "lt", lit)).count()
+    assert ge + lt == n
+
+
+@given(lit=st.floats(min_value=100, max_value=199))
+@settings(**SETTINGS)
+def test_filter_agrees_with_selection_vector(stocks, lit):
+    from stockify_spark.operators import selection_vector
+
+    pred = compare("volume", "ge", lit)
+    compacted = stocks.filter(pred).count()
+    flagged = selection_vector(stocks, pred).filter(F.col("flag")).count()
+    assert compacted == flagged
+
+
+@given(w=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_rolling_bounds_hold_for_any_window_size(stocks, w):
+    """min <= avg <= max per row, for arbitrary frame sizes."""
+    df = moving_average(stocks, "close", order_by=["row_id"], window_size=w)
+    df = rolling_min(df, "close", order_by=["row_id"], window_size=w)
+    df = rolling_max(df, "close", order_by=["row_id"], window_size=w)
+    bad = df.filter(
+        (F.col("rolling_min") > F.col("moving_avg") + 1e-9)
+        | (F.col("moving_avg") > F.col("rolling_max") + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+@given(w=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_extrema_of_rolling_extrema_are_global(stocks, w):
+    """The reference's identity (stockify.cu:582-590), as a property:
+    min(rolling_min) == global min and max(rolling_max) == global max
+    for every window size."""
+    lo = rolling_min(stocks, "low", order_by=["row_id"], window_size=w)
+    hi = rolling_max(stocks, "high", order_by=["row_id"], window_size=w)
+    assert lo.agg(F.min("rolling_min")).collect()[0][0] == stocks.agg(F.min("low")).collect()[0][0]
+    assert hi.agg(F.max("rolling_max")).collect()[0][0] == stocks.agg(F.max("high")).collect()[0][0]
