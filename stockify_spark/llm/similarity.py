@@ -18,6 +18,7 @@ Two tiers, per the 100 TB design rule:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -118,8 +119,6 @@ def embedding_dup_pairs_blocked(
     group fits in executor memory. Replaces per-pair interpreted
     lambda evaluation (~50× slower) while staying exact.
     """
-    import pandas as pd
-
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -199,16 +198,26 @@ def fit_centroids(
     return cent
 
 
-def _centroid_scores(vec_col: str, centroids: np.ndarray) -> Column:
-    """array of (centroid_id, dot) structs — centroids inlined as
-    literals (they are the 'broadcast model')."""
-    entries = []
-    for j, c in enumerate(centroids):
-        lit_vec = F.array(*[F.lit(float(v)) for v in c])
-        entries.append(
-            F.struct(F.lit(j).alias("centroid_id"), dot(F.col(vec_col), lit_vec).alias("score"))
-        )
-    return F.array(*entries)
+def _top_cells_udf(centroids: np.ndarray, n: int):
+    """Vectorized (Arrow) nearest-centroid scorer: one numpy matmul
+    per batch against the broadcast centroid matrix, returning each
+    vector's top-``n`` cell ids (score desc, id asc tiebreak). The
+    structs-of-dots column expression runs interpreted per row per
+    centroid — the matmul form is the map-side model-scoring shape."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_t = centroids.T.copy()  # (dim, n_centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def top_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        scores = mat @ cent_t  # (batch, n_centroids)
+        # argsort on (-score, id): lexsort keys are applied last-first
+        order = np.lexsort((np.arange(scores.shape[1])[None, :].repeat(len(mat), 0), -scores), axis=1)
+        return pd.Series(list(order[:, :n].astype(np.int32)))
+
+    return top_cells
 
 
 def ivf_assign(
@@ -217,11 +226,11 @@ def ivf_assign(
     vec_col: str = "embedding",
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Attach the nearest-centroid (max dot) cell id — map-side only.
-    Persist the result partitioned by cell for pruned probes."""
-    scores = _centroid_scores(vec_col, centroids)
-    best = F.array_max(F.transform(scores, lambda s: F.struct(s["score"], s["centroid_id"])))
-    return df.withColumn(cell_col, best["centroid_id"])
+    """Attach the nearest-centroid (max dot) cell id — map-side only
+    (one Arrow-batched matmul per batch, no shuffle). Persist the
+    result partitioned by cell for pruned probes."""
+    top1 = _top_cells_udf(centroids, 1)
+    return df.withColumn(cell_col, top1(F.col(vec_col))[0])
 
 
 def ivf_topk(
@@ -237,18 +246,12 @@ def ivf_topk(
     """ANN top-k probing only ``n_probe`` cells per query: queries get
     their n_probe best cells (map-side), then an equi-join on cell id
     prunes the corpus before exact cosine + windowed top-k."""
-    scores = _centroid_scores(vec_col, centroids)
+    topn = _top_cells_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.slice(
-                F.reverse(F.array_sort(F.transform(scores, lambda s: F.struct(s["score"], s["centroid_id"])))),
-                1,
-                n_probe,
-            )
-        ).alias("_probe"),
-    ).select("query_id", "_qvec", F.col("_probe.centroid_id").alias(cell_col))
+        F.explode(topn(F.col(vec_col))).alias(cell_col),
+    )
 
     c = corpus_with_cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), cell_col
