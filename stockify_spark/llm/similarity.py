@@ -264,3 +264,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — the other scale path (bucketed cosine ANN)
+# ---------------------------------------------------------------------------
+
+def _lsh_buckets_udf(planes: np.ndarray):
+    """Arrow-batched bucketizer: one matmul per batch against
+    ``planes`` (n_tables, n_planes, dim); bucket = sign bits packed to
+    an int per table. Map-side only — the model is broadcast in the
+    closure like the IVF centroids."""
+    from pyspark.sql import types as T
+
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1).T.copy()  # (dim, T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (mat @ flat) > 0  # (batch, T*P)
+        per_table = bits.reshape(len(mat), n_tables, n_planes)
+        keys = (per_table * weights).sum(axis=2)  # (batch, T)
+        return pd.Series(list(keys))
+
+    return buckets
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane (SimHash-family) LSH.
+
+    Cosine-similar vectors agree on hyperplane signs with probability
+    1 - θ/π per plane; ``n_planes`` sets bucket selectivity and
+    ``n_tables`` OR-amplifies recall. Candidates are an equi-join on
+    (table, bucket) — ids only — then exact cosine + windowed top-k
+    on the candidate set. Complements IVF: no model fit, recall tuned
+    purely by (planes, tables); corpus scan cost per query is the
+    occupancy of k·n_tables buckets instead of the full corpus.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    buckets = _lsh_buckets_udf(planes)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_table", "_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_table", "_bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qvec", "neighbor_id", "_cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("_cos", cosine("_qvec", "_cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -218,3 +218,14 @@ def udf_scalar_pandas(spark, sf_dir):
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )
+
+
+@register("sim_lsh_topk")  # hyperplane-LSH candidates are probabilistic → rows-only
+def sim_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (llm/similarity.lsh_topk): the
+    no-model-fit scale path beside IVF; recall pinned on planted
+    near-duplicates in tests/test_similarity.py."""
+    from stockify_spark.llm.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)

@@ -86,3 +86,24 @@ def test_blocked_dup_pairs_match_allpairs_baseline(spark):
     }
     assert blocked == exact
     assert exact  # fixture contains qualifying pairs
+
+
+def test_lsh_topk_recovers_planted_near_duplicates(spark):
+    """Vectors with a tiny-noise twin must find that twin as their
+    top-1 via LSH buckets (near-identical vectors agree on almost
+    every hyperplane sign, so they collide in ~every table)."""
+    import numpy as np
+
+    from stockify_spark.llm.similarity import lsh_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk(df, df.filter("vec_id < 20"), k=1)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for q, n in top1.items() if n == q + 100)
+    assert hits >= 18  # >= 90% of twins recovered at rank 1
