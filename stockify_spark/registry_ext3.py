@@ -229,3 +229,21 @@ def sim_lsh_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "stream_interval_join",
+    "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id"
+    " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+    " JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+    " ON p.user_id = c.user_id AND c.ts <= p.ts"
+    " AND c.ts >= p.ts - INTERVAL '30 minutes'",
+)
+def stream_interval_join(spark, sf_dir):
+    """Batch face of the stream-stream interval join
+    (streaming/windows.purchases_with_recent_clicks); the streaming
+    path with watermark-bounded state converges to this exact result
+    (tests/test_streaming.py)."""
+    from stockify_spark.streaming.windows import purchases_with_recent_clicks
+
+    return purchases_with_recent_clicks(_t(spark, sf_dir, "events"))

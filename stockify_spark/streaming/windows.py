@@ -105,3 +105,41 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def purchases_with_recent_clicks(
+    events: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks from the preceding ``max_lag``.
+
+    Streaming: both sides carry watermarks and the join condition
+    bounds click_ts within [purchase_ts - max_lag, purchase_ts], so
+    state for either side is reclaimable past the watermark — the
+    canonical bounded-state stream-stream join. Batch: the identical
+    join for the oracle.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    if streaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id"
+    )

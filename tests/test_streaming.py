@@ -99,3 +99,22 @@ def test_stateful_running_totals_converge_to_batch(spark, sf_dir):
     got = {r["user_id"]: (r["n"], r["s"]) for r in rows}
     assert got == expected
     assert expected
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from stockify_spark.streaming.windows import purchases_with_recent_clicks
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {tuple(r) for r in purchases_with_recent_clicks(events).collect()}
+
+    stream = purchases_with_recent_clicks(stream_events(spark, sf_dir), streaming=True)
+    q = stream.writeStream.outputMode("append").format("memory").queryName("t_ssj").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+    finally:
+        q.stop()
+    # append-mode emits exactly the joined pairs; all input fits well
+    # inside the watermark so nothing is dropped
+    assert got == expected
+    assert expected
