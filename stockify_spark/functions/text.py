@@ -108,3 +108,34 @@ def lang_id(col: str | Column, default: str = "unknown") -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    MOSS): hash every character k-gram, keep the minimum hash of each
+    sliding window of ``window`` consecutive k-grams, emit the
+    distinct kept hashes per document.
+
+    Guarantees: identical docs → identical fingerprint sets; any
+    shared substring of length >= k + window - 1 shares at least one
+    fingerprint. Built entirely from explode + xxhash64 + a bounded
+    partitioned window + distinct — no Python in the loop. Returns
+    (id_col, fingerprint) rows.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(norm) - k, F.lit(0))),
+                lambda i: norm.substr(i + F.lit(1), F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(id_col, "pos", F.xxhash64("gram").alias("h"))
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    kept = hashed.select(id_col, F.min("h").over(w).alias("fingerprint"))
+    return kept.select(id_col, "fingerprint").distinct()

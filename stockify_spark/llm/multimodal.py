@@ -114,3 +114,52 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 24,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize via ``mapInPandas`` — the decode→transform→encode
+    template. With ``decode_stub`` (no codecs in this container) the
+    payload transform is a deterministic truncate/tile to a size
+    proportional to the target area, so batch-shape, schema, and
+    metadata plumbing are fully exercised; ``decode_stub=False`` marks
+    where PIL would run. Only image rows are touched — filter BEFORE
+    decode so video/audio payloads are never deserialized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real image resize requires PIL, not in this container")
+            out_bytes = []
+            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+                scale = (target_w * target_h) / max(int(w or 1) * int(h or 1), 1)
+                n = max(int(len(content) * min(scale, 1.0)), 16)
+                tiled = (bytes(content) * ((n // max(len(content), 1)) + 1))[:n]
+                out_bytes.append(tiled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "content": out_bytes,
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image")
+    return images.select("media_id", "width", "height", "content").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

@@ -247,3 +247,25 @@ def stream_interval_join(spark, sf_dir):
     from stockify_spark.streaming.windows import purchases_with_recent_clicks
 
     return purchases_with_recent_clicks(_t(spark, sf_dir, "events"))
+
+
+@register("text_winnow_fingerprints")  # xxhash64-based → engine-specific values, rows-only
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: min k-gram hash per
+    sliding window, distinct per doc. Hash values are engine-defined
+    (xxhash64), so rows-only here; the containment properties
+    (identical docs → identical sets; shared substrings → shared
+    fingerprints) are pinned in tests/test_text.py."""
+    from stockify_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, "text", "doc_id")
+
+
+@register("media_resize")  # synthetic media fixture, stubbed codec → rows-only
+def media_resize(spark, sf_dir):
+    """Image resize plumbing over mapInPandas (decode stubbed; the
+    non-image rows are filtered BEFORE any payload deserialization)."""
+    from stockify_spark.llm.multimodal import resize_images, synthetic_media
+
+    return resize_images(synthetic_media(spark, n=96)).select("media_id", "width", "height")

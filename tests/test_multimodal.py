@@ -53,3 +53,16 @@ def test_frame_sample_plan(media):
               plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     for mid, dur in durations.items():
         assert counts[mid] == (dur - 1) // 500 + 1
+
+
+def test_resize_images_touches_only_images(spark):
+    from stockify_spark.llm.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=30)
+    out = resize_images(media, target_w=16, target_h=12).collect()
+    assert len(out) == media.filter("kind = 'image'").count()
+    assert all(r["width"] == 16 and r["height"] == 12 for r in out)
+    assert all(len(r["content"]) >= 16 for r in out)
+    # deterministic across runs
+    again = resize_images(media, target_w=16, target_h=12).collect()
+    assert sorted(r["media_id"] for r in out) == sorted(r["media_id"] for r in again)

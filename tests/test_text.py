@@ -50,3 +50,28 @@ def test_quality_score_bounds_and_ordering(spark):
     ).collect()[0]["q"]
     assert 0.0 <= short <= 1.0 and 0.0 <= decent <= 1.0
     assert decent > short
+
+
+def test_winnow_fingerprints_containment_properties(spark):
+    """Winnowing guarantees: identical docs -> identical sets; docs
+    sharing a long substring share >= 1 fingerprint; unrelated docs
+    share ~none."""
+    from stockify_spark.functions.text import winnow_fingerprints
+
+    common = "shared infrastructure for distributed query processing at scale"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha text prefix {common} and some suffix"),
+            (1, f"totally other beginning {common} different ending here"),
+            (2, "no overlap whatsoever in this completely unrelated sentence"),
+            (3, f"alpha text prefix {common} and some suffix"),  # dup of 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, "text", "doc_id").collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert sets[0] == sets[3]
+    assert sets[0] & sets[1]          # shared substring -> shared fingerprint
+    assert not (sets[0] & sets[2])    # unrelated -> disjoint (k=5 grams)
