@@ -269,3 +269,91 @@ def media_resize(spark, sf_dir):
     from stockify_spark.llm.multimodal import resize_images, synthetic_media
 
     return resize_images(synthetic_media(spark, n=96)).select("media_id", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# Remaining join types and filter predicates (completing the algebra).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_outer",
+    "SELECT c_custkey, o_orderkey, o_totalprice FROM customer"
+    " LEFT JOIN (SELECT * FROM orders WHERE o_totalprice >= 400000) o"
+    " ON c_custkey = o_custkey",
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer: unmatched customers survive with null order cols —
+    same broadcast shape as the inner dim join (null-extension is free
+    in the hash join)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 400000)
+    return cust.join(
+        F.broadcast(big), cust["c_custkey"] == big["o_custkey"], "left"
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    "SELECT a.k AS k_a, b.k AS k_b FROM"
+    " (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') a"
+    " FULL OUTER JOIN"
+    " (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') b"
+    " ON a.k = b.k",
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join (shuffle on both sides — broadcast can't
+    null-extend the broadcast side, so Catalyst plans SMJ)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    return a.join(b, a["k"] == b["k"], "full").select(
+        a["k"].alias("k_a"), b["k"].alias("k_b")
+    )
+
+
+@register(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product — legitimate only when one side is
+    tiny (broadcast nested loop); the planner requires the explicit
+    crossJoin call, which is the API's scale guardrail."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(F.broadcast(nation))
+
+
+@register(
+    "filter_between_in_like",
+    "SELECT l_orderkey, l_linenumber FROM lineitem"
+    " WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')"
+    " AND l_linestatus LIKE 'F%'",
+)
+def filter_between_in_like(spark, sf_dir):
+    """BETWEEN / IN / LIKE — the remaining predicate forms beyond the
+    comparator algebra of F1-F6; all three push down to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "setop_union_distinct",
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+    " UNION SELECT o_custkey FROM orders WHERE o_totalprice >= 300000",
+)
+def setop_union_distinct(spark, sf_dir):
+    """UNION (set semantics) = union all + distinct — one hash shuffle
+    on the row, vs UNION ALL's zero."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") >= 300000).select("o_custkey")
+    return a.union(b).distinct()
