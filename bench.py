@@ -107,6 +107,57 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def oracle_baseline(budget_sec: float = 20.0) -> dict:
+    """Time the DuckDB oracles for the same headline queries on the
+    same parquet — the measurable BASELINE stand-in (BASELINE.md E1:
+    the reference publishes no numbers). Queries whose oracle SQL is
+    deliberately brute-force (written for sf0.01 correctness, e.g.
+    all-pairs jaccard) are interrupted at ``budget_sec`` and reported
+    as lower bounds."""
+    import threading
+
+    import duckdb
+
+    from stockify_spark.registry import ORACLE
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    def run_once(sql: str) -> float | None:
+        timer = threading.Timer(budget_sec, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0
+        except duckdb.Error:
+            return None
+        finally:
+            timer.cancel()
+
+    per_query: dict[str, float] = {}
+    interrupted: list[str] = []
+    for name in BENCH_QUERIES:
+        sql = ORACLE.get(name)
+        if sql is None:
+            continue
+        if run_once(sql) is None:  # warm-up
+            interrupted.append(name)
+            per_query[name] = round(budget_sec, 4)  # lower bound
+            continue
+        samples = [s for s in (run_once(sql) for _ in range(3)) if s is not None]
+        per_query[name] = round(statistics.median(samples), 4) if samples else round(budget_sec, 4)
+    return {
+        "oracle_total_sec": round(sum(per_query.values()), 4),
+        "oracle_interrupted_at_budget": interrupted,
+        "oracle_queries": per_query,
+    }
+
+
 def main() -> None:
     from stockify_spark.registry import QUERIES
     from stockify_spark.session import get_spark
@@ -119,6 +170,13 @@ def main() -> None:
         timings[name] = round(time_query(QUERIES[name], spark, SF_DIR), 4)
 
     extras = layout_experiment(spark, SF_DIR)
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        ora = oracle_baseline()
+        extras.update(ora)
+        comparable = {k: v for k, v in timings.items() if k in ora["oracle_queries"]}
+        extras["spark_comparable_sec"] = round(sum(comparable.values()), 4)
+        denom = ora["oracle_total_sec"]
+        extras["spark_vs_oracle_ratio"] = round(sum(comparable.values()) / denom, 3) if denom else None
 
     result = {
         "metric": "total_query_sec",
