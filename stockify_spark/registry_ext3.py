@@ -357,3 +357,23 @@ def setop_union_distinct(spark, sf_dir):
     a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = orders.filter(F.col("o_totalprice") >= 300000).select("o_custkey")
     return a.union(b).distinct()
+
+
+@register("sample_seeded")  # engine-specific RNG stream → rows-only
+def sample_seeded(spark, sf_dir):
+    """Seeded Bernoulli sampling — the corpus-downsampling primitive
+    (every training-data pipeline ends in one). Deterministic for a
+    fixed seed + input layout; the RNG stream is engine-specific so
+    there is no cross-engine oracle. Map-side only: no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=42).select("doc_id")
+
+
+@register("sample_stratified")  # engine-specific RNG stream → rows-only
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling by language — per-stratum fractions keep
+    low-resource languages from vanishing under uniform sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lg: (0.5 if lg != "en" else 0.1) for lg in langs}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
