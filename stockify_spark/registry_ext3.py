@@ -377,3 +377,59 @@ def sample_stratified(spark, sf_dir):
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     fractions = {lg: (0.5 if lg != "en" else 0.1) for lg in langs}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "tpch_q14",
+    "SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'"
+    " THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+    " / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'",
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14: conditional aggregation over a broadcast dim join —
+    the filter prunes lineitem at the scan, part is broadcast, one
+    partial/final agg produces the ratio."""
+    from stockify_spark.operators.joins import dim_join
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = dim_join(li, part, li["l_partkey"] == part["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "tpch_q18",
+    "SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, total_qty FROM orders"
+    " JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty FROM lineitem"
+    " GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big"
+    " ON o_orderkey = big.l_orderkey",
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): grouped HAVING subquery
+    joined back to orders — the aggregate side shrinks to the few
+    qualifying keys before the join, so the join input is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        # HAVING on the unrounded aggregate; round only the output
+        .filter(F.col("_raw_qty") > 250)
+        .select("l_orderkey", F.round("_raw_qty", 2).alias("total_qty"))
+    )
+    return orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty"
+    )
