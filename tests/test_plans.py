@@ -140,3 +140,51 @@ def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
     part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert part_lines and "p_date" in part_lines[0], plan
     assert df.count() > 0
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order on (quantity, extendedprice): a selective probe on
+    EITHER column must scan fewer rows than the worst case — measured
+    via per-file min/max footer stats (the skipping the scan does)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from stockify_spark.sources.io import load_table, write_zorder_layout
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li_z")
+    write_zorder_layout(li, path, "l_quantity", "l_extendedprice", num_partitions=8)
+
+    def files_overlapping(col, lo):
+        """Count parquet files whose [min,max] for col intersects
+        [lo, inf) — i.e. files a pushed-down filter must read."""
+        hit, total = 0, 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            fmin = min(
+                md.row_group(i).column(_col_idx(md, col)).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(_col_idx(md, col)).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo:
+                hit += 1
+        return hit, total
+
+    # probes in the top decile of each column
+    q_hit, q_total = files_overlapping("l_quantity", 49.0)
+    p_hit, p_total = files_overlapping("l_extendedprice", 95000.0)
+    assert q_total >= 4
+    assert q_hit < q_total, "z-order gave no quantity skipping"
+    assert p_hit < p_total, "z-order gave no price skipping"
+
+
+def _col_idx(md, name):
+    schema = md.schema
+    for i in range(len(schema)):
+        if schema.column(i).name == name:
+            return i
+    raise KeyError(name)
