@@ -433,3 +433,57 @@ def tpch_q18(spark, sf_dir):
     return orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty"
     )
+
+
+@register(
+    "fn_string2",
+    "SELECT p_partkey,"
+    " rpad(p_name, 20, '.') AS name_padded,"
+    " lpad(p_brand, 12, '*') AS brand_padded,"
+    " translate(p_type, 'AEO', 'aeo') AS type_translated,"
+    " reverse(p_name) AS name_reversed,"
+    " repeat(left(p_name, 2), 3) AS prefix_thrice,"
+    " right(p_type, 4) AS type_tail FROM part",
+)
+def fn_string2(spark, sf_dir):
+    df = _t(spark, sf_dir, "part")
+    return df.select(
+        "p_partkey",
+        F.rpad("p_name", 20, ".").alias("name_padded"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.translate("p_type", "AEO", "aeo").alias("type_translated"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("prefix_thrice"),
+        F.substring(F.col("p_type"), -4, 4).alias("type_tail"),
+    )
+
+
+@register(
+    "fn_array_ops",
+    "SELECT p_partkey, words,"
+    " CAST(len(words) AS INT) AS n_words,"
+    " list_sort(words) AS words_sorted,"
+    " list_contains(words, 'widget') AS has_widget,"
+    " CAST(COALESCE(list_position(words, 'widget'), 0) AS INT) AS widget_pos,"
+    " words[1] AS first_word,"
+    " array_to_string(list_sort(words), '-') AS joined"
+    " FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)",
+)
+def fn_array_ops(spark, sf_dir):
+    """Array algebra over a derived array column. Ordinal conventions
+    reconciled in the oracle: both engines are 1-based for element
+    access; Spark's array_position returns 0 for missing where DuckDB
+    returns NULL (coalesced)."""
+    df = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("words")
+    )
+    return df.select(
+        "p_partkey",
+        "words",
+        F.size("words").cast("int").alias("n_words"),
+        F.sort_array("words").alias("words_sorted"),
+        F.array_contains("words", "widget").alias("has_widget"),
+        F.array_position("words", "widget").cast("int").alias("widget_pos"),
+        F.element_at("words", 1).alias("first_word"),
+        F.array_join(F.sort_array("words"), "-").alias("joined"),
+    )
