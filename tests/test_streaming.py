@@ -118,3 +118,32 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     # inside the watermark so nothing is dropped
     assert got == expected
     assert expected
+
+
+def test_parquet_sink_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """File sink + checkpoint: all input lands exactly once, and a
+    restart against the same checkpoint replays nothing (the
+    fault-tolerance contract a 100 TB/day ingest depends on)."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    expected = load_table(spark, sf_dir, "events").count()
+
+    def run_once():
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    run_once()  # restart from the same checkpoint: no re-emission
+    n_second = spark.read.parquet(out).count()
+    assert n_first == expected
+    assert n_second == expected
