@@ -487,3 +487,35 @@ def fn_array_ops(spark, sf_dir):
         F.element_at("words", 1).alias("first_word"),
         F.array_join(F.sort_array("words"), "-").alias("joined"),
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    # language filter → quality gate → exact-dedup keeper selection,
+    # as one composed plan (the end-to-end shape of a training-data
+    # cleaning job)
+    "WITH en AS (SELECT doc_id,"
+    " md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,"
+    " ROUND(LEAST(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 64.0, 1.0)"
+    " * (CASE WHEN list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),"
+    " x -> CAST(length(x) AS DOUBLE))) / len(string_split_regex(trim(lower(text)), '\\s+'))"
+    " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS q"
+    " FROM documents WHERE lang = 'en')"
+    " SELECT MIN(doc_id) AS doc_id FROM en WHERE q >= 0.5 GROUP BY fp",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed cleaning pipeline: language filter → quality gate →
+    exact dedup (deterministic min-id keeper). One declarative plan:
+    the filters fuse into the scan, the only shuffle is the dedup
+    groupBy on the fingerprint digest — the whole pipeline costs one
+    pass + one hash shuffle at any corpus size."""
+    from stockify_spark.functions.text import fingerprint, quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    scored = docs.withColumn("q", quality_score("text")).filter(F.col("q") >= 0.5)
+    return (
+        scored.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
