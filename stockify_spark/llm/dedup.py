@@ -103,8 +103,18 @@ def minhash_signatures(
     """
     base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
     inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
+    # two-hash scheme (Kirsch-Mitzenmacher): h_i = h1 + i*h2 gives
+    # num_hashes near-independent permutations from TWO xxhash64
+    # evaluations per shingle; the combinations are add/mul inside
+    # codegen (64-bit wraparound is part of the permutation)
     hashed = inv.select(
-        "_id", *[F.xxhash64("_shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        "_id",
+        *[
+            (F.xxhash64("_shingle", F.lit(0)) + F.lit(i) * F.xxhash64("_shingle", F.lit(1))).alias(
+                f"_h{i}"
+            )
+            for i in range(num_hashes)
+        ],
     )
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
