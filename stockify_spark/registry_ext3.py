@@ -519,3 +519,93 @@ def pipeline_clean_corpus(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+
+
+@register(
+    "tpch_q5",
+    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " GROUP BY n_name",
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): one fact shuffle on the order
+    key; supplier/nation/region and the filtered customer set all
+    broadcast; the co-nation condition rides the supplier join."""
+    from stockify_spark.operators.joins import fact_join
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    joined = (
+        fact_join(li, F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp["s_suppkey"])
+            & (F.col("c_nationkey") == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10",
+    # revenue is summed and emitted in DECIMAL: exact and
+    # order-independent, with the scale pinned so both engines print
+    # the identical value (a double sum hit a half-cent rounding
+    # boundary where Spark and DuckDB tie-break differently)
+    "SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue,"
+    " c_acctbal, n_name FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'"
+    " AND l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    " ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): returned lineitems only,
+    quarter of orders, grouped by customer, top-20 by revenue via
+    TakeOrderedAndProject."""
+    from stockify_spark.operators.joins import fact_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        fact_join(li, F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).cast("decimal(30,8)").alias("revenue")
+    )
+    return agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    ).limit(20)
