@@ -609,3 +609,33 @@ def tpch_q10(spark, sf_dir):
     return agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name").orderBy(
         F.col("revenue").desc(), F.col("c_custkey")
     ).limit(20)
+
+
+@register(
+    "tpch_q12",
+    "SELECT l_linestatus,"
+    " SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS high_line_count,"
+    " SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    " GROUP BY l_linestatus",
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (priority counting): conditional counts fold
+    the CASE into the partial aggregate — one scan-pruned pass, one
+    group shuffle of two counters per status."""
+    from stockify_spark.operators.joins import fact_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = fact_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
