@@ -639,3 +639,71 @@ def tpch_q12(spark, sf_dir):
         F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
     )
+
+
+@register(
+    "groupby_mom_change",
+    "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,"
+    " ROUND(SUM(o_totalprice), 2) AS revenue FROM orders GROUP BY 1)"
+    " SELECT order_month, revenue,"
+    " ROUND(revenue - LAG(revenue) OVER (ORDER BY order_month), 2) AS mom_delta"
+    " FROM m",
+)
+def groupby_mom_change(spark, sf_dir):
+    """Aggregate→window composition: monthly revenue plus its
+    month-over-month delta. The window runs over the AGGREGATED rows
+    (dozens of months), so the global ORDER BY here is bounded — the
+    post-aggregation cardinality, not the fact table, sets the
+    window's partition size."""
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+    )
+
+
+@register(
+    "events_funnel",
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),"
+    " converted AS (SELECT DISTINCT p.event_id FROM p JOIN events c"
+    " ON c.event_type = 'click' AND c.user_id = p.user_id"
+    " AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes')"
+    " SELECT (SELECT COUNT(*) FROM p) AS n_purchases,"
+    " (SELECT COUNT(*) FROM converted) AS n_converted,"
+    " ROUND((SELECT COUNT(*) FROM converted) * 1.0 / (SELECT COUNT(*) FROM p), 6)"
+    " AS conversion_rate",
+)
+def events_funnel(spark, sf_dir):
+    """Click→purchase funnel: share of purchases preceded by a click
+    from the same user within 30 minutes — a semi join on the
+    time-bounded condition (state-bounded in the streaming analog,
+    stream_interval_join), then one global aggregate."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 minutes")),
+        "left_semi",
+    )
+    return purchases.agg(F.count(F.lit(1)).alias("n_purchases")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    ).select(
+        "n_purchases",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_purchases"), 6).alias("conversion_rate"),
+    )
