@@ -707,3 +707,61 @@ def events_funnel(spark, sf_dir):
         "n_converted",
         F.round(F.col("n_converted") / F.col("n_purchases"), 6).alias("conversion_rate"),
     )
+
+
+@register(
+    "tpch_q4",
+    # adapted: our lineitem has no commitdate/receiptdate, so the
+    # EXISTS probes late-shipping lines (l_shipdate > o_orderdate)
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+    " AND l_shipdate > o_orderdate)"
+    " GROUP BY o_orderpriority",
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS → left-semi
+    join, then a tiny grouped count. The semi join shuffles only the
+    probe keys, never lineitem payload columns."""
+    from stockify_spark.operators.joins import semi_join
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = semi_join(
+        orders,
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]),
+    )
+    return qualified.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q19",
+    # adapted to our part schema: disjunctive brand/size/quantity arms
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)"
+    " OR (p_brand = 'BRAND_2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)"
+    " OR (p_brand = 'BRAND_3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)",
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    the OR-of-ANDs evaluates after a single broadcast join — Catalyst
+    extracts the common l_quantity >= 10 bound and pushes it to the
+    lineitem scan."""
+    from stockify_spark.operators.joins import dim_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = dim_join(li, part, li["l_partkey"] == part["p_partkey"])
+    arm = lambda b, lo, hi, q: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(lo, hi)
+        & (F.col("l_quantity") >= q)
+    )
+    return joined.filter(
+        arm("BRAND_1", 1, 15, 10) | arm("BRAND_2", 10, 30, 20) | arm("BRAND_3", 20, 50, 30)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
