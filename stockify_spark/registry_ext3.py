@@ -765,3 +765,91 @@ def tpch_q19(spark, sf_dir):
     return joined.filter(
         arm("BRAND_1", 1, 15, 10) | arm("BRAND_2", 10, 30, 20) | arm("BRAND_3", 20, 50, 30)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+@register(
+    "tpch_q13",
+    "SELECT c_count, COUNT(*) AS custdist FROM"
+    " (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer"
+    " LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)"
+    " GROUP BY c_count",
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): double aggregation — a
+    per-customer order count (left outer join keeps zero-order
+    customers; COUNT of a nullable key skips the null-extended rows),
+    then a histogram over the counts. Second shuffle is O(distinct
+    counts) — tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(cust["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q8",
+    # adapted market share: NATION_1's share of ASIA-customer revenue
+    # per order year
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+    " ROUND(SUM(CASE WHEN n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount)"
+    " ELSE 0 END) / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA' GROUP BY year(o_orderdate)",
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (market share): one fact shuffle, broadcast
+    dimension chain, conditional-numerator ratio per year."""
+    from stockify_spark.operators.joins import fact_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        fact_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_1", rev).otherwise(0.0)) / F.sum(rev), 6
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q22",
+    # adapted: rich customers (above the positive-balance average) with
+    # no high-value order, counted per market segment
+    "WITH threshold AS (SELECT AVG(c_acctbal) AS t FROM customer WHERE c_acctbal > 0)"
+    " SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal"
+    " FROM customer, threshold WHERE c_acctbal > t"
+    " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+    " AND o_totalprice > 200000)"
+    " GROUP BY c_mktsegment",
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales opportunity): scalar-subquery
+    threshold (1-row broadcast) + anti join against high-value orders
+    + grouped count — three subquery forms composed in one plan."""
+    from stockify_spark.operators.joins import anti_join
+
+    cust = _t(spark, sf_dir, "customer")
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_t"))
+    rich = cust.crossJoin(F.broadcast(threshold)).filter(F.col("c_acctbal") > F.col("_t"))
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    no_big = anti_join(rich, big_orders, rich["c_custkey"] == big_orders["o_custkey"])
+    return no_big.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
