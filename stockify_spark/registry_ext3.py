@@ -853,3 +853,25 @@ def tpch_q22(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "merge_upsert_orders",
+    "SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders"
+    " WHERE o_orderkey % 100 <> 0"
+    " UNION ALL SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice"
+    " FROM orders WHERE o_orderkey % 100 = 0",
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE semantics on plain parquet (operators/merge.py): every
+    100th order is 'updated' (price doubled); the merged table keeps
+    unmatched rows and takes the update side for matched keys. The
+    oracle states the same MERGE as its UNION of complements."""
+    from stockify_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
