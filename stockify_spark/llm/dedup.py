@@ -84,6 +84,38 @@ def minhash_signature(col: str | Column, num_hashes: int = 32, k: int = 3) -> Co
     return F.array(*[F.coalesce(m, F.lit(2**63 - 1)) for m in mins])
 
 
+def _rotl(c, i: int):
+    """64-bit rotate-left as bit ops (never overflows under ANSI)."""
+    i = i % 64
+    if i == 0:
+        return c
+    return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
+
+def _signatures_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
+    """(_id, _sig) from a persisted (_id, _sh) base: explode → two
+    xxhash64 per shingle → XOR-rotate derivation of ``num_hashes``
+    near-independent hashes (bit ops only — a multiply-based
+    Kirsch-Mitzenmacher scheme overflows under ANSI mode) → map-side
+    partial min-agg, one signature row per doc across the shuffle."""
+    inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
+    h1 = F.xxhash64("_shingle", F.lit(0))
+    h2 = F.xxhash64("_shingle", F.lit(1))
+    hashed = inv.select(
+        "_id",
+        *[h1.bitwiseXOR(_rotl(h2, 2 * i + 1)).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id",
+        F.array(
+            *[F.coalesce(F.col(f"_h{i}"), F.lit(2**63 - 1)) for i in range(num_hashes)]
+        ).alias("_sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -102,29 +134,7 @@ def minhash_signatures(
     per hash inside interpreted higher-order functions — ~30× slower.)
     """
     base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
-    inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
-    # two-hash scheme (Kirsch-Mitzenmacher): h_i = h1 + i*h2 gives
-    # num_hashes near-independent permutations from TWO xxhash64
-    # evaluations per shingle; the combinations are add/mul inside
-    # codegen (64-bit wraparound is part of the permutation)
-    hashed = inv.select(
-        "_id",
-        *[
-            (F.xxhash64("_shingle", F.lit(0)) + F.lit(i) * F.xxhash64("_shingle", F.lit(1))).alias(
-                f"_h{i}"
-            )
-            for i in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy("_id").agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
-    )
-    return sig.select(
-        "_id",
-        F.array(
-            *[F.coalesce(F.col(f"_h{i}"), F.lit(2**63 - 1)) for i in range(num_hashes)]
-        ).alias("_sig"),
-    )
+    return _signatures_from_base(base, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -154,19 +164,7 @@ def minhash_lsh_pairs(
     # the shingle base feeds the signature pipeline AND both sides of
     # the verification join — persist it once (cf. ngram_jaccard_pairs)
     base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
-    inv = base.select("_id", F.explode_outer("_sh").alias("_shingle"))
-    hashed = inv.select(
-        "_id", *[F.xxhash64("_shingle", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
-    )
-    mins = hashed.groupBy("_id").agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
-    )
-    sig = mins.select(
-        "_id",
-        F.array(
-            *[F.coalesce(F.col(f"_h{i}"), F.lit(2**63 - 1)) for i in range(num_hashes)]
-        ).alias("_sig"),
-    )
+    sig = _signatures_from_base(base, num_hashes)
 
     banded = sig.select(
         "_id",
@@ -346,4 +344,85 @@ def simhash_near_dup_pairs(
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (node,
+    component) with component = smallest reachable node id. The step
+    after any near-dup detector — pairs only say "these two match";
+    keeping one representative per duplicate CLUSTER needs the
+    transitive closure.
+
+    Iterative min-label propagation (Pregel-lite): each round every
+    node takes the min of its label and its neighbors' labels; stop
+    when a round changes nothing. Each round is one join + one
+    partial-aggregated groupBy, labels persisted across rounds.
+    Rounds needed = graph diameter — near-dup clusters are
+    small-diameter cliques/chains, so this converges in a handful of
+    rounds; for adversarial long-chain graphs switch to a
+    path-doubling variant (diameter log-steps) before raising
+    ``max_iters``.
+    """
+    nodes = (
+        edges.select(F.col(id_a).alias("node"))
+        .union(edges.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = nodes.withColumn("component", F.col("node")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate clusters: exact n-gram Jaccard pairs →
+    connected components. Returns (doc id, component representative)
+    for every document with at least one near-duplicate — pairs only
+    assert "these two match"; keeping one doc per duplicate GROUP
+    needs the transitive closure."""
+    edges = ngram_jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    return connected_components(edges).select(
+        F.col("node").alias(id_col), "component"
     )

@@ -875,3 +875,35 @@ def merge_upsert_orders(spark, sf_dir):
     )
     merged = merge_upsert(orders, updates, ["o_orderkey"])
     return merged.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+_CLUSTER_SHINGLES = (
+    "list_distinct(list_transform(range(greatest("
+    "len(string_split_regex(trim(lower(text)), '\\s+')) - 3, 0) + 1),"
+    " i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i + 1:i + 3], ' ')))"
+)
+
+
+@register(
+    "dedup_clusters",
+    # near-dup pairs (brute-force jaccard) → transitive closure via a
+    # recursive CTE: min reachable doc_id = component representative
+    f"WITH RECURSIVE s AS (SELECT doc_id, {_CLUSTER_SHINGLES} AS sh FROM documents),"
+    " pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b"
+    " ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),"
+    " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+    " UNION ALL SELECT id_b, id_a FROM pairs),"
+    " reach(node, lab) AS (SELECT src, src FROM edges"
+    " UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)"
+    " SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: jaccard>=0.5 pair edges → connected
+    components (llm/dedup.connected_components, iterative min-label
+    propagation). The oracle computes the same transitive closure
+    with a recursive CTE, so the graph algorithm's fixpoint is
+    differentially verified."""
+    from stockify_spark.llm.dedup import duplicate_clusters
+
+    return duplicate_clusters(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -86,3 +86,20 @@ def test_simhash_deterministic_and_discriminative(docs):
     assert pairs[(0, 1)] == 0          # exact dups → identical signature
     assert pairs[(0, 3)] <= 10         # near dup → small hamming
     assert (0, 4) not in pairs         # unrelated text → far
+
+
+def test_connected_components_handles_chains_and_cliques(spark):
+    """Transitivity beyond cliques: a chain 10-11-12-13 must collapse
+    to one component even though 10 and 13 never share an edge."""
+    from stockify_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain
+         (20, 21), (21, 20),             # duplicate edge + cycle
+         (30, 31), (30, 32), (31, 32)],  # clique
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20,
+                    30: 30, 31: 30, 32: 30}
