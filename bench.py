@@ -40,7 +40,11 @@ BENCH_QUERIES = [
     "join_asof",
     "tpch_q6",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q14",
     "subquery_correlated",
+    "merge_upsert_orders",
+    "pipeline_clean_corpus",
     "setop_union_all",
     "stream_tumbling_counts",
     "stream_session_agg",

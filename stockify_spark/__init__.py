@@ -17,6 +17,28 @@ Design rules (see SURVEY.md §7.0):
 """
 
 from stockify_spark.session import get_spark
+from stockify_spark.sources.io import (
+    load_table,
+    load_tables,
+    register_views,
+    read_stocks_csv,
+    write_bucketed,
+    write_date_partitioned,
+    write_parquet,
+    write_sorted_layout,
+    write_zorder_layout,
+)
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_stocks_csv",
+    "write_bucketed",
+    "write_date_partitioned",
+    "write_parquet",
+    "write_sorted_layout",
+    "write_zorder_layout",
+]
 __version__ = "0.1.0"
