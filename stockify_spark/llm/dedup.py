@@ -414,15 +414,26 @@ def duplicate_clusters(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    detector: str = "ngram",
 ) -> DataFrame:
-    """Near-duplicate clusters: exact n-gram Jaccard pairs →
-    connected components. Returns (doc id, component representative)
-    for every document with at least one near-duplicate — pairs only
-    assert "these two match"; keeping one doc per duplicate GROUP
-    needs the transitive closure."""
-    edges = ngram_jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    """Near-duplicate clusters: pair detection → connected
+    components. Returns (doc id, component representative) for every
+    document with at least one near-duplicate — pairs only assert
+    "these two match"; keeping one doc per duplicate GROUP needs the
+    transitive closure.
+
+    ``detector``: "ngram" (exact Jaccard via prefix-filtered index —
+    the verification path) or "minhash" (LSH banding — the 100 TB
+    path; same downstream verification threshold, candidate recall is
+    probabilistic).
+    """
+    if detector == "ngram":
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold)
+    elif detector == "minhash":
+        pairs = minhash_lsh_pairs(df, text_col, id_col, k=k, jaccard_threshold=threshold)
+    else:
+        raise ValueError("detector must be 'ngram' or 'minhash'")
+    edges = pairs.select("id_a", "id_b")
     return connected_components(edges).select(
         F.col("node").alias(id_col), "component"
     )

@@ -103,3 +103,17 @@ def test_connected_components_handles_chains_and_cliques(spark):
     assert comp == {10: 10, 11: 10, 12: 10, 13: 10,
                     20: 20, 21: 20,
                     30: 30, 31: 30, 32: 30}
+
+
+def test_cluster_detectors_agree_on_planted_dups(spark, docs):
+    """ngram (exact) and minhash (LSH) detectors must produce the
+    same clusters on the planted-duplicate fixture — LSH recall at
+    these jaccard levels is ~1."""
+    from stockify_spark.llm.dedup import duplicate_clusters
+
+    exact = {(r["doc_id"], r["component"]) for r in
+             duplicate_clusters(docs, "text", "doc_id", detector="ngram").collect()}
+    lsh = {(r["doc_id"], r["component"]) for r in
+           duplicate_clusters(docs, "text", "doc_id", detector="minhash").collect()}
+    assert exact == lsh
+    assert exact  # docs 0,1,2(,3) cluster
