@@ -264,3 +264,27 @@ def write_zorder_layout(
         .parquet(path)
     )
 
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    metrics: dict[str, "object"] | None = None,
+) -> dict:
+    """Write parquet and return pipeline metrics observed DURING the
+    write — at 100 TB a row count is otherwise a second full scan.
+
+    ``metrics`` maps metric name → aggregate Column (defaults to a
+    row count). Uses ``df.observe``: the aggregates ride the write
+    job's tasks, so the numbers are exact for exactly the rows
+    written, at zero extra passes.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {"rows_written": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

@@ -36,3 +36,22 @@ def test_rand_deterministic_and_in_range(spark):
     for r in a:
         assert 100 <= r["close"] < 200
         assert 1_000_000 <= r["volume"] < 2_000_000
+
+
+def test_observed_write_counts_without_second_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources.io import load_table, write_parquet_observed
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = write_parquet_observed(
+        li,
+        str(tmp_path / "observed"),
+        metrics={
+            "rows_written": F.count(F.lit(1)),
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+        },
+    )
+    assert got["rows_written"] == li.count()
+    expected_sum = li.agg(F.round(F.sum("l_quantity"), 2)).collect()[0][0]
+    assert got["sum_qty"] == expected_sum
