@@ -907,3 +907,40 @@ def dedup_clusters(spark, sf_dir):
     from stockify_spark.llm.dedup import duplicate_clusters
 
     return duplicate_clusters(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "agg_bitwise_bool",
+    "SELECT l_returnflag,"
+    " bit_and(l_linenumber) AS all_bits, bit_or(l_linenumber) AS any_bits,"
+    " bit_xor(l_linenumber) AS xor_bits,"
+    " bool_or(l_quantity > 49) AS any_max_qty, bool_and(l_quantity > 0) AS all_positive"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def agg_bitwise_bool(spark, sf_dir):
+    """Bitwise and boolean aggregates — all one-pass partial/final
+    (each partial is a single machine word per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("all_bits"),
+        F.bit_or("l_linenumber").alias("any_bits"),
+        F.bit_xor("l_linenumber").alias("xor_bits"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_max_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+    )
+
+
+@register(
+    "fn_crypto_hash",
+    "SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256"
+    " FROM customer",
+)
+def fn_crypto_hash(spark, sf_dir):
+    """Deterministic cryptographic digests — the cross-engine-stable
+    key material for fingerprinting and salting (cf. exact dedup)."""
+    df = _t(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
