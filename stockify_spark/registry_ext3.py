@@ -944,3 +944,73 @@ def fn_crypto_hash(spark, sf_dir):
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-table parity (SURVEY §2 on the reference's OWN table
+# shape): the ramp fixture is deterministic, so the oracle REGENERATES
+# it inside DuckDB and both engines compute the reference experiments
+# on byte-identical inputs — no stand-in table involved.
+# ---------------------------------------------------------------------------
+
+# literals like 10.0 are DECIMAL in DuckDB — CAST to DOUBLE to match
+# the fixture's double columns exactly
+_RAMP_SQL = (
+    "SELECT i AS row_id, CAST(500 + (i % 18) * 10 AS DOUBLE) AS close,"
+    " CAST(1200000 + (i % 18) * 100000 AS DOUBLE) AS volume,"
+    " CAST(450 + (i % 18) * 10 AS DOUBLE) AS open,"
+    " CAST(510 + (i % 18) * 10 AS DOUBLE) AS high,"
+    " CAST(440 + (i % 18) * 10 AS DOUBLE) AS low"
+    " FROM range(1800) t(i)"
+)
+
+
+@register(
+    "stocks_filter_agg",
+    f"WITH stocks AS ({_RAMP_SQL})"
+    " SELECT COUNT(*) AS n, ROUND(SUM(low), 2) AS sum_low,"
+    " MIN(low) AS min_low, MAX(high) AS max_high"
+    " FROM stocks WHERE volume >= 1800000",
+)
+def stocks_filter_agg(spark, sf_dir):
+    """Experiments 1.a + 2.a/2.c/2.d fused, on the reference's own
+    table: the Experiment-3 probe literal (volume >= 1.8e6,
+    stockify.cu:674) selects 12/18 of the ramp; sum in double, not
+    float32 atomics (SURVEY §2.3)."""
+    from stockify_spark.sources.fixtures import stocks_ramp
+
+    s = stocks_ramp(spark, cycles=100)
+    return s.filter(F.col("volume") >= 1_800_000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("low"), 2).alias("sum_low"),
+        F.min("low").alias("min_low"),
+        F.max("high").alias("max_high"),
+    )
+
+
+@register(
+    "stocks_window_suite",
+    f"WITH stocks AS ({_RAMP_SQL})"
+    " SELECT row_id,"
+    " ROUND(AVG(close) OVER w, 6) AS moving_avg,"
+    " MIN(low) OVER w AS rolling_min,"
+    " MAX(high) OVER w AS rolling_max"
+    " FROM stocks WINDOW w AS (ORDER BY row_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)",
+)
+def stocks_window_suite(spark, sf_dir):
+    """W1+W2+W3 (stockify.cu:142-193) on the reference's own table,
+    full per-row columns (not the vacuous min-of-mins check), frames
+    shrinking at the tail per SQL standard — the intent of the CPU
+    reference loop (stockify.cu:513-521), not the kernels' bugs."""
+    from pyspark.sql import Window
+
+    from stockify_spark.sources.fixtures import stocks_ramp
+
+    s = stocks_ramp(spark, cycles=100)
+    w = Window.orderBy("row_id").rowsBetween(Window.currentRow, 9)
+    return s.select(
+        "row_id",
+        F.round(F.avg("close").over(w), 6).alias("moving_avg"),
+        F.min("low").over(w).alias("rolling_min"),
+        F.max("high").over(w).alias("rolling_max"),
+    )
