@@ -1014,3 +1014,62 @@ def stocks_window_suite(spark, sf_dir):
         F.min("low").over(w).alias("rolling_min"),
         F.max("high").over(w).alias("rolling_max"),
     )
+
+
+@register(
+    "fn_trig",
+    "SELECT l_orderkey, l_linenumber,"
+    " ROUND(SIN(l_discount), 6) AS sin_d, ROUND(COS(l_discount), 6) AS cos_d,"
+    " ROUND(ATAN2(l_quantity, l_extendedprice), 6) AS angle,"
+    " ROUND(DEGREES(l_discount), 6) AS disc_deg,"
+    " ROUND(EXP(l_discount), 6) AS disc_exp,"
+    " ROUND(LOG10(l_extendedprice), 6) AS price_log10 FROM lineitem",
+)
+def fn_trig(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("angle"),
+        F.round(F.degrees("l_discount"), 6).alias("disc_deg"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+    )
+
+
+@register(
+    "fn_least_greatest",
+    "SELECT l_orderkey, l_linenumber,"
+    " LEAST(l_quantity, l_discount * 100, l_tax * 100) AS smallest,"
+    " GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS largest FROM lineitem",
+)
+def fn_least_greatest(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100).alias(
+            "smallest"
+        ),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100).alias(
+            "largest"
+        ),
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    "SELECT ROUND(skewness(l_extendedprice), 4) AS price_skew,"
+    " ROUND(kurtosis(l_extendedprice), 4) AS price_kurt FROM lineitem",
+)
+def agg_skew_kurt(spark, sf_dir):
+    """Higher-moment aggregates (one-pass partial/final). Both
+    engines compute sample-adjusted skewness/excess kurtosis — the
+    oracle run proves the formulas agree to 4 decimals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
+    )
