@@ -35,13 +35,77 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Driver-facing order. The driver verifies queries in dict order and
+# may budget-cap how many it checks per round, so the queries with the
+# LEAST accumulated correctness evidence go first: round 1 verified the
+# first 50 registered entries (CORRECTNESS_r01.json — all filters/aggs/
+# windows/joins green), so the TPC-H / dedup / similarity / streaming /
+# subquery / pipeline surface leads this round and the already-green
+# basics drop to the tail (trivial single-comparator filters last).
+_PRIORITY = [
+    # TPC-H shapes — the widest plans (multi-join + agg + sort)
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q10",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q22",
+    # dedup family (LLM-pipeline core)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_clusters",
+    # similarity search
+    "sim_cosine_topk", "sim_embedding_dup", "sim_ivf_topk", "sim_lsh_topk",
+    # streaming semantics (batch-checkable windows/sessions/state)
+    "stream_sliding_counts", "stream_session_agg", "stream_dedup_keys",
+    "stream_stateful_totals", "stream_interval_join",
+    # subqueries
+    "subquery_scalar", "subquery_in", "subquery_correlated",
+    # outer/cross joins
+    "join_left_outer", "join_full_outer", "join_cross",
+    # composed pipelines / MERGE
+    "merge_upsert_orders", "pipeline_clean_corpus", "events_funnel",
+    "groupby_mom_change", "groupby_grouping_sets",
+    # text analysis
+    "text_stats", "text_fingerprint", "doc_quality", "lang_detect",
+    "text_bpe_tokens", "text_winnow_fingerprints",
+    # window extensions
+    "window_range_frame", "window_ntile", "window_first_last",
+    "window_partitioned_parity",
+    # reference-parity suites
+    "stocks_filter_agg", "stocks_window_suite",
+    # scalar-function extensions
+    "fn_regexp", "fn_explode", "fn_posexplode", "fn_date_arith",
+    "fn_null_handling", "fn_string2", "fn_array_ops", "fn_trig",
+    "fn_least_greatest", "fn_crypto_hash",
+    # UDF surface
+    "udf_group_zscore", "udf_scalar_pandas",
+    # set-op extensions
+    "setop_intersect_all", "setop_except_all", "setop_union_by_name",
+    "setop_union_distinct",
+    # aggregate extensions
+    "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
+    "agg_bitwise_bool", "agg_skew_kurt", "agg_approx_distinct",
+    # multimodal plumbing + sampling
+    "media_features", "media_frame_plan", "media_resize",
+    "sample_seeded", "sample_stratified",
+    "filter_between_in_like",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    head = [n for n in _PRIORITY if n in d]
+    seen = set(head)
+    rest = [n for n in d if n not in seen]
+    # previously-green basics: keep meaning-dense ones ahead of the
+    # ten single-comparator filter probes
+    tail_last = [n for n in rest if n.startswith("filter_")]
+    tail_first = [n for n in rest if not n.startswith("filter_")]
+    return {n: d[n] for n in head + tail_first + tail_last}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stockify_spark.registry import QUERIES
 
-    return dict(QUERIES)
+    return _driver_order(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from stockify_spark.registry import ORACLE
 
-    return dict(ORACLE)
+    return _driver_order(ORACLE)
