@@ -182,7 +182,20 @@ def fit_centroids(
         k = (cache_key, n_centroids, vec_col, sample_limit, iters, seed)
         if k in _CENTROID_CACHE:
             return _CENTROID_CACHE[k]
-    sample = df.select(vec_col).limit(sample_limit).collect()
+    # Uniform seeded sample, NOT .limit(): limit takes whichever
+    # partitions list first, so a corpus sorted by source/cluster
+    # yields biased centroids and silently degraded recall. Top-n by
+    # a seeded random key compiles to TakeOrderedAndProject —
+    # per-partition heaps + a driver merge of n rows, one pass, no
+    # count job, no global sort.
+    sample = (
+        df.select(F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(sample_limit)
+        .select("_v")
+        .collect()
+    )
     x = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

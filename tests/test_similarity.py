@@ -88,6 +88,29 @@ def test_blocked_dup_pairs_match_allpairs_baseline(spark):
     assert exact  # fixture contains qualifying pairs
 
 
+def test_fit_centroids_unbiased_on_cluster_sorted_corpus(spark):
+    """A corpus physically sorted by cluster must still yield centroids
+    covering every cluster. A head-of-table sample (``limit``) sees
+    only the first cluster and collapses all centroids onto it — the
+    seeded random top-n sample must not."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for cluster, offset in enumerate((-10.0, 10.0)):
+        for i in range(500):
+            v = rng.normal(scale=0.5, size=8) + offset
+            rows.append((cluster * 500 + i, [float(x) for x in v]))
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .orderBy("vec_id")  # cluster 0 fills the leading partitions
+        .coalesce(4)
+    )
+    cents = fit_centroids(df, n_centroids=2, sample_limit=100, seed=42)
+    # one centroid near each cluster mean
+    for offset in (-10.0, 10.0):
+        dists = np.linalg.norm(cents - offset, axis=1)
+        assert dists.min() < 2.0, f"no centroid near cluster at {offset}: {cents.mean(axis=1)}"
+
+
 def test_lsh_topk_recovers_planted_near_duplicates(spark):
     """Vectors with a tiny-noise twin must find that twin as their
     top-1 via LSH buckets (near-identical vectors agree on almost
