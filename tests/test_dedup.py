@@ -88,6 +88,35 @@ def test_simhash_deterministic_and_discriminative(docs):
     assert (0, 4) not in pairs         # unrelated text → far
 
 
+def test_simhash_vectorized_matches_scalar_reference():
+    """The numpy batch SimHash must be bit-exact with the per-token
+    scalar reference, across empty docs, repeats, ties, and chunking
+    boundaries."""
+    import pandas as pd
+
+    from stockify_spark.llm import dedup as d
+
+    texts = [
+        "",
+        "one",
+        "the quick brown fox jumps over the lazy dog",
+        "the the the repeated token token",
+        " ",
+        "MiXeD Case TOKENS mixed case tokens",
+        "a b c d e f g h i j " * 50,
+    ]
+    got = d._simhash_batch(pd.Series(texts)).tolist()
+    want = [d._simhash64(t) for t in texts]
+    assert got == want
+    # force the document-chunking path with a tiny token budget
+    orig = d._SIMHASH_CHUNK_TOKENS
+    d._SIMHASH_CHUNK_TOKENS = 4
+    try:
+        assert d._simhash_batch(pd.Series(texts)).tolist() == want
+    finally:
+        d._SIMHASH_CHUNK_TOKENS = orig
+
+
 def test_connected_components_handles_chains_and_cliques(spark):
     """Transitivity beyond cliques: a chain 10-11-12-13 must collapse
     to one component even though 10 and 13 never share an edge."""
