@@ -157,6 +157,69 @@ def embedding_dup_pairs_blocked(
     return replicated.groupBy("_ka", "_kb").applyInPandas(find, "id_a long, id_b long")
 
 
+def embedding_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via IVF bucketing — the corpus-scale path.
+
+    Candidate generation: the first ``n_centroids`` vectors by id act
+    as deterministic data-seeded centroids (sampled-seed IVF, no Lloyd
+    iterations — fully specifiable in ANSI SQL, so the differential
+    oracle can reproduce the exact same candidate set); every vector
+    is assigned to its ``n_probe`` highest-cosine cells (multi-probe);
+    pairs sharing a cell are verified exactly with one numpy matmul
+    per cell inside ``applyInPandas``. Verify work is ~n²·p²/(2k) vs
+    n²/2 for all-pairs, and k scales with corpus size (k ≈ √n keeps
+    per-cell work flat); a hot cell can be sub-blocked with
+    :func:`embedding_dup_pairs_blocked` as the in-cell verifier.
+
+    Semantics are honestly approximate: a qualifying pair whose
+    members share no probed cell is missed. On clustered corpora
+    (the real near-dup case) recall approaches 1; on isotropic
+    high-dimensional data NO sub-quadratic method can certify exact
+    recall (angular triangle-inequality bounds are vacuous when cell
+    radii ≈ 90°, measured on the test fixture in DESIGN.md), which is
+    why the exact all-pairs form stays available as the bounded-set
+    verification baseline.
+    """
+    c = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    # assignment cosine uses the sequential zip_with/aggregate form so
+    # the float summation order matches the oracle's loop exactly
+    scored = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("_cos", cosine("_v", "_cvec"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cid"))
+    top = (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n_probe)
+        .select("_id", "_v", "_cid")
+    )
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": np.minimum(ids[ia], ids[ib]), "id_b": np.maximum(ids[ia], ids[ib])}
+        )
+
+    pairs = top.groupBy("_cid").applyInPandas(find, "id_a long, id_b long")
+    # a pair probing two shared cells is found twice
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 # ---------------------------------------------------------------------------
 # IVF — the scale path
 # ---------------------------------------------------------------------------
