@@ -534,9 +534,12 @@ def pipeline_clean_corpus(spark, sf_dir):
     " GROUP BY n_name",
 )
 def tpch_q5(spark, sf_dir):
-    """TPC-H Q5 (local-supplier volume): one fact shuffle on the order
-    key; supplier/nation/region and the filtered customer set all
-    broadcast; the co-nation condition rides the supplier join."""
+    """TPC-H Q5 (local-supplier volume): supplier/nation/region and
+    the customer dim broadcast; lineitem joins the year of orders
+    WITHOUT a forced broadcast — a year of orders is fact-sized at
+    scale, so the choice between broadcast and shuffle join belongs
+    to AQE's runtime statistics, not a hint that would pin an
+    executor-OOM plan at 100×."""
     from stockify_spark.operators.joins import fact_join
 
     cust = _t(spark, sf_dir, "customer")
@@ -550,7 +553,7 @@ def tpch_q5(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
 
     joined = (
-        fact_join(li, F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        fact_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .join(
             F.broadcast(supp),
@@ -595,8 +598,9 @@ def tpch_q10(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # no forced broadcast on orders (fact-sized at scale) — AQE picks
     joined = (
-        fact_join(li, F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        fact_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
     )

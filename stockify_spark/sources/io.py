@@ -65,12 +65,32 @@ STOCKS_CSV_SCHEMA = T.StructType(
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Fallback for sessions not built by :mod:`stockify_spark.session`
+    (the verification driver uses a vanilla SparkSession): the nanos
+    conf has no per-read datasource option, so it must be session
+    conf. This set is idempotent (constant value, checked first, never
+    varied or unset), so concurrent callers all write the same value
+    and nothing order-dependent leaks into other reads — it only
+    changes the handling of TIMESTAMP(NANOS) columns, which error
+    without it."""
+    try:
+        current = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        current = None
+    if current != "true":
+        spark.conf.set(_NANOS_CONF, "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from a scale-factor directory."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = NANOS_TS_COLS.get(name, ())
     if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 

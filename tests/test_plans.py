@@ -45,6 +45,21 @@ def test_star_join_broadcasts_all_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
+def test_tpch_q5_no_forced_broadcast_on_fact_sized_orders(spark):
+    """The four dimension joins carry explicit broadcast hints; the
+    lineitem⋈orders join must NOT — a year of orders is fact-sized at
+    scale, and a pinned broadcast there is an executor OOM at 100×.
+    AQE may still broadcast it at fixture scale; the assertion is on
+    the hints, i.e. what the plan FORCES."""
+    df = QUERIES["tpch_q5"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
+    assert len(hinted) == 4, opt  # customer, supplier, nation, region
+    assert not any(
+        "l_orderkey" in ln and "o_orderkey" in ln for ln in hinted
+    ), hinted
+
+
 def test_topk_avoids_global_sort(spark):
     plan = plan_of(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan, plan
