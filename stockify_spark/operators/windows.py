@@ -92,3 +92,64 @@ def rolling_max(
     the block into shared memory (stockify.cu:175-183); Spark's
     WindowExec buffers partition rows — same locality idea, built in."""
     return sliding_agg(df, F.max(value_col), alias, order_by, partition_by, window_size)
+
+
+def bucketed_forward_window(
+    df: DataFrame,
+    order_col: str,
+    aggs: dict[str, Column],
+    window_size: int = 10,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Global-order forward window WITHOUT the single global partition.
+
+    The scale-safe parity form of W1–W3: the global-order results are
+    reproduced exactly while WindowExec runs one task PER BUCKET, so
+    the documented single-partition hazard of ``ORDER BY`` with no
+    ``PARTITION BY`` (SURVEY §7.4.1) disappears.
+
+    How: ``order_col`` must be a DENSE integer key (0..n-1 — the
+    materialized file order the reference's windows depend on; ingest
+    materializes it via ``with_row_id``). Rows bucket by
+    ``id div bucket_size``; the first ``window_size - 1`` rows of each
+    bucket (``id mod bucket_size <= window_size - 2``) are ALSO sent
+    to the previous bucket as boundary helpers, so every row's
+    forward frame is complete inside its own bucket. The frame is
+    evaluated per bucket and helper copies are dropped. The global
+    tail still shrinks per SQL-standard semantics (the last bucket
+    has no helpers to receive). Density matters: with gaps, a
+    value-range bucket could hold fewer than ``window_size`` rows and
+    a frame would need to span two buckets ahead — re-key first.
+
+    Cost: one map-side ≤2× replication of a ``window_size/bucket_size``
+    fraction of rows + ONE shuffle keyed on bucket id — same shuffle
+    count as any partitioned window, with bucket parallelism
+    n/bucket_size instead of 1.
+
+    ``aggs`` maps output alias → aggregate column (e.g.
+    ``{"moving_avg": F.avg("value")}``); each is evaluated over the
+    frame ``[CURRENT ROW, window_size - 1 FOLLOWING]``.
+    """
+    if window_size > bucket_size:
+        raise ValueError("bucket_size must be >= window_size")
+    oid = F.col(order_col)
+    own = df.withColumn("_b", (oid / bucket_size).cast("long")).withColumn(
+        "_owner", F.col("_b")
+    )
+    helpers = (
+        df.withColumn("_b", (oid / bucket_size).cast("long"))
+        .filter((oid % bucket_size <= window_size - 2) & (F.col("_b") > 0))
+        .withColumn("_owner", F.col("_b") - 1)
+    )
+    spec = (
+        Window.partitionBy("_owner")
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, window_size - 1)
+    )
+    out = own.unionByName(helpers).select(
+        *df.columns,
+        "_b",
+        "_owner",
+        *[agg.over(spec).alias(alias) for alias, agg in aggs.items()],
+    )
+    return out.filter(F.col("_owner") == F.col("_b")).drop("_b", "_owner")

@@ -171,6 +171,44 @@ def window_range_frame(spark, sf_dir):
 
 
 @register(
+    "window_partitioned_parity",
+    # The ORACLE is the plain global-order window — proving the
+    # bucketed Spark plan reproduces single-partition results exactly.
+    "SELECT event_id, ROUND(AVG(value) OVER w, 6) AS moving_avg,"
+    " MIN(value) OVER w AS rolling_min, MAX(value) OVER w AS rolling_max"
+    " FROM events"
+    " WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)",
+)
+def window_partitioned_parity(spark, sf_dir):
+    """W1–W3 computed scale-safely: range-buckets of the dense order
+    key with boundary-row exchange (operators.windows.
+    bucketed_forward_window) instead of one global partition. The
+    oracle runs the global-order SQL — identical output is the parity
+    proof; the plan shows WindowExec partitioned by bucket
+    (tests/test_plans.py pins >1-partition execution)."""
+    from stockify_spark.operators.windows import bucketed_forward_window
+
+    df = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = bucketed_forward_window(
+        df,
+        "event_id",
+        {
+            "moving_avg": F.avg("value"),
+            "rolling_min": F.min("value"),
+            "rolling_max": F.max("value"),
+        },
+        window_size=10,
+        bucket_size=1024,
+    )
+    return out.select(
+        "event_id",
+        F.round("moving_avg", 6).alias("moving_avg"),
+        "rolling_min",
+        "rolling_max",
+    )
+
+
+@register(
     "window_ntile",
     "SELECT o_orderkey, CAST(NTILE(4) OVER w AS BIGINT) AS quartile,"
     " ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,"

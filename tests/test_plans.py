@@ -60,6 +60,16 @@ def test_tpch_q5_no_forced_broadcast_on_fact_sized_orders(spark):
     ), hinted
 
 
+def test_bucketed_window_parity_is_multi_partition(spark):
+    """window_partitioned_parity reproduces the global-order W1-W3
+    results with WindowExec partitioned by the range bucket — the
+    plan must show a hash partitioning on the bucket key, not an
+    empty window partition spec (the single-task hazard)."""
+    plan = plan_of(spark, "window_partitioned_parity")
+    assert "windowspecdefinition(_owner" in plan, plan
+    assert "hashpartitioning(_owner" in plan, plan
+
+
 def test_topk_avoids_global_sort(spark):
     plan = plan_of(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan, plan

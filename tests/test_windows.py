@@ -64,6 +64,40 @@ def test_min_of_rolling_min_is_global_min(spark, stocks):
     assert a == b
 
 
+def test_bucketed_forward_window_matches_global_exactly(spark, stocks):
+    """The bucketed parity form must be bit-identical to the global
+    single-partition window — including every bucket-boundary row and
+    the shrinking global tail. bucket_size=16 on 180 rows forces 12
+    boundary exchanges."""
+    from stockify_spark.operators.windows import bucketed_forward_window
+
+    g = (
+        moving_average(stocks, "close", order_by=["row_id"])
+        .select("row_id", "moving_avg")
+    )
+    g = rolling_min(stocks, "close", order_by=["row_id"]).join(g, "row_id").select(
+        "row_id", "moving_avg", "rolling_min"
+    )
+    b = bucketed_forward_window(
+        stocks.select("row_id", "close"),
+        "row_id",
+        {"moving_avg": F.avg("close"), "rolling_min": F.min("close")},
+        window_size=10,
+        bucket_size=16,
+    ).select("row_id", "moving_avg", "rolling_min")
+    assert b.count() == stocks.count()
+    assert g.subtract(b).count() == 0 and b.subtract(g).count() == 0
+
+
+def test_bucketed_forward_window_rejects_undersized_buckets(spark, stocks):
+    from stockify_spark.operators.windows import bucketed_forward_window
+
+    with pytest.raises(ValueError):
+        bucketed_forward_window(
+            stocks, "row_id", {"m": F.avg("close")}, window_size=10, bucket_size=8
+        )
+
+
 def test_partitioned_window_matches_global_on_single_partition(spark, stocks):
     one = stocks.withColumn("pk", F.lit(1))
     g = moving_average(stocks, "close", order_by=["row_id"]).select("row_id", "moving_avg")
