@@ -47,14 +47,34 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
+    """Deterministic REAL PNG payload (see llm/png.py): a per-image
+    gradient pattern offset by a hash of (seed, i)."""
+    from stockify_spark.llm.png import encode_png
+
+    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
+    yy, xx = np.indices((h, w))
+    pix = np.stack(
+        [(xx * 3 + yy * 5 + off + c * 11) % 256 for c in range(3)], axis=2
+    ).astype(np.uint8)
+    return encode_png(pix)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table exercising the real plumbing
-    (binary payloads, nullable per-kind metadata)."""
+    """Deterministic media table exercising the real plumbing (binary
+    payloads, nullable per-kind metadata). Image payloads are REAL
+    PNGs (decodable by the stdlib codec in llm/png.py), so both the
+    stub path and ``decode_stub=False`` run on the same table; audio/
+    video payloads stay opaque fakes (those codecs aren't in this
+    container)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * 8
+        if kind == "image":
+            payload = _synthetic_png(i, seed)
+        else:
+            payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * 8
         rows.append(
             (
                 i,
@@ -78,6 +98,23 @@ def _fake_feature(content: bytes) -> np.ndarray:
     return vals / 32768.0 - 1.0
 
 
+def _png_feature(content: bytes) -> np.ndarray:
+    """REAL image feature from a decoded PNG: per-channel mean and
+    std (6) + 10-bin grayscale histogram (10) = FEATURE_DIM floats."""
+    from stockify_spark.llm.png import decode_png
+
+    pix = decode_png(content)
+    if pix.ndim == 2:
+        pix = pix[:, :, None].repeat(3, axis=2)
+    rgb = pix[:, :, :3].astype(np.float32)
+    gray = rgb.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=10, range=(0.0, 256.0))
+    hist = hist.astype(np.float32) / gray.size
+    return np.concatenate(
+        [rgb.mean(axis=(0, 1)) / 255.0, rgb.std(axis=(0, 1)) / 255.0, hist]
+    )
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + featurize each media payload via ``mapInPandas``.
 
@@ -86,15 +123,27 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     of payload sizes. Partition the input by size (e.g.
     ``repartition`` after a ``n_bytes`` bucket) before calling at
     scale so one task doesn't get all the 4K videos.
+
+    ``decode_stub=False`` REALLY decodes ``image/png`` payloads (the
+    stdlib codec in llm/png.py) and featurizes the pixels; audio and
+    video still raise — those codecs aren't in this container, so
+    filter to images first.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/librosa, not in this container"
-                )
-            feats = [_fake_feature(c).tolist() for c in pdf["content"]]
+            if decode_stub:
+                feats = [_fake_feature(c).tolist() for c in pdf["content"]]
+            else:
+                feats = []
+                for kind, mime, content in zip(pdf["kind"], pdf["mime"], pdf["content"]):
+                    if kind == "image" and mime == "image/png":
+                        feats.append(_png_feature(content).tolist())
+                    else:
+                        raise NotImplementedError(
+                            f"real decode for {mime} requires ffmpeg/librosa,"
+                            " not in this container — filter to image/png"
+                        )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
             )
@@ -133,17 +182,32 @@ def resize_images(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Image resize via ``mapInPandas`` — the decode→transform→encode
-    template. With ``decode_stub`` (no codecs in this container) the
-    payload transform is a deterministic truncate/tile to a size
-    proportional to the target area, so batch-shape, schema, and
-    metadata plumbing are fully exercised; ``decode_stub=False`` marks
-    where PIL would run. Only image rows are touched — filter BEFORE
-    decode so video/audio payloads are never deserialized."""
+    template. With ``decode_stub`` the payload transform is a
+    deterministic truncate/tile to a size proportional to the target
+    area, so batch-shape, schema, and metadata plumbing are fully
+    exercised. ``decode_stub=False`` runs the REAL pipeline for PNGs:
+    stdlib decode (llm/png.py) → nearest-neighbor resample →
+    re-encode. Only image rows are touched — filter BEFORE decode so
+    video/audio payloads are never deserialized."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError("real image resize requires PIL, not in this container")
+                from stockify_spark.llm.png import decode_png, encode_png, resize_nearest
+
+                out_bytes = [
+                    encode_png(resize_nearest(decode_png(c), target_w, target_h))
+                    for c in pdf["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": target_w,
+                        "height": target_h,
+                        "content": out_bytes,
+                    }
+                )
+                continue
             out_bytes = []
             for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
                 scale = (target_w * target_h) / max(int(w or 1) * int(h or 1), 1)

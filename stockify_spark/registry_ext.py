@@ -145,14 +145,37 @@ def groupby_pivot(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # approximate → engine-specific value, rows-only check
+@register(
+    "agg_approx_distinct",
+    # HLL estimates are engine-specific, so raw values can't hash-
+    # match. Instead BOTH engines emit the exact cardinalities plus a
+    # boolean asserting their own HLL estimate lands within 10% of
+    # exact (5x the default rsd=0.05 — deterministic per engine, far
+    # outside normal sketch variance). The comparison stays hash-
+    # exact AND verifies each engine's sketch against ground truth.
+    "SELECT COUNT(DISTINCT l_orderkey) AS n_orders,"
+    " COUNT(DISTINCT l_partkey) AS n_parts,"
+    " ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))"
+    "  <= 0.1 * COUNT(DISTINCT l_orderkey) AS orders_estimate_ok,"
+    " ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))"
+    "  <= 0.1 * COUNT(DISTINCT l_partkey) AS parts_estimate_ok"
+    " FROM lineitem",
+)
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog distinct — the approximate path for 100 TB-scale
-    cardinality (exact countDistinct is a full shuffle of the keys).
-    No oracle: HLL estimates are engine-specific by design."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    cardinality (exact countDistinct is a full shuffle of the keys;
+    the HLL sketch is a fixed-size map-side accumulator). The oracle
+    checks tolerance-of-truth, not raw sketch values (see SQL)."""
+    df = _t(spark, sf_dir, "lineitem")
+    exact_o = F.countDistinct("l_orderkey")
+    exact_p = F.countDistinct("l_partkey")
+    approx_o = F.approx_count_distinct("l_orderkey")
+    approx_p = F.approx_count_distinct("l_partkey")
+    return df.agg(
+        exact_o.alias("n_orders"),
+        exact_p.alias("n_parts"),
+        (F.abs(approx_o - exact_o) <= 0.1 * exact_o).alias("orders_estimate_ok"),
+        (F.abs(approx_p - exact_p) <= 0.1 * exact_p).alias("parts_estimate_ok"),
     )
 
 

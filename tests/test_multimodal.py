@@ -1,9 +1,11 @@
 """Multimodal plumbing tests: schema, Arrow batch shape, deterministic
-stub features, frame-sampling plan. The decode itself is stubbed
-(codecs not in this container — stockify_spark/llm/multimodal.py)."""
+stub features, frame-sampling plan, and the REAL PNG decode branch
+(stdlib codec in stockify_spark/llm/png.py; audio/video decode stays
+stubbed — those codecs aren't in this container)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -30,12 +32,103 @@ def test_feature_extraction_shape_and_determinism(media):
     assert len({tuple(r["feature"]) for r in a}) == 30
 
 
-def test_real_decode_path_is_explicitly_stubbed(media):
+def test_real_decode_path_is_explicitly_stubbed_for_non_images(media):
+    """Audio/video still raise under decode_stub=False (no codecs in
+    this container) — the failure is explicit, not silent."""
     with pytest.raises(Exception) as exc_info:
-        extract_features(media, decode_stub=False).collect()
+        extract_features(media.filter("kind <> 'image'"), decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """encode→decode round-trips bit-exactly for gray/RGB/RGBA, and
+    the decoder reconstructs every PNG filter type (hand-filtered
+    scanlines)."""
+    import struct
+    import zlib
+
+    from stockify_spark.llm.png import _SIGNATURE, _chunk, decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in ((5, 7), (5, 7, 3), (5, 7, 4)):
+        pix = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(pix)), pix), shape
+
+    # hand-filter an RGB image with every filter type per row
+    pix = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    h, w, ch = pix.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = pix[y].reshape(-1).astype(np.int64)
+        filtered = np.zeros_like(line)
+        for x in range(len(line)):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            upleft = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+            filtered[x] = (line[x] - pred) % 256
+        raw.append(ftype)
+        raw.extend(filtered.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), pix)
+
+
+def test_real_png_feature_extraction_end_to_end(media):
+    """decode_stub=False on the image rows: REAL decode of the PNG
+    payloads inside mapInPandas, features derived from actual pixels
+    (bounded means/stds, histogram sums to 1)."""
+    images = media.filter("kind = 'image'")
+    out = extract_features(images, decode_stub=False).orderBy("media_id").collect()
+    assert len(out) == images.count()
+    for r in out:
+        f = r["feature"]
+        assert len(f) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in f[:3])  # channel means
+        assert abs(sum(f[6:]) - 1.0) < 1e-5  # histogram mass
+    # distinct images → distinct pixel-derived features
+    assert len({tuple(r["feature"]) for r in out}) == len(out)
+
+
+def test_real_png_resize_end_to_end(spark):
+    """decode_stub=False resize: output payloads are valid PNGs of
+    the target geometry whose pixels equal a nearest-neighbor
+    resample of the decoded source."""
+    from stockify_spark.llm.multimodal import resize_images
+    from stockify_spark.llm.png import decode_png, resize_nearest
+
+    media = synthetic_media(spark, n=9)
+    src = {
+        r["media_id"]: bytes(r["content"])
+        for r in media.filter("kind = 'image'").collect()
+    }
+    out = resize_images(media, target_w=16, target_h=12, decode_stub=False).collect()
+    assert len(out) == len(src)
+    for r in out:
+        got = decode_png(bytes(r["content"]))
+        want = resize_nearest(decode_png(src[r["media_id"]]), 16, 12)
+        assert got.shape == (12, 16, 3)
+        assert np.array_equal(got, want)
 
 
 def test_frame_sample_plan(media):
