@@ -187,21 +187,48 @@ def embedding_dup_pairs_bucketed(
     why the exact all-pairs form stays available as the bounded-set
     verification baseline.
     """
-    c = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    cent_rows = sorted(
+        df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
     )
-    # assignment cosine uses the sequential zip_with/aggregate form so
-    # the float summation order matches the oracle's loop exactly
-    scored = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(c))
-        .withColumn("_cos", cosine("_v", "_cvec"))
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cid"))
-    top = (
-        scored.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") <= n_probe)
-        .select("_id", "_v", "_cid")
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)  # (k, dim)
+    dim = cmat.shape[1]
+    # sequential-order norms: sqrt(((0+x0^2)+x1^2)+...) — the same
+    # float association as the SQL loop, so ranks match the oracle
+    cnorm = np.zeros(len(cmat))
+    for d in range(dim):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+    cnorm[cnorm == 0.0] = 1.0
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def top_cells(vecs: pd.Series) -> pd.Series:
+        # Map-side assignment, Arrow-batched. The dot accumulates one
+        # dimension at a time across the whole batch: per element
+        # that is the strict left-to-right float64 sum — bit-identical
+        # to the oracle's sequential loop — while staying vectorized
+        # across rows (no per-row Python).
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        dots = np.zeros((len(mat), len(cmat)))
+        vnorm = np.zeros(len(mat))
+        for d in range(dim):
+            dots += mat[:, d : d + 1] * cmat[None, :, d]
+            vnorm += mat[:, d] * mat[:, d]
+        vnorm = np.sqrt(vnorm)
+        vnorm[vnorm == 0.0] = 1.0
+        cos = dots / (vnorm[:, None] * cnorm[None, :])
+        order = np.lexsort(
+            (np.arange(len(cmat))[None, :].repeat(len(mat), 0), -cos), axis=1
+        )
+        return pd.Series(list(cids[order[:, :n_probe]]))
+
+    top = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(top_cells(F.col(vec_col))).alias("_cid"),
     )
 
     def find(pdf: pd.DataFrame) -> pd.DataFrame:
