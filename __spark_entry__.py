@@ -44,8 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # basics drop to the tail (trivial single-comparator filters last).
 _PRIORITY = [
     # TPC-H shapes — the widest plans (multi-join + agg + sort)
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q10",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
     # dedup family (LLM-pipeline core)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters",

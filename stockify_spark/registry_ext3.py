@@ -1077,3 +1077,194 @@ def agg_skew_kurt(spark, sf_dir):
         F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining feasible TPC-H shapes. The star schema has no partsupp
+# table (TESTDATA.md), so Q2/Q9/Q11/Q16/Q20 cannot be posed; Q7/Q15/
+# Q17/Q21 below complete every partsupp-free query. Where a TPC-H
+# predicate needs a missing column, the substitution is noted.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7",
+    "SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue"
+    " FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    " CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,"
+    " l_extendedprice * (1 - l_discount) AS volume"
+    " FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    " OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    " AND l_shipdate >= TIMESTAMP '1995-01-01'"
+    " AND l_shipdate < TIMESTAMP '1997-01-01') shipping"
+    " GROUP BY supp_nation, cust_nation, l_year",
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): one fact
+    shuffle on the order key; orders stays shuffle-side (fact-sized),
+    customer/supplier/nation broadcast. The bidirectional nation pair
+    filters AFTER the nation joins — a two-row broadcast each, so
+    Catalyst folds the OR into the joined stream."""
+    from stockify_spark.operators.joins import fact_join
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    joined = (
+        fact_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    # revenue summed in DECIMAL: exact and order-independent, so the
+    # argmax supplier (revenue = MAX(revenue)) is boundary-safe across
+    # engines (a double sum could tie-break differently)
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS total_revenue"
+    " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
+    " SELECT s_suppkey, s_name, total_revenue"
+    " FROM supplier JOIN revenue ON s_suppkey = supplier_no"
+    " WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)",
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue 'view' is one partial/
+    final aggregate of a quarter of lineitem; its global max is a
+    1-row broadcast back onto itself; supplier is a broadcast dim.
+    Revenue accumulates in DECIMAL so the max-equality is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("decimal(30,8)").alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17",
+    # part has no p_container (TESTDATA.md): the brand predicate alone
+    # scopes the parts, the correlated 0.2*avg(quantity) is faithful.
+    # l_quantity is integral, so each engine's AVG is the same exact
+    # integer sum over one division — the < boundary cannot flip.
+    "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly FROM lineitem"
+    " JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#4'"
+    " AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2"
+    " WHERE l2.l_partkey = p_partkey)",
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    scalar subquery decorrelates into a per-part aggregate joined
+    back on partkey — one partial/final agg over lineitem + one
+    broadcast of the brand-filtered part dim; no per-row re-scan,
+    which is what the correlated form would naively cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q21",
+    # lineitem has no commit/receipt dates (TESTDATA.md): the "late"
+    # predicate substitutes l_returnflag = 'R'. The SHAPE is faithful:
+    # multi-supplier orders where l1's supplier is the ONLY failing
+    # one — EXISTS another supplier's lineitem, NOT EXISTS another
+    # supplier's failing lineitem.
+    "SELECT s_name, COUNT(*) AS numwait FROM supplier"
+    " JOIN lineitem l1 ON s_suppkey = l1.l_suppkey"
+    " JOIN orders ON o_orderkey = l1.l_orderkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " WHERE o_orderstatus = 'F' AND n_name IN ('NATION_1','NATION_2','NATION_3')"
+    " AND l1.l_returnflag = 'R'"
+    " AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey"
+    " AND l2.l_suppkey <> l1.l_suppkey)"
+    " AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey"
+    " AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')"
+    " GROUP BY s_name",
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (waiting suppliers). Spark-first decorrelation: the
+    EXISTS/NOT-EXISTS pair over lineitem collapses into ONE per-order
+    aggregate — distinct suppliers and distinct failing suppliers —
+    joined back on the order key. l1's supplier failing plus
+    n_failing = 1 plus n_suppliers >= 2 is exactly 'the only failing
+    supplier in a multi-supplier order'. Two shuffles on l_orderkey
+    (agg + join) replace two self-joins of the fact table."""
+    from stockify_spark.operators.joins import fact_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_failed"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    joined = (
+        fact_join(l1, orders, l1["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), l1["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(
+            ostats.withColumnRenamed("l_orderkey", "_ok"),
+            F.col("l_orderkey") == F.col("_ok"),
+        )
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_failed") == 1))
+    )
+    return joined.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
