@@ -60,19 +60,35 @@ def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     return encode_png(pix)
 
 
+def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
+    """Deterministic REAL WAV payload (see llm/wav.py): a per-clip
+    sine tone plus hash-seeded noise at the metadata duration."""
+    from stockify_spark.llm.wav import encode_wav
+
+    rng = np.random.RandomState(
+        int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
+    )
+    n = max(int(rate * duration_ms / 1000), 1)
+    t = np.arange(n) / rate
+    freq = 200.0 + (i % 16) * 50.0
+    x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+    return encode_wav((x * 32767).astype(np.int16), sample_rate=rate)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table exercising the real plumbing (binary
     payloads, nullable per-kind metadata). Image payloads are REAL
-    PNGs (decodable by the stdlib codec in llm/png.py), so both the
-    stub path and ``decode_stub=False`` run on the same table; audio/
-    video payloads stay opaque fakes (those codecs aren't in this
-    container)."""
+    PNGs (llm/png.py) and audio payloads REAL PCM WAVs (llm/wav.py),
+    so the stub path and ``decode_stub=False`` run on the same table;
+    video payloads stay opaque fakes (no container codec)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
             payload = _synthetic_png(i, seed)
+        elif kind == "audio":
+            payload = _synthetic_wav(i, seed, duration_ms=1000 + i)
         else:
             payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * 8
         rows.append(
@@ -125,9 +141,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     scale so one task doesn't get all the 4K videos.
 
     ``decode_stub=False`` REALLY decodes ``image/png`` payloads (the
-    stdlib codec in llm/png.py) and featurizes the pixels; audio and
-    video still raise — those codecs aren't in this container, so
-    filter to images first.
+    stdlib codec in llm/png.py) and ``audio/wav`` payloads
+    (llm/wav.py), featurizing actual pixels/samples; video still
+    raises — no container codec exists for it, so filter it out
+    first.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,14 +152,18 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             if decode_stub:
                 feats = [_fake_feature(c).tolist() for c in pdf["content"]]
             else:
+                from stockify_spark.llm.wav import audio_features, decode_wav
+
                 feats = []
                 for kind, mime, content in zip(pdf["kind"], pdf["mime"], pdf["content"]):
                     if kind == "image" and mime == "image/png":
                         feats.append(_png_feature(content).tolist())
+                    elif kind == "audio" and mime == "audio/wav":
+                        feats.append(audio_features(*decode_wav(content)).tolist())
                     else:
                         raise NotImplementedError(
-                            f"real decode for {mime} requires ffmpeg/librosa,"
-                            " not in this container — filter to image/png"
+                            f"real decode for {mime} requires ffmpeg,"
+                            " not in this container — filter to image/png + audio/wav"
                         )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}

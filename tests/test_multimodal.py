@@ -32,14 +32,43 @@ def test_feature_extraction_shape_and_determinism(media):
     assert len({tuple(r["feature"]) for r in a}) == 30
 
 
-def test_real_decode_path_is_explicitly_stubbed_for_non_images(media):
-    """Audio/video still raise under decode_stub=False (no codecs in
-    this container) — the failure is explicit, not silent."""
+def test_real_decode_path_is_explicitly_stubbed_for_video(media):
+    """Video still raises under decode_stub=False (no container
+    codec) — the failure is explicit, not silent."""
     with pytest.raises(Exception) as exc_info:
-        extract_features(media.filter("kind <> 'image'"), decode_stub=False).collect()
+        extract_features(media.filter("kind = 'video'"), decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_wav_codec_roundtrip():
+    from stockify_spark.llm.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    mono = (rng.standard_normal(500) * 10000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(mono, sample_rate=8000))
+    assert rate == 8000 and np.array_equal(got, mono)
+    stereo = (rng.standard_normal((300, 2)) * 10000).astype(np.int16)
+    got2, rate2 = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert rate2 == 44100 and np.array_equal(got2, stereo)
+
+
+def test_real_audio_feature_extraction_end_to_end(media):
+    """decode_stub=False on the audio rows: REAL WAV decode inside
+    mapInPandas; the spectral centroid must track each clip's known
+    synthetic tone frequency and band energies sum to ~1."""
+    audio = media.filter("kind = 'audio'")
+    out = extract_features(audio, decode_stub=False).orderBy("media_id").collect()
+    assert len(out) == audio.count()
+    for r in out:
+        f = r["feature"]
+        assert len(f) == FEATURE_DIM
+        assert 0.2 < f[0] < 0.6  # rms of a 0.5-amplitude sine ≈ 0.35
+        assert abs(sum(f[6:]) - 1.0) < 1e-3  # band energy mass
+        # tone at 200 + 50*(id % 16) Hz, nyquist 4000 Hz
+        expected_centroid = (200 + 50 * (r["media_id"] % 16)) / 4000
+        assert abs(f[3] - expected_centroid) < 0.05, (r["media_id"], f[3])
 
 
 def test_png_codec_roundtrip_and_all_filters():
