@@ -452,6 +452,27 @@ def media_frame_plan(spark, sf_dir):
     return frame_sample_plan(synthetic_media(spark, n=96), every_ms=250)
 
 
+@register("media_decode_real")  # payload decode is engine-side → rows-only check
+def media_decode_real(spark, sf_dir):
+    """REAL decode path (no stub): PNG payloads decode via the stdlib
+    codec in llm/png.py and WAV payloads via llm/wav.py, inside
+    mapInPandas; features derive from actual pixels/samples (means,
+    histograms, spectral bands — tests/test_multimodal.py pins the
+    values against the known synthetic patterns). Video is excluded:
+    the filter-BEFORE-decode is the point — undecodable payloads
+    never deserialize."""
+    from stockify_spark.llm.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=96).filter(F.col("kind") != "video")
+    feats = extract_features(media, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 4).cast("double"), 4).alias("f3"),
+    )
+
+
 @register(
     "stream_stateful_totals",
     "SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value"
