@@ -52,6 +52,7 @@ _PRIORITY = [
     "dedup_simhash", "dedup_clusters",
     # similarity search
     "sim_cosine_topk", "sim_embedding_dup", "sim_ivf_topk", "sim_lsh_topk",
+    "sim_quantized_topk",
     # streaming semantics (batch-checkable windows/sessions/state)
     "stream_sliding_counts", "stream_session_agg", "stream_dedup_keys",
     "stream_stateful_totals", "stream_interval_join",
@@ -61,7 +62,7 @@ _PRIORITY = [
     "join_left_outer", "join_full_outer", "join_cross",
     # composed pipelines / MERGE
     "merge_upsert_orders", "pipeline_clean_corpus", "events_funnel",
-    "groupby_mom_change", "groupby_grouping_sets",
+    "groupby_mom_change", "groupby_grouping_sets", "groupby_time_rollup",
     # text analysis
     "text_stats", "text_fingerprint", "doc_quality", "lang_detect",
     "text_bpe_tokens", "text_winnow_fingerprints",

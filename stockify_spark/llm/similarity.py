@@ -247,6 +247,62 @@ def embedding_dup_pairs_bucketed(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def quantize_int8(vec: Column | str, alias_scale: bool = False) -> Column:
+    """Symmetric per-vector int8 quantization as pure JVM expressions:
+    ``q_i = floor(x_i * 127 / max|x| + 0.5)`` (half-up — identical in
+    every engine, unlike banker's rounding). 4× less memory traffic
+    per scan than float32 and integer dot products — the standard ANN
+    compression step. Deterministic, so a SQL oracle reproduces the
+    exact same codes."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    maxabs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(_as_double(x)))), F.lit(1e-30)
+    )
+    return F.transform(
+        v, lambda x: F.floor(_as_double(x) * 127.0 / maxabs + 0.5).cast("long")
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors.
+
+    Same shape as :func:`cosine_topk` but the scan reads 1 byte per
+    dimension instead of 4-8 and the inner product is integer
+    arithmetic (exact — sums of 64 products ≤ 127² are far below
+    2^53, so ranking is bit-deterministic across engines). Scores are
+    the quantized cosine; ranking quality vs float cosine is pinned
+    in tests. At scale the quantized codes persist alongside (or
+    instead of) the float vectors and serve as the cheap first-pass
+    ranker, with float re-scoring of the short list."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_int8(vec_col).alias("_qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_int8(vec_col).alias("_qc")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("_qq", "_qc", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    score = dot.cast("double") / F.sqrt((sq(F.col("_qq")) * sq(F.col("_qc"))).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF — the scale path
 # ---------------------------------------------------------------------------

@@ -1268,3 +1268,37 @@ def tpch_q21(spark, sf_dir):
         .filter((F.col("_n_supp") >= 2) & (F.col("_n_failed") == 1))
     )
     return joined.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "groupby_time_rollup",
+    # hypertable-style continuous-aggregate shape: one pass emits the
+    # day, month, year, and grand-total grains via ROLLUP. Sums ride
+    # in DECIMAL (exact, order-independent) — grand-total groups sum
+    # ~60k doubles, where engine summation order would drift.
+    "SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,"
+    " CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,"
+    " CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,"
+    " COUNT(*) AS n_events,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total"
+    " FROM events GROUP BY ROLLUP (y, m, d)",
+)
+def groupby_time_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (the hypertable/continuous-aggregate
+    shape): day → month → year → total in ONE partial/final aggregate
+    pass — Spark expands the rollup grouping sets map-side, so the
+    shuffle carries one partial row per (grain, group), not one scan
+    per grain. At 100 TB this replaces four separate aggregation jobs
+    and is the natural incremental-materialization target (each grain
+    is derivable from the finer one)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+    )
+    return g.rollup("y", "m", "d").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_v").cast("decimal(38,6)").alias("total"),
+    )

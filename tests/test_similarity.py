@@ -135,6 +135,27 @@ def test_fit_centroids_unbiased_on_cluster_sorted_corpus(spark):
         assert dists.min() < 2.0, f"no centroid near cluster at {offset}: {cents.mean(axis=1)}"
 
 
+def test_quantized_topk_recall_vs_float(emb):
+    """int8 quantized ranking must closely track float cosine ranking
+    — recall@5 pinned on the fixture (isotropic, so this is a hard
+    case: neighbors are separated by small margins)."""
+    from stockify_spark.llm.similarity import quantized_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    quant = quantized_topk(emb, queries, k=5).collect()
+    exact_sets, quant_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & quant_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
 def test_lsh_topk_recovers_planted_near_duplicates(spark):
     """Vectors with a tiny-noise twin must find that twin as their
     top-1 via LSH buckets (near-identical vectors agree on almost
