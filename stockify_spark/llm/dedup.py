@@ -166,20 +166,29 @@ def minhash_lsh_pairs(
     base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
     sig = _signatures_from_base(base, num_hashes)
 
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(F.slice("_sig", b * r + 1, r), F.lit(b)).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_hash")
+    # persisted: BOTH sides of the candidate self-join read this plan,
+    # and without the persist the whole explode→hash→min-agg signature
+    # pipeline executes twice. (id, band_id, band_hash) is the slim
+    # banded index — at warehouse scale this is the LSH index table
+    # you would materialize to storage.
+    banded = (
+        sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.xxhash64(F.slice("_sig", b * r + 1, r), F.lit(b)).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("_id", "band.band_id", "band.band_hash")
+        .persist()
+    )
 
     cand = (
         banded.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
