@@ -70,7 +70,7 @@ _PRIORITY = [
     "window_range_frame", "window_ntile", "window_first_last",
     "window_partitioned_parity",
     # reference-parity suites
-    "stocks_filter_agg", "stocks_window_suite",
+    "stocks_filter_agg", "stocks_window_suite", "agg_sum_f32",
     # scalar-function extensions
     "fn_regexp", "fn_explode", "fn_posexplode", "fn_date_arith",
     "fn_null_handling", "fn_string2", "fn_array_ops", "fn_trig",

@@ -1302,3 +1302,40 @@ def groupby_time_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_v").cast("decimal(38,6)").alias("total"),
     )
+
+
+@register(
+    "agg_sum_f32",
+    # float32 fidelity mode (SURVEY §1.3): inputs quantized to REAL —
+    # IEEE double->float rounding is identical in both engines, so
+    # min/max are bit-exact and the double-accumulated sum agrees to
+    # the rounded cent. The reference's float32-atomic accumulator
+    # drift is a documented non-goal (nondeterministic on the GPU
+    # itself; both SQL engines promote float sums to double).
+    "SELECT ROUND(SUM(CAST(l_extendedprice AS REAL)), 2) AS sum_price_f32,"
+    " MIN(CAST(l_extendedprice AS REAL)) AS min_price_f32,"
+    " MAX(CAST(l_extendedprice AS REAL)) AS max_price_f32,"
+    " COUNT(*) AS cnt FROM lineitem WHERE CAST(l_quantity AS REAL) >= 25",
+)
+def agg_sum_f32(spark, sf_dir):
+    """The reference's experiment 1.x+2.a in its OWN precision: scan
+    → float32-quantized filter + aggregate (sumLowPrice used float
+    atomics, stockify.cu:135-138). Comparisons and min/max happen on
+    the quantized values, so the float32 semantics — including any
+    filter-boundary flips caused by quantization — are reproduced."""
+    from stockify_spark.operators import compare, filter_rows, global_agg
+
+    li = _t_f32(spark, sf_dir, "lineitem")
+    return global_agg(
+        filter_rows(li, F.col("l_quantity") >= 25.0),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price_f32"),
+        F.min("l_extendedprice").alias("min_price_f32"),
+        F.max("l_extendedprice").alias("max_price_f32"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _t_f32(spark, sf_dir, name):
+    from stockify_spark.sources.io import load_table
+
+    return load_table(spark, sf_dir, name, float32=True)

@@ -85,8 +85,20 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set(_NANOS_CONF, "true")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from a scale-factor directory."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, float32: bool = False
+) -> DataFrame:
+    """Load one star-schema table from a scale-factor directory.
+
+    ``float32=True`` is the reference-fidelity mode (SURVEY §1.3): the
+    reference computes in float32 (stockify.cu:21-28 StockData floats,
+    :135-138 float atomics). Every double column is cast to float —
+    IEEE round-to-nearest, identical in any engine, so the INPUT
+    quantization is reproduced exactly. The reference's float32
+    ACCUMULATOR drift is deliberately not reproduced: both Spark and
+    DuckDB promote float sums to double accumulators (and the
+    reference's atomic-add ordering is nondeterministic anyway) —
+    double-not-float32 accumulation is the documented policy."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -98,6 +110,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    if float32:
+        for c, t in df.dtypes:
+            if t == "double":
+                df = df.withColumn(c, F.col(c).cast("float"))
     return df
 
 
