@@ -49,7 +49,7 @@ _PRIORITY = [
     "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
     # dedup family (LLM-pipeline core)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters",
+    "dedup_simhash", "dedup_clusters", "dedup_embedding_clusters",
     # similarity search
     "sim_cosine_topk", "sim_embedding_dup", "sim_ivf_topk", "sim_lsh_topk",
     "sim_quantized_topk",

@@ -1339,3 +1339,41 @@ def _t_f32(spark, sf_dir, name):
     from stockify_spark.sources.io import load_table
 
     return load_table(spark, sf_dir, name, float32=True)
+
+
+@register(
+    "dedup_embedding_clusters",
+    # bucketed near-dup pairs (same deterministic IVF spec as
+    # sim_embedding_dup) → transitive closure via a recursive CTE
+    "WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec"
+    " FROM embeddings WHERE vec_id < 16),"
+    " s AS (SELECT vec_id, embedding, cid,"
+    " ROW_NUMBER() OVER (PARTITION BY vec_id"
+    " ORDER BY list_cosine_similarity(embedding, cvec) DESC, cid) AS rnk"
+    " FROM embeddings CROSS JOIN c),"
+    " pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b"
+    " FROM (SELECT vec_id, embedding, cid FROM s WHERE rnk <= 3) a"
+    " JOIN (SELECT vec_id, embedding, cid FROM s WHERE rnk <= 3) b"
+    " ON a.cid = b.cid AND a.vec_id < b.vec_id"
+    " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),"
+    " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+    " UNION ALL SELECT id_b, id_a FROM pairs),"
+    " reach(node, lab) AS (SELECT src, src FROM edges"
+    " UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)"
+    " SELECT node AS vec_id, MIN(lab) AS component FROM reach GROUP BY node",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-duplicate CLUSTERS (SemDeDup shape): bucketed
+    IVF candidate pairs → connected components, so each duplicate
+    group keeps one representative. The same Pregel-lite min-label
+    propagation as dedup_clusters, differentially verified against
+    the recursive-CTE transitive closure over the identical
+    deterministic pair spec."""
+    from stockify_spark.llm.dedup import connected_components
+    from stockify_spark.llm.similarity import embedding_dup_pairs_bucketed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_dup_pairs_bucketed(emb, threshold=0.4, n_centroids=16, n_probe=3)
+    return connected_components(edges).select(
+        F.col("node").alias("vec_id"), "component"
+    )
