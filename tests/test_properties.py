@@ -74,3 +74,45 @@ def test_extrema_of_rolling_extrema_are_global(stocks, w):
     hi = rolling_max(stocks, "high", order_by=["row_id"], window_size=w)
     assert lo.agg(F.min("rolling_min")).collect()[0][0] == stocks.agg(F.min("low")).collect()[0][0]
     assert hi.agg(F.max("rolling_max")).collect()[0][0] == stocks.agg(F.max("high")).collect()[0][0]
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """Any 8-bit image round-trips bit-exactly through the stdlib
+    PNG codec."""
+    import numpy as np
+
+    from stockify_spark.llm.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    pix = rng.randint(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(pix)), pix)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """Any int16 PCM clip round-trips bit-exactly through the stdlib
+    WAV codec, including odd-length data chunks (word alignment)."""
+    import numpy as np
+
+    from stockify_spark.llm.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    samples = rng.randint(-32768, 32768, size=shape).astype(np.int16)
+    got, got_rate = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, samples)
