@@ -61,7 +61,8 @@ _PRIORITY = [
     # outer/cross joins
     "join_left_outer", "join_full_outer", "join_cross",
     # composed pipelines / MERGE
-    "merge_upsert_orders", "pipeline_clean_corpus", "events_funnel",
+    "merge_upsert_orders", "pipeline_clean_corpus", "pipeline_token_pack",
+    "events_funnel",
     "groupby_mom_change", "groupby_grouping_sets", "groupby_time_rollup",
     # text analysis
     "text_stats", "text_fingerprint", "doc_quality", "lang_detect",

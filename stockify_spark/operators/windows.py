@@ -153,3 +153,47 @@ def bucketed_forward_window(
         *[agg.over(spec).alias(alias) for alias, agg in aggs.items()],
     )
     return out.filter(F.col("_owner") == F.col("_b")).drop("_b", "_owner")
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alias: str,
+    bucket_size: int = 4096,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global running sum WITHOUT a single global partition — the
+    classic two-phase parallel scan, in DataFrame form.
+
+    Phase 1 computes per-bucket totals (``order_col div bucket_size``
+    on a dense integer key; one partial/final aggregate). Phase 2
+    turns the TINY bucket-total table (n/bucket_size rows) into
+    exclusive running offsets with an ordinary ordered window — the
+    only single-partition step, over data that shrank by
+    ``bucket_size``× (recurse for the pathological case where even
+    that is big). Each row then adds its within-bucket running sum
+    (a bucket-partitioned window) to its bucket's offset.
+
+    ``exclusive=True`` yields the sum of strictly-preceding rows
+    (first row 0) — the form sequence packing needs.
+    """
+    oid = F.col(order_col)
+    base = df.withColumn("_b", (oid / bucket_size).cast("long"))
+    bucket_totals = base.groupBy("_b").agg(F.sum(value_col).alias("_bsum"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "_b", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off")
+    )
+    end = -1 if exclusive else Window.currentRow
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    return (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn(alias, (within + F.col("_off")).cast("long"))
+        .drop("_b", "_off")
+    )

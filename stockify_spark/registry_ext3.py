@@ -1377,3 +1377,44 @@ def dedup_embedding_clusters(spark, sf_dir):
     return connected_components(edges).select(
         F.col("node").alias("vec_id"), "component"
     )
+
+
+@register(
+    "pipeline_token_pack",
+    # greedy sequence packing: documents (in doc_id order) are
+    # assigned to fixed-capacity context windows by their exclusive
+    # running token count. Token counts are integers, so the prefix
+    # sums are exact in any engine and the comparison is hash-exact.
+    "WITH t AS (SELECT doc_id,"
+    " CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens"
+    " FROM documents),"
+    " c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    " AS start_tok FROM t)"
+    " SELECT doc_id, n_tokens, start_tok, start_tok // 2048 AS pack_id FROM c",
+)
+def pipeline_token_pack(spark, sf_dir):
+    """LLM-pretraining sequence packing: each document lands in the
+    context window (pack) where its starting token offset falls —
+    concat-and-chunk over the corpus order. The running offset comes
+    from operators.windows.bucketed_prefix_sum, the two-phase
+    parallel scan: per-bucket totals, running offsets over the
+    bucket-total table (bucket_size× smaller), within-bucket windows
+    — the ORACLE is the plain global-order window, so the
+    distributed scan is proven equal to the single-partition form.
+    At 100 TB the row-scale data never funnels through one task."""
+    from stockify_spark.functions.text import token_count
+    from stockify_spark.operators.windows import bucketed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    out = bucketed_prefix_sum(
+        docs, "doc_id", "n_tokens", "start_tok", bucket_size=128, exclusive=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.expr("start_tok div 2048").alias("pack_id"),
+    )

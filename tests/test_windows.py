@@ -98,6 +98,32 @@ def test_bucketed_forward_window_rejects_undersized_buckets(spark, stocks):
         )
 
 
+def test_bucketed_prefix_sum_matches_global_window(spark, stocks):
+    """The two-phase scan must equal the single-partition running sum
+    exactly, inclusive and exclusive, across bucket boundaries
+    (bucket_size=16 on 180 rows → 12 offsets)."""
+    from pyspark.sql import Window
+
+    from stockify_spark.operators.windows import bucketed_prefix_sum
+
+    df = stocks.select("row_id", F.col("close").cast("long").alias("v"))
+    for exclusive in (False, True):
+        end = -1 if exclusive else Window.currentRow
+        w = Window.orderBy("row_id").rowsBetween(Window.unboundedPreceding, end)
+        g = df.select(
+            "row_id", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long").alias("ps")
+        )
+        b = bucketed_prefix_sum(
+            df, "row_id", "v", "ps", bucket_size=16, exclusive=exclusive
+        ).select("row_id", "ps")
+        assert g.subtract(b).count() == 0 and b.subtract(g).count() == 0, exclusive
+    # exclusive: first row is 0
+    first = bucketed_prefix_sum(df, "row_id", "v", "ps", 16, exclusive=True).filter(
+        "row_id = 0"
+    ).collect()
+    assert first[0]["ps"] == 0
+
+
 def test_partitioned_window_matches_global_on_single_partition(spark, stocks):
     one = stocks.withColumn("pk", F.lit(1))
     g = moving_average(stocks, "close", order_by=["row_id"]).select("row_id", "moving_avg")
