@@ -85,7 +85,8 @@ _PRIORITY = [
     "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
     "agg_bitwise_bool", "agg_skew_kurt", "agg_approx_distinct",
     # multimodal plumbing + sampling
-    "media_decode_real", "media_features", "media_frame_plan", "media_resize",
+    "media_decode_real", "media_sample_frames", "media_features",
+    "media_frame_plan", "media_resize",
     "sample_seeded", "sample_stratified",
     "filter_between_in_like",
 ]

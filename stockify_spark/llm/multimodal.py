@@ -75,12 +75,28 @@ def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> byt
     return encode_wav((x * 32767).astype(np.int16), sample_rate=rate)
 
 
+def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
+    """Deterministic REAL Y4M payload (see llm/y4m.py): a moving
+    gradient bar whose speed depends on the clip id, at the metadata
+    duration and a 64×48 frame size."""
+    from stockify_spark.llm.y4m import encode_y4m
+
+    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
+    n_frames = max(int(round(duration_ms * fps / 1000)), 1)
+    yy, xx = np.indices((48, 64))
+    frames = np.stack(
+        [((xx * 4 + yy + off + t * (1 + i % 5) * 8) % 256) for t in range(n_frames)]
+    ).astype(np.uint8)
+    return encode_y4m(frames, fps=(fps, 1))
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table exercising the real plumbing (binary
-    payloads, nullable per-kind metadata). Image payloads are REAL
-    PNGs (llm/png.py) and audio payloads REAL PCM WAVs (llm/wav.py),
-    so the stub path and ``decode_stub=False`` run on the same table;
-    video payloads stay opaque fakes (no container codec)."""
+    payloads, nullable per-kind metadata). ALL payloads are real:
+    PNGs (llm/png.py), PCM WAVs (llm/wav.py), and Y4M videos
+    (llm/y4m.py) — the stub path and ``decode_stub=False`` run on the
+    same table. Compressed containers (mp4/jpeg/mp3) genuinely need
+    native codecs and raise explicitly if presented."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -90,12 +106,14 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         elif kind == "audio":
             payload = _synthetic_wav(i, seed, duration_ms=1000 + i)
         else:
-            payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * 8
+            payload = _synthetic_y4m(i, seed, duration_ms=1000 + i)
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"image": "image/png", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}[
+                    kind
+                ],
                 len(payload),
                 64 if kind != "audio" else None,
                 48 if kind != "audio" else None,
@@ -140,11 +158,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     ``repartition`` after a ``n_bytes`` bucket) before calling at
     scale so one task doesn't get all the 4K videos.
 
-    ``decode_stub=False`` REALLY decodes ``image/png`` payloads (the
-    stdlib codec in llm/png.py) and ``audio/wav`` payloads
-    (llm/wav.py), featurizing actual pixels/samples; video still
-    raises — no container codec exists for it, so filter it out
-    first.
+    ``decode_stub=False`` REALLY decodes every uncompressed payload
+    format: ``image/png`` (llm/png.py), ``audio/wav`` (llm/wav.py),
+    and ``video/x-yuv4mpeg`` (llm/y4m.py), featurizing actual
+    pixels/samples/frames. Compressed containers (mp4, jpeg, mp3)
+    need native codecs and raise explicitly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,6 +171,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 feats = [_fake_feature(c).tolist() for c in pdf["content"]]
             else:
                 from stockify_spark.llm.wav import audio_features, decode_wav
+                from stockify_spark.llm.y4m import decode_y4m, video_features
 
                 feats = []
                 for kind, mime, content in zip(pdf["kind"], pdf["mime"], pdf["content"]):
@@ -160,10 +179,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         feats.append(_png_feature(content).tolist())
                     elif kind == "audio" and mime == "audio/wav":
                         feats.append(audio_features(*decode_wav(content)).tolist())
+                    elif kind == "video" and mime == "video/x-yuv4mpeg":
+                        feats.append(video_features(*decode_y4m(content)).tolist())
                     else:
                         raise NotImplementedError(
-                            f"real decode for {mime} requires ffmpeg,"
-                            " not in this container — filter to image/png + audio/wav"
+                            f"real decode for {mime} requires native codecs,"
+                            " not in this container — supported: image/png,"
+                            " audio/wav, video/x-yuv4mpeg"
                         )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
@@ -174,9 +196,9 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
-    timestamp (the decode of each frame is the stubbed step). Pure
-    column ops — the explode happens before decode so frame work
-    distributes across tasks."""
+    timestamp. Pure column ops — the explode happens before decode so
+    frame work distributes across tasks; :func:`sample_frames` is the
+    decode step."""
     video = media.filter(F.col("kind") == "video")
     return video.select(
         "media_id",
@@ -184,6 +206,55 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame sampling with REAL decode: the exploded (video, ts) rows
+    each decode ONLY their own frame — Y4M frames sit at fixed
+    offsets, so sampling frame k is pointer arithmetic, not a scan of
+    the clip (llm/y4m.py). This is the explode-before-decode shape
+    realized end to end: at scale each task seeks straight to its
+    frames and a 2-hour clip never deserializes for a 12-frame
+    sample."""
+    from stockify_spark.llm.y4m import _parse_header, decode_y4m, frame_count
+
+    video = media.filter(
+        (F.col("kind") == "video") & (F.col("mime") == "video/x-yuv4mpeg")
+    )
+    exploded = video.select(
+        "media_id",
+        "content",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_ts_ms": [], "frame_index": [], "mean_luma": []}
+            for mid, content, ts in zip(pdf["media_id"], pdf["content"], pdf["frame_ts_ms"]):
+                data = bytes(content)
+                _, _, fps, _ = _parse_header(data)
+                # clamp: a tail timestamp can round past the last frame
+                idx = min(int(ts) * fps[0] // (1000 * fps[1]), frame_count(data) - 1)
+                frame, _ = decode_y4m(data, frame_indices=[idx])
+                rows["media_id"].append(mid)
+                rows["frame_ts_ms"].append(int(ts))
+                rows["frame_index"].append(idx)
+                rows["mean_luma"].append(float(frame.mean()))
+            yield pd.DataFrame(rows)
+
+    return exploded.mapInPandas(run, FRAME_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

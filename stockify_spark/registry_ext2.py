@@ -454,22 +454,37 @@ def media_frame_plan(spark, sf_dir):
 
 @register("media_decode_real")  # payload decode is engine-side → rows-only check
 def media_decode_real(spark, sf_dir):
-    """REAL decode path (no stub): PNG payloads decode via the stdlib
-    codec in llm/png.py and WAV payloads via llm/wav.py, inside
-    mapInPandas; features derive from actual pixels/samples (means,
-    histograms, spectral bands — tests/test_multimodal.py pins the
-    values against the known synthetic patterns). Video is excluded:
-    the filter-BEFORE-decode is the point — undecodable payloads
-    never deserialize."""
+    """REAL decode path (no stub) for ALL THREE modalities: PNG
+    (llm/png.py), PCM WAV (llm/wav.py), and Y4M video (llm/y4m.py)
+    decode inside mapInPandas; features derive from actual pixels/
+    samples/frames (tests/test_multimodal.py pins the values against
+    the known synthetic patterns). Compressed containers would raise
+    explicitly — filter-BEFORE-decode keeps undecodable payloads
+    from ever deserializing."""
     from stockify_spark.llm.multimodal import extract_features, synthetic_media
 
-    media = synthetic_media(spark, n=96).filter(F.col("kind") != "video")
+    media = synthetic_media(spark, n=96)
     feats = extract_features(media, decode_stub=False)
     return feats.select(
         "media_id",
         "kind",
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
         F.round(F.element_at("feature", 4).cast("double"), 4).alias("f3"),
+    )
+
+
+@register("media_sample_frames")  # payload decode is engine-side → rows-only check
+def media_sample_frames(spark, sf_dir):
+    """Frame sampling with REAL decode: explode timestamps BEFORE
+    decode, then each row decodes only its own frame — Y4M frames sit
+    at fixed offsets, so this is pointer arithmetic, not a clip scan
+    (llm/multimodal.sample_frames). Per-frame mean luma is pinned
+    against direct decode in tests."""
+    from stockify_spark.llm.multimodal import sample_frames, synthetic_media
+
+    out = sample_frames(synthetic_media(spark, n=96), every_ms=250)
+    return out.select(
+        "media_id", "frame_ts_ms", "frame_index", F.round("mean_luma", 4).alias("mean_luma")
     )
 
 

@@ -32,14 +32,70 @@ def test_feature_extraction_shape_and_determinism(media):
     assert len({tuple(r["feature"]) for r in a}) == 30
 
 
-def test_real_decode_path_is_explicitly_stubbed_for_video(media):
-    """Video still raises under decode_stub=False (no container
-    codec) — the failure is explicit, not silent."""
+def test_real_decode_rejects_compressed_containers(spark):
+    """Compressed formats (mp4 etc.) genuinely need native codecs and
+    must raise explicitly under decode_stub=False, not decode junk."""
+    from stockify_spark.llm.multimodal import MEDIA_SCHEMA
+
+    fake = spark.createDataFrame(
+        [(0, "video", "video/mp4", 8, None, None, 1000, b"\x00" * 8)], MEDIA_SCHEMA
+    )
     with pytest.raises(Exception) as exc_info:
-        extract_features(media.filter("kind = 'video'"), decode_stub=False).collect()
+        extract_features(fake, decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_y4m_codec_roundtrip_and_indexed_access():
+    from stockify_spark.llm.y4m import decode_y4m, encode_y4m, frame_count
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, size=(7, 6, 8)).astype(np.uint8)
+    data = encode_y4m(frames, fps=(10, 1))
+    got, fps = decode_y4m(data)
+    assert fps == (10, 1) and np.array_equal(got, frames)
+    assert frame_count(data) == 7
+    # O(1) indexed access returns exactly the requested frames
+    some, _ = decode_y4m(data, frame_indices=[6, 0, 3])
+    assert np.array_equal(some[0], frames[6])
+    assert np.array_equal(some[1], frames[0])
+    assert np.array_equal(some[2], frames[3])
+
+
+def test_real_video_feature_extraction_end_to_end(media):
+    """decode_stub=False on video rows: REAL Y4M decode inside
+    mapInPandas — frame counts must match the metadata duration at
+    the synthetic 10 fps, and the moving-bar clips show motion."""
+    video = media.filter("kind = 'video'")
+    durations = {r["media_id"]: r["duration_ms"] for r in video.collect()}
+    out = extract_features(video, decode_stub=False).orderBy("media_id").collect()
+    assert len(out) == len(durations)
+    for r in out:
+        f = r["feature"]
+        assert len(f) == FEATURE_DIM
+        assert f[0] == pytest.approx(round(durations[r["media_id"]] * 10 / 1000))
+        assert f[1] == pytest.approx(10.0)  # fps
+        assert f[4] > 0.0  # motion energy of a moving bar
+        assert abs(sum(f[6:]) - 1.0) < 1e-5  # luma histogram mass
+
+
+def test_sample_frames_decodes_only_requested_frames(spark):
+    """sample_frames: each exploded timestamp decodes exactly its own
+    frame; the per-frame mean luma must equal a direct decode."""
+    from stockify_spark.llm.multimodal import sample_frames
+    from stockify_spark.llm.y4m import decode_y4m
+
+    media = synthetic_media(spark, n=9)
+    out = sample_frames(media, every_ms=400).collect()
+    src = {
+        r["media_id"]: bytes(r["content"])
+        for r in media.filter("kind = 'video'").collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        direct, _ = decode_y4m(src[r["media_id"]], frame_indices=[r["frame_index"]])
+        assert r["mean_luma"] == pytest.approx(float(direct.mean()))
 
 
 def test_wav_codec_roundtrip():
