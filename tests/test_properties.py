@@ -116,3 +116,28 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     got, got_rate = decode_wav(encode_wav(samples, sample_rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, samples)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=8),
+    h=st.sampled_from([2, 4, 6, 48]),
+    w=st.sampled_from([2, 8, 64]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_property(n, h, w, seed):
+    """Any C420 clip round-trips bit-exactly, and indexed access
+    returns exactly the frames a full decode returns."""
+    import numpy as np
+
+    from stockify_spark.llm.y4m import decode_y4m, encode_y4m, frame_count
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+    data = encode_y4m(frames, fps=(30, 1))
+    got, fps = decode_y4m(data)
+    assert fps == (30, 1) and np.array_equal(got, frames)
+    assert frame_count(data) == n
+    idx = rng.randint(0, n)
+    one, _ = decode_y4m(data, frame_indices=[int(idx)])
+    assert np.array_equal(one[0], frames[idx])
