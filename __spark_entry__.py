@@ -58,8 +58,9 @@ _PRIORITY = [
     "stream_stateful_totals", "stream_interval_join",
     # subqueries
     "subquery_scalar", "subquery_in", "subquery_correlated",
-    # outer/cross joins
+    # outer/cross joins + skew/range rewrites
     "join_left_outer", "join_full_outer", "join_cross",
+    "join_salted", "join_range_bucketed",
     # composed pipelines / MERGE
     "merge_upsert_orders", "pipeline_clean_corpus", "pipeline_token_pack",
     "events_funnel",

@@ -1418,3 +1418,72 @@ def pipeline_token_pack(spark, sf_dir):
         "start_tok",
         F.expr("start_tok div 2048").alias("pack_id"),
     )
+
+
+@register(
+    "join_salted",
+    # salting is result-invariant: the oracle is the PLAIN join, so
+    # the hash-exact match proves the skew rewrite changes the plan,
+    # never the answer.
+    "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, o_orderstatus"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " WHERE o_orderstatus = 'F'",
+)
+def join_salted(spark, sf_dir):
+    """Skew-resistant fact⋈fact join (operators.joins.salted_join):
+    left rows take a deterministic salt, right rows replicate once
+    per salt value, the shuffle key becomes (key, salt) — a key
+    holding 30% of the table spreads over `salt` tasks instead of one
+    straggler. For when AQE's runtime skew split isn't available
+    (e.g. a fixed partitioning is reused downstream)."""
+    from stockify_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice", "o_orderstatus"
+        )
+    )
+    return salted_join(li, orders, "l_orderkey", salt=8)
+
+
+@register(
+    "join_range_bucketed",
+    # point-in-interval join; intervals derive from exact MINs (no
+    # summation-order noise), and the bucketed candidate pass ends in
+    # an exact filter, so results hash-match the native range join.
+    "WITH bands AS (SELECT p_brand, MIN(p_retailprice) AS lo,"
+    " MIN(p_retailprice) + 500 AS hi FROM part GROUP BY p_brand)"
+    " SELECT p.p_partkey, b.p_brand AS band_brand"
+    " FROM part p JOIN bands b"
+    " ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi",
+)
+def join_range_bucketed(spark, sf_dir):
+    """Point-in-interval join via bucketization (operators.joins.
+    range_join_bucketed): each interval explodes into the width/
+    bucket_width buckets it covers, candidates come from a plain
+    equi-join on bucket id, then the exact predicate filters. Turns
+    the O(n·m) non-equi join into a shuffle whose fan-out is bounded
+    by interval width — the standard scale trick when intervals are
+    short relative to the domain (DuckDB meanwhile runs its native
+    IEJoin: two engines, two algorithms, one result)."""
+    from stockify_spark.operators.joins import range_join_bucketed
+
+    part = _t(spark, sf_dir, "part")
+    bands = part.groupBy(F.col("p_brand").alias("band_brand")).agg(
+        F.min("p_retailprice").alias("lo"),
+        (F.min("p_retailprice") + 500).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        part.select("p_partkey", "p_retailprice"),
+        bands,
+        left_point="p_retailprice",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=250.0,
+    )
+    return joined.select("p_partkey", "band_brand")
