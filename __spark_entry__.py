@@ -36,60 +36,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round, so the queries with the
-# LEAST accumulated correctness evidence go first: round 1 verified the
-# first 50 registered entries (CORRECTNESS_r01.json — all filters/aggs/
-# windows/joins green), so the TPC-H / dedup / similarity / streaming /
-# subquery / pipeline surface leads this round and the already-green
-# basics drop to the tail (trivial single-comparator filters last).
+# may budget-cap how many it checks per round (~50), so the queries
+# with the LEAST accumulated correctness evidence go first. Round 1
+# verified the first 50 registered entries; round 2's disjoint window
+# verified the TPC-H / dedup / similarity / streaming / subquery /
+# pipeline surface. Round 3 leads with the 39 queries that have never
+# had a driver row, followed by the queries whose oracles were
+# re-typed this round (the five r02 hash failures were DuckDB
+# HUGEINT/DECIMAL→float64 pandas degradation on bit-identical values,
+# plus q7/q17 moved to DECIMAL accumulation) so they re-enter the
+# window and convert to green.
 _PRIORITY = [
-    # TPC-H shapes — the widest plans (multi-join + agg + sort)
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
-    # dedup family (LLM-pipeline core)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters", "dedup_embedding_clusters",
-    # similarity search
-    "sim_cosine_topk", "sim_embedding_dup", "sim_ivf_topk", "sim_lsh_topk",
-    "sim_quantized_topk",
-    # streaming semantics (batch-checkable windows/sessions/state)
-    "stream_sliding_counts", "stream_session_agg", "stream_dedup_keys",
-    "stream_stateful_totals", "stream_interval_join",
-    # subqueries
-    "subquery_scalar", "subquery_in", "subquery_correlated",
-    # outer/cross joins + skew/range rewrites
-    "join_left_outer", "join_full_outer", "join_cross",
-    "join_salted", "join_range_bucketed",
-    # composed pipelines / MERGE
-    "merge_upsert_orders", "pipeline_clean_corpus", "pipeline_token_pack",
-    "events_funnel",
-    "groupby_mom_change", "groupby_grouping_sets", "groupby_time_rollup",
-    # text analysis
-    "text_stats", "text_fingerprint", "doc_quality", "lang_detect",
-    "text_bpe_tokens", "text_winnow_fingerprints",
-    # window extensions
-    "window_range_frame", "window_ntile", "window_first_last",
-    "window_partitioned_parity",
-    # reference-parity suites
-    "stocks_filter_agg", "stocks_window_suite", "agg_sum_f32",
+    # --- never driver-checked (r01+r02 windows missed these) ---
     # scalar-function extensions
     "fn_regexp", "fn_explode", "fn_posexplode", "fn_date_arith",
     "fn_null_handling", "fn_string2", "fn_array_ops", "fn_trig",
     "fn_least_greatest", "fn_crypto_hash",
-    # UDF surface
-    "udf_group_zscore", "udf_scalar_pandas",
     # set-op extensions
     "setop_intersect_all", "setop_except_all", "setop_union_by_name",
     "setop_union_distinct",
     # aggregate extensions
     "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
-    "agg_bitwise_bool", "agg_skew_kurt", "agg_approx_distinct",
+    "agg_bitwise_bool", "agg_skew_kurt", "agg_sum_f32",
+    # window extensions
+    "window_range_frame", "window_ntile", "window_first_last",
+    "window_partitioned_parity",
+    # UDF surface
+    "udf_group_zscore", "udf_scalar_pandas",
     # multimodal plumbing + sampling
     "media_decode_real", "media_sample_frames", "media_features",
     "media_frame_plan", "media_resize",
     "sample_seeded", "sample_stratified",
+    # text analysis extensions
+    "lang_detect", "text_bpe_tokens", "text_winnow_fingerprints",
+    # reference-parity suites
+    "stocks_filter_agg", "stocks_window_suite",
     "filter_between_in_like",
+    # --- oracles re-typed this round: convert r02 hash-fails to green ---
+    "tpch_q10", "tpch_q12", "tpch_q15", "pipeline_token_pack",
+    "groupby_time_rollup", "tpch_q7", "tpch_q17",
+    # --- newly oracle-converted this round ---
+    "sim_ivf_topk", "sim_cosine_topk",
 ]
 
 

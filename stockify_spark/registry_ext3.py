@@ -570,11 +570,15 @@ def tpch_q5(spark, sf_dir):
 
 @register(
     "tpch_q10",
-    # revenue is summed and emitted in DECIMAL: exact and
-    # order-independent, with the scale pinned so both engines print
-    # the identical value (a double sum hit a half-cent rounding
-    # boundary where Spark and DuckDB tie-break differently)
-    "SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    # revenue is summed in DECIMAL (exact, order-independent — a
+    # double sum hit a half-cent rounding boundary where Spark and
+    # DuckDB tie-break differently), ORDERED on the exact decimal,
+    # and only the FINAL projected value is cast to DOUBLE: DuckDB's
+    # pandas path degrades DECIMAL output to float64, so a DECIMAL
+    # output column hash-mismatches the driver on identical values.
+    # decimal->double is correctly rounded on both engines.
+    "SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, c_acctbal, n_name"
+    " FROM (SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
     " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS revenue,"
     " c_acctbal, n_name FROM customer"
     " JOIN orders ON c_custkey = o_custkey"
@@ -583,7 +587,7 @@ def tpch_q5(spark, sf_dir):
     " WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'"
     " AND l_returnflag = 'R'"
     " GROUP BY c_custkey, c_name, c_acctbal, n_name"
-    " ORDER BY revenue DESC, c_custkey LIMIT 20",
+    " ORDER BY revenue DESC, c_custkey LIMIT 20) t",
 )
 def tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting): returned lineitems only,
@@ -610,18 +614,30 @@ def tpch_q10(spark, sf_dir):
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
         F.sum(rev).cast("decimal(30,8)").alias("revenue")
     )
-    return agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name").orderBy(
-        F.col("revenue").desc(), F.col("c_custkey")
-    ).limit(20)
+    # top-20 on the exact decimal; only the projected value goes double
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
 
 
 @register(
     "tpch_q12",
+    # SUM over integers is HUGEINT in DuckDB, which degrades to
+    # float64 in the driver's pandas path while Spark emits int64 —
+    # CAST AS BIGINT keeps the counters hash-type-stable.
     "SELECT l_linestatus,"
-    " SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
-    " AS high_line_count,"
-    " SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
-    " AS low_line_count"
+    " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS high_line_count,"
+    " CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS low_line_count"
     " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
     " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
     " GROUP BY l_linestatus",
@@ -1089,10 +1105,14 @@ def agg_skew_kurt(spark, sf_dir):
 
 @register(
     "tpch_q7",
-    "SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue"
+    # volume accumulates in DECIMAL (exact, order-independent — a
+    # ROUND(SUM(double),2) sits on the half-cent boundary class that
+    # bit tpch_q10); the final value casts to DOUBLE, which is
+    # correctly rounded on both engines and pandas-path-stable.
+    "SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue"
     " FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
     " CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,"
-    " l_extendedprice * (1 - l_discount) AS volume"
+    " CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume"
     " FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
     " JOIN orders ON o_orderkey = l_orderkey"
     " JOIN customer ON c_custkey = o_custkey"
@@ -1136,26 +1156,28 @@ def tpch_q7(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
         .filter(pair)
     )
+    volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
-    )
+    ).agg(F.sum(volume).cast("double").alias("revenue"))
 
 
 @register(
     "tpch_q15",
     # revenue summed in DECIMAL: exact and order-independent, so the
     # argmax supplier (revenue = MAX(revenue)) is boundary-safe across
-    # engines (a double sum could tie-break differently)
+    # engines (a double sum could tie-break differently). Only the
+    # FINAL projection casts to DOUBLE — a DECIMAL output column
+    # degrades to float64 in DuckDB's pandas path and hash-mismatches
+    # the driver on identical values.
     "WITH revenue AS (SELECT l_suppkey AS supplier_no,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
     " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,8)) AS total_revenue"
     " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
     " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
-    " SELECT s_suppkey, s_name, total_revenue"
+    " SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue"
     " FROM supplier JOIN revenue ON s_suppkey = supplier_no"
     " WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)",
 )
@@ -1179,7 +1201,11 @@ def tpch_q15(spark, sf_dir):
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -1189,7 +1215,11 @@ def tpch_q15(spark, sf_dir):
     # scopes the parts, the correlated 0.2*avg(quantity) is faithful.
     # l_quantity is integral, so each engine's AVG is the same exact
     # integer sum over one division — the < boundary cannot flip.
-    "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly FROM lineitem"
+    # the numerator accumulates in DECIMAL and casts the exact sum to
+    # DOUBLE before the /7.0 — one deterministic conversion plus one
+    # IEEE division on both engines, no ROUND(double) boundary.
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0"
+    " AS avg_yearly FROM lineitem"
     " JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#4'"
     " AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2"
     " WHERE l2.l_partkey = p_partkey)",
@@ -1211,7 +1241,9 @@ def tpch_q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
     )
     return joined.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0).alias(
+            "avg_yearly"
+        )
     )
 
 
@@ -1275,12 +1307,15 @@ def tpch_q21(spark, sf_dir):
     # hypertable-style continuous-aggregate shape: one pass emits the
     # day, month, year, and grand-total grains via ROLLUP. Sums ride
     # in DECIMAL (exact, order-independent) — grand-total groups sum
-    # ~60k doubles, where engine summation order would drift.
+    # ~60k doubles, where engine summation order would drift. The
+    # FINAL total casts to DOUBLE (correctly rounded on both engines)
+    # because a DECIMAL output degrades to float64 in DuckDB's pandas
+    # path and hash-mismatches the driver on identical values.
     "SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,"
     " CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,"
     " CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,"
     " COUNT(*) AS n_events,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total"
+    " CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total"
     " FROM events GROUP BY ROLLUP (y, m, d)",
 )
 def groupby_time_rollup(spark, sf_dir):
@@ -1300,7 +1335,7 @@ def groupby_time_rollup(spark, sf_dir):
     )
     return g.rollup("y", "m", "d").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("_v").cast("decimal(38,6)").alias("total"),
+        F.sum("_v").cast("decimal(38,6)").cast("double").alias("total"),
     )
 
 
@@ -1385,13 +1420,16 @@ def dedup_embedding_clusters(spark, sf_dir):
     # assigned to fixed-capacity context windows by their exclusive
     # running token count. Token counts are integers, so the prefix
     # sums are exact in any engine and the comparison is hash-exact.
+    # the window SUM over BIGINT is HUGEINT in DuckDB, which degrades
+    # to float64 in the driver's pandas path — CAST AS BIGINT keeps
+    # start_tok/pack_id hash-type-stable against Spark's int64.
     "WITH t AS (SELECT doc_id,"
     " CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens"
     " FROM documents),"
-    " c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
-    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    " c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
     " AS start_tok FROM t)"
-    " SELECT doc_id, n_tokens, start_tok, start_tok // 2048 AS pack_id FROM c",
+    " SELECT doc_id, n_tokens, start_tok, CAST(start_tok // 2048 AS BIGINT) AS pack_id FROM c",
 )
 def pipeline_token_pack(spark, sf_dir):
     """LLM-pretraining sequence packing: each document lands in the
