@@ -609,8 +609,16 @@ def dedup_simhash(spark, sf_dir):
     " FROM q, c WHERE query_id <> neighbor_id) WHERE rank <= 5",
 )
 def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k, Arrow-batched scoring: the bounded
+    query set broadcasts in the closure, every corpus batch emits its
+    partial top-k, one tiny final window. Scores use the dimension-
+    sequential accumulation, so they stay bit-identical to the
+    oracle's ``list_cosine_similarity`` loop (the declarative
+    ``cosine_topk`` HOF form remains the library baseline)."""
+    from stockify_spark.llm.similarity import cosine_topk_batched
+
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return cosine_topk_batched(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
 @register(

@@ -422,17 +422,41 @@ def groupby_grouping_sets(spark, sf_dir):
 # recall/shape proven in tests/test_similarity.py, test_multimodal.py).
 # ---------------------------------------------------------------------------
 
-@register("sim_ivf_topk")  # probabilistic (centroid-dependent) → rows-only check
+@register(
+    "sim_ivf_topk",
+    # Deterministic sampled-seed IVF (the sim_embedding_dup recipe):
+    # centroids are the first 16 vectors by id, corpus rows land in
+    # their single best cell, queries probe their 4 best cells, and
+    # candidates are exactly rescored — the WHOLE approximate spec is
+    # ANSI SQL, so the oracle hash-checks the bucketed ANN semantics
+    # themselves, not just row counts. (The fitted-k-means ivf_topk
+    # stays the library path; its recall is pinned in tests.)
+    "WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),"
+    " s AS (SELECT vec_id, embedding, cid,"
+    " ROW_NUMBER() OVER (PARTITION BY vec_id"
+    " ORDER BY list_cosine_similarity(embedding, cvec) DESC, cid) AS rnk"
+    " FROM embeddings CROSS JOIN c),"
+    " corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM s WHERE rnk = 1),"
+    " q AS (SELECT vec_id AS query_id, embedding AS qe, cid FROM s"
+    " WHERE vec_id < 5 AND rnk <= 4)"
+    " SELECT query_id, neighbor_id, rank FROM ("
+    " SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id"
+    " ORDER BY list_cosine_similarity(qe, ne) DESC, neighbor_id) AS rank"
+    " FROM q JOIN corpus USING (cid) WHERE query_id <> neighbor_id) WHERE rank <= 5",
+)
 def sim_ivf_topk(spark, sf_dir):
-    """IVF ANN: probe 4 of 8 Voronoi cells per query instead of the
-    full corpus (llm/similarity.py); recall vs brute force is tested,
-    values are centroid-dependent so there is no SQL oracle."""
-    from stockify_spark.llm.similarity import fit_centroids, ivf_assign, ivf_topk
+    """IVF ANN, deterministic data-seeded spec: probe 4 of 16 cells
+    per query instead of the full corpus — candidate generation is an
+    ids-only cell equi-join, rescoring is Arrow-batched numpy with
+    the oracle's exact float association (llm/similarity.py
+    seeded_ivf_topk). No per-query model fit: the centroid 'model' is
+    16 corpus rows, collected once."""
+    from stockify_spark.llm.similarity import seeded_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = fit_centroids(emb, n_centroids=8, sample_limit=2000, cache_key=sf_dir)
-    corpus = ivf_assign(emb, cent)
-    return ivf_topk(corpus, emb.filter(F.col("vec_id") < 5), cent, k=5, n_probe=4)
+    return seeded_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=4
+    )
 
 
 @register("media_features")  # synthetic media fixture → rows-only check

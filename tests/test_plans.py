@@ -213,3 +213,26 @@ def _col_idx(md, name):
         if schema.column(i).name == name:
             return i
     raise KeyError(name)
+
+
+def test_sim_embedding_dup_no_corpus_cross_join(spark):
+    """The bucketed near-dup path must never plan a corpus-level
+    cartesian product: candidates come from the per-cell groupBy
+    (one row-scale shuffle), verification happens inside the cell."""
+    plan = plan_of(spark, "sim_embedding_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 2, f"{shuffles} row-scale shuffles\n{plan}"
+
+
+def test_sim_topk_no_corpus_join_or_cross_product(spark):
+    """The registered top-k queries score map-side against closure
+    models (query matrix / seed centroids): no cartesian product and
+    no corpus-level join may appear — the only shuffle is the final
+    window over per-batch partial top-k rows."""
+    for name in ("sim_cosine_topk", "sim_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name

@@ -175,3 +175,39 @@ def test_lsh_topk_recovers_planted_near_duplicates(spark):
     top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
     hits = sum(1 for q, n in top1.items() if n == q + 100)
     assert hits >= 18  # >= 90% of twins recovered at rank 1
+
+
+def test_batched_topk_matches_hof_form(emb):
+    """cosine_topk_batched is a physical rewrite of cosine_topk
+    (Arrow matmul + per-batch partial top-k vs interpreted HOF per
+    pair) — the result sets must be identical, ranks included."""
+    from stockify_spark.llm.similarity import cosine_topk_batched
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    hof = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in cosine_topk(emb, queries, k=5).collect()}
+    batched = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in cosine_topk_batched(emb, queries, k=5).collect()}
+    assert hof == batched
+
+
+def test_seeded_ivf_topk_recall_and_determinism(emb):
+    """seeded_ivf_topk (data-seeded centroids, deterministic spec)
+    must be stable across runs and recover a useful fraction of the
+    exact neighbors probing 4/16 cells."""
+    from stockify_spark.llm.similarity import seeded_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = seeded_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    b = seeded_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact_sets, approx_sets = {}, {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in a:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # isotropic fixture, 4/16 cells
