@@ -53,16 +53,39 @@ def agg_collect_ordered(spark, sf_dir):
     )
 
 
-@register("agg_percentile_approx")  # sketch-based → engine-specific values, rows-only
+@register(
+    "agg_percentile_approx",
+    # tolerance-of-truth oracle (the agg_approx_distinct pattern):
+    # sketch estimates are engine-specific, so BOTH engines emit the
+    # exact interpolated percentiles (rounded identically) plus a
+    # boolean asserting their OWN sketch lands within 2% of exact —
+    # hash-exact comparison that still verifies each engine's sketch
+    # against ground truth.
+    "SELECT ROUND(median(l_extendedprice), 4) AS p50_exact,"
+    " ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,"
+    " ABS(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))"
+    "  <= 0.02 * median(l_extendedprice) AS p50_estimate_ok,"
+    " ABS(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))"
+    "  <= 0.02 * quantile_cont(l_extendedprice, 0.95) AS p95_estimate_ok"
+    " FROM lineitem",
+)
 def agg_percentile_approx(spark, sf_dir):
     """The 100 TB percentile path: a mergeable quantile sketch
     (single pass, bounded memory) instead of the exact sort-based
-    percentile. Estimates are engine-defined, so no SQL oracle; the
-    exact-vs-approx error bound is asserted in tests/test_aggregates.py."""
+    percentile. The oracle checks tolerance-of-truth — exact
+    percentiles hash-match, each engine's sketch is asserted within
+    2% of its exact value (error bound also pinned in
+    tests/test_aggregates.py)."""
     li = _t(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact95 = F.expr("percentile(l_extendedprice, 0.95)")
+    approx50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    approx95 = F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000))
     return li.agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        F.round(exact50, 4).alias("p50_exact"),
+        F.round(exact95, 4).alias("p95_exact"),
+        (F.abs(approx50 - exact50) <= 0.02 * exact50).alias("p50_estimate_ok"),
+        (F.abs(approx95 - exact95) <= 0.02 * exact95).alias("p95_estimate_ok"),
     )
 
 
@@ -359,24 +382,102 @@ def setop_union_distinct(spark, sf_dir):
     return a.union(b).distinct()
 
 
-@register("sample_seeded")  # engine-specific RNG stream → rows-only
+@register(
+    "sample_seeded",
+    # Seed-independent-invariant oracle: the RNG stream is engine-
+    # specific, so each engine samples with ITS OWN seeded Bernoulli
+    # and emits booleans over shared invariants — sample size inside
+    # 6-sigma binomial bounds (p=0.2: flake odds ~1e-9), ids distinct,
+    # ids inside the corpus id range — plus the exact corpus count.
+    # Hash-exact comparison that still verifies the sampler behaves.
+    "WITH t AS (SELECT COUNT(*) AS n_total, MIN(doc_id) AS dmn, MAX(doc_id) AS dmx"
+    " FROM documents),"
+    " s AS (SELECT doc_id FROM documents USING SAMPLE 20 PERCENT (bernoulli, 42)),"
+    " ss AS (SELECT COUNT(*) AS n_sample, COUNT(DISTINCT doc_id) AS n_distinct,"
+    " MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM s)"
+    " SELECT n_total,"
+    " ABS(n_sample - 0.2 * n_total) <= 6 * SQRT(n_total * 0.16) AS count_in_bounds,"
+    " n_distinct = n_sample AS ids_distinct,"
+    " mn >= dmn AND mx <= dmx AS ids_in_range"
+    " FROM t, ss",
+)
 def sample_seeded(spark, sf_dir):
     """Seeded Bernoulli sampling — the corpus-downsampling primitive
     (every training-data pipeline ends in one). Deterministic for a
-    fixed seed + input layout; the RNG stream is engine-specific so
-    there is no cross-engine oracle. Map-side only: no shuffle."""
+    fixed seed + input layout; the RNG stream is engine-specific, so
+    the oracle checks seed-independent invariants (see SQL) instead
+    of raw ids. The sample itself is map-side only: no shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.sample(fraction=0.2, seed=42).select("doc_id")
+    s = docs.sample(fraction=0.2, seed=42).select("doc_id")
+    stats = s.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min("doc_id").alias("dmn"),
+        F.max("doc_id").alias("dmx"),
+    )
+    return tot.crossJoin(stats).select(
+        "n_total",
+        (F.abs(F.col("n_sample") - 0.2 * F.col("n_total"))
+         <= 6 * F.sqrt(F.col("n_total") * 0.16)).alias("count_in_bounds"),
+        (F.col("n_distinct") == F.col("n_sample")).alias("ids_distinct"),
+        ((F.col("mn") >= F.col("dmn")) & (F.col("mx") <= F.col("dmx"))).alias("ids_in_range"),
+    )
 
 
-@register("sample_stratified")  # engine-specific RNG stream → rows-only
+@register(
+    "sample_stratified",
+    # Same seed-independent-invariant treatment as sample_seeded, per
+    # stratum: each engine draws its OWN Bernoulli sample at the
+    # per-language fraction and emits (lang, exact stratum size,
+    # sample-count-within-6-sigma, ids-distinct) — hash-exact while
+    # verifying the stratified sampler per group.
+    "WITH f AS (SELECT lang, doc_id,"
+    " CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END AS p FROM documents),"
+    " s AS (SELECT lang, doc_id, p FROM f WHERE random() < p),"
+    " t AS (SELECT lang, COUNT(*) AS n_docs,"
+    " CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END AS p FROM documents GROUP BY lang),"
+    " ss AS (SELECT lang, COUNT(*) AS n_sample,"
+    " COUNT(DISTINCT doc_id) AS n_distinct FROM s GROUP BY lang)"
+    " SELECT t.lang, n_docs,"
+    " ABS(COALESCE(n_sample, 0) - t.p * n_docs)"
+    "  <= 6 * SQRT(n_docs * t.p * (1 - t.p)) AS count_in_bounds,"
+    " COALESCE(n_distinct, 0) = COALESCE(n_sample, 0) AS ids_distinct"
+    " FROM t LEFT JOIN ss ON t.lang = ss.lang",
+)
 def sample_stratified(spark, sf_dir):
     """Stratified sampling by language — per-stratum fractions keep
-    low-resource languages from vanishing under uniform sampling."""
+    low-resource languages from vanishing under uniform sampling.
+    The oracle checks per-stratum seed-independent invariants (see
+    SQL): the RNG stream is engine-specific, the binomial bounds are
+    not."""
     docs = _t(spark, sf_dir, "documents")
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     fractions = {lg: (0.5 if lg != "en" else 0.1) for lg in langs}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    s = docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    p = F.when(F.col("lang") == "en", 0.1).otherwise(0.5)
+    t = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).withColumn("p", p)
+    ss = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+    joined = t.join(ss, "lang", "left")
+    return joined.select(
+        "lang",
+        "n_docs",
+        (
+            F.abs(F.coalesce(F.col("n_sample"), F.lit(0)) - F.col("p") * F.col("n_docs"))
+            <= 6 * F.sqrt(F.col("n_docs") * F.col("p") * (1 - F.col("p")))
+        ).alias("count_in_bounds"),
+        (
+            F.coalesce(F.col("n_distinct"), F.lit(0))
+            == F.coalesce(F.col("n_sample"), F.lit(0))
+        ).alias("ids_distinct"),
+    )
 
 
 @register(
