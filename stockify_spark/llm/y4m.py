@@ -80,12 +80,37 @@ def _parse_header(data: bytes) -> tuple[int, int, tuple[int, int], int]:
     return w, h, fps, nl + 1
 
 
+def _frame_bodies(data: bytes, pos: int, frame_bytes: int) -> list[int]:
+    """Offset of each frame's plane data. Bare ``FRAME\\n`` markers
+    (what our encoder emits) make records fixed-size, so offsets are
+    pure arithmetic; a stream with parameterized FRAME headers fails
+    the marker probe and takes the header-scan fallback — still no
+    pixel reads for skipped frames, one 5-byte compare per record."""
+    marker = b"FRAME"
+    rec = len(marker) + 1 + frame_bytes
+    if (len(data) - pos) % rec == 0:
+        n = (len(data) - pos) // rec
+        if all(
+            data[pos + i * rec : pos + i * rec + len(marker) + 1] == marker + b"\n"
+            for i in range(n)
+        ):
+            return [pos + i * rec + len(marker) + 1 for i in range(n)]
+    bodies, p = [], pos
+    while p < len(data):
+        if data[p : p + len(marker)] != marker:
+            raise ValueError(f"corrupt Y4M: no FRAME marker at {p}")
+        body = data.index(b"\n", p) + 1
+        bodies.append(body)
+        p = body + frame_bytes
+    return bodies
+
+
 def frame_count(data: bytes) -> int:
-    """Number of frames — offset arithmetic, no decode."""
+    """Number of frames — header/offset arithmetic, no pixel decode."""
     data = bytes(data)
     w, h, _, pos = _parse_header(data)
     frame_bytes = w * h + 2 * ((w * h) // 4)
-    return (len(data) - pos) // (len(b"FRAME") + 1 + frame_bytes)
+    return len(_frame_bodies(data, pos, frame_bytes))
 
 
 def decode_y4m(
@@ -100,24 +125,16 @@ def decode_y4m(
     w, h, fps, pos = _parse_header(data)
     y_size = w * h
     frame_bytes = y_size + 2 * (y_size // 4)
-    marker = b"FRAME"
-    # frame record = marker + optional params + '\n' + planes;
-    # our encoder emits bare markers, so records are fixed-size —
-    # fall back to a scan if parameters make them variable
-    rec = len(marker) + 1 + frame_bytes
-    n_frames = (len(data) - pos) // rec
+    bodies = _frame_bodies(data, pos, frame_bytes)
+    n_frames = len(bodies)
     if frame_indices is None:
         frame_indices = list(range(n_frames))
     frames = np.zeros((len(frame_indices), h, w), dtype=np.uint8)
     for out_i, idx in enumerate(frame_indices):
         if not 0 <= idx < n_frames:
             raise IndexError(f"frame {idx} out of range 0..{n_frames - 1}")
-        off = pos + idx * rec
-        if data[off : off + len(marker)] != marker:
-            raise ValueError(f"corrupt Y4M: no FRAME marker at {off}")
-        body = data.index(b"\n", off) + 1
         frames[out_i] = np.frombuffer(
-            data, dtype=np.uint8, count=y_size, offset=body
+            data, dtype=np.uint8, count=y_size, offset=bodies[idx]
         ).reshape(h, w)
     return frames, fps
 

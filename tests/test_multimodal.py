@@ -244,3 +244,31 @@ def test_resize_images_touches_only_images(spark):
     # deterministic across runs
     again = resize_images(media, target_w=16, target_h=12).collect()
     assert sorted(r["media_id"] for r in out) == sorted(r["media_id"] for r in again)
+
+
+def test_y4m_parameterized_frame_headers_take_scan_fallback():
+    """Y4M allows per-frame parameters after the FRAME marker; records
+    then stop being fixed-size and decode must fall back to the
+    header scan instead of fixed-offset arithmetic."""
+    from stockify_spark.llm.y4m import decode_y4m, encode_y4m, frame_count
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(5, 4, 6)).astype(np.uint8)
+    data = encode_y4m(frames, fps=(10, 1))
+    # rewrite frame 2's bare marker as a parameterized one
+    body = data.split(b"FRAME\n")
+    assert len(body) == 6
+    varied = (
+        body[0]
+        + b"FRAME\n" + body[1]
+        + b"FRAME\n" + body[2]
+        + b"FRAME Ixxx\n" + body[3]
+        + b"FRAME\n" + body[4]
+        + b"FRAME\n" + body[5]
+    )
+    assert frame_count(varied) == 5
+    got, fps = decode_y4m(varied)
+    assert fps == (10, 1) and np.array_equal(got, frames)
+    some, _ = decode_y4m(varied, frame_indices=[4, 2])
+    assert np.array_equal(some[0], frames[4])
+    assert np.array_equal(some[1], frames[2])
