@@ -240,8 +240,14 @@ def ngram_jaccard_pairs(
     ).persist()
     inv = base.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
 
-    doc_freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = inv.join(doc_freq, "shingle").withColumn(
+    # document frequency as a COUNT window over the shingle partition:
+    # one shuffle of the inverted index keyed by shingle, instead of a
+    # groupBy plus a join that re-shuffles the full index a second
+    # time — at 100 TB the exploded index is the widest intermediate
+    # in this pipeline, so every full pass over it counts.
+    ranked = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).withColumn(
         "_pos",
         F.row_number().over(
             W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
@@ -249,8 +255,12 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "_n", "shingle").persist()
+    ).select("_id", "_n", "_pos", "shingle").persist()
 
+    # overlap needed for J >= t: O >= ceil(t/(1+t) * (|A|+|B|))
+    minoverlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -261,14 +271,33 @@ def ngram_jaccard_pairs(
             F.least(F.col("a._n"), F.col("b._n"))
             >= F.ceil(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
         )
+        # PPJoin positional filter: past this shared shingle, at most
+        # min(remaining_a, remaining_b) + 1 shingles can still overlap
+        # — for the pair's FIRST shared prefix shingle this is a valid
+        # upper bound on the whole overlap, and keeping a pair when
+        # ANY occurrence passes equals deciding on the first (looser-
+        # bound) occurrence, so recall stays exactly 1.0.
+        .filter(
+            F.least(
+                F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
+            )
+            + 1
+            >= minoverlap
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    sh_a = base.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.size("_sh").alias("_na")
+    )
+    sh_b = base.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.size("_sh").alias("_nb")
+    )
     joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: sizes are already known, so only
+    # the intersection array is materialized — half the verify cost
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     return (
         joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
