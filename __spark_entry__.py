@@ -76,7 +76,7 @@ _PRIORITY = [
     "tpch_q10", "tpch_q12", "tpch_q15", "pipeline_token_pack",
     "groupby_time_rollup", "tpch_q7", "tpch_q17",
     # --- newly oracle-converted this round ---
-    "sim_ivf_topk", "sim_cosine_topk",
+    "sim_ivf_topk", "sim_cosine_topk", "sim_lsh_topk",
 ]
 
 

@@ -646,6 +646,96 @@ def _lsh_buckets_udf(planes: np.ndarray):
     return buckets
 
 
+def seeded_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane LSH ANN with a fully deterministic, SQL-expressible
+    spec: the hyperplane normals are the first ``n_tables*n_planes``
+    corpus vectors by id (data-seeded, like seeded_ivf_topk's
+    centroids), so the bucket function — sign bits of the dot product,
+    packed to an int per table — is nameable in ANSI SQL and the
+    differential oracle hash-checks the bucketed ANN semantics.
+    Candidates are rows sharing ANY (table, bucket) with the query;
+    they are exactly rescored and top-k'd. One map-side pass: plane
+    matrix and query keys are closure metadata, the only shuffle is
+    the final window over per-batch partial top-k rows. (The random-
+    plane :func:`lsh_topk` stays the library path — planted-dup
+    recall pinned in tests.)"""
+    n_h = n_tables * n_planes
+    tagged = corpus.filter(F.col(id_col) < n_h).select(
+        F.lit("p").alias("_role"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).unionByName(
+        queries.select(
+            F.lit("q").alias("_role"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+    )
+    rows = tagged.collect()
+    p_rows = sorted([r for r in rows if r[0] == "p"], key=lambda r: r[1])
+    q_rows = sorted([r for r in rows if r[0] == "q"], key=lambda r: r[1])
+    pmat = np.array([r[2] for r in p_rows], dtype=np.float64)  # (n_h, dim)
+    qids = np.array([r[1] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[2] for r in q_rows], dtype=np.float64)
+    qnorm = _seq_norms(qmat)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def keys_of(mat: np.ndarray) -> np.ndarray:
+        # dim-sequential dots (oracle association), sign bits packed
+        # per table: (rows, n_tables) int64 bucket keys
+        dots = np.zeros((len(mat), n_h))
+        for d in range(pmat.shape[1]):
+            dots += mat[:, d : d + 1] * pmat[None, :, d]
+        bits = dots > 0
+        return (
+            bits.reshape(len(mat), n_tables, n_planes) * weights
+        ).sum(axis=2)
+
+    qkeys = keys_of(qmat)  # (Q, n_tables)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ckeys = keys_of(mat)  # (B, n_tables)
+            qcos = _seq_cosine(mat, qmat, qnorm)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                m = (ckeys == qkeys[j]).any(axis=1) & (ids != qid)
+                if not m.any():
+                    continue
+                col, nids = qcos[m, j], ids[m]
+                sel = np.lexsort((nids, -col))[:k]
+                out_q.append(np.full(len(sel), qid))
+                out_n.append(nids[sel])
+                out_c.append(col[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_cos": np.concatenate(out_c),
+                }
+            )
+
+    part = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, _cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -243,15 +243,44 @@ def udf_scalar_pandas(spark, sf_dir):
     )
 
 
-@register("sim_lsh_topk")  # hyperplane-LSH candidates are probabilistic → rows-only
+@register(
+    "sim_lsh_topk",
+    # Deterministic data-seeded hyperplane LSH (the seeded-IVF
+    # recipe): planes are the first 48 vectors by id, buckets are the
+    # packed sign bits of the dot products (8 planes x 6 tables),
+    # candidates share ANY (table, bucket) with the query and are
+    # exactly rescored — the whole approximate spec is ANSI SQL, so
+    # the oracle hash-checks the LSH semantics themselves. (The
+    # random-plane lsh_topk stays the library path; planted-dup
+    # recall pinned in tests.)
+    "WITH p AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings WHERE vec_id < 48),"
+    " bits AS (SELECT e.vec_id, pid // 8 AS tbl, pid % 8 AS plane,"
+    " CASE WHEN list_dot_product(e.embedding, pvec) > 0 THEN 1 ELSE 0 END AS bit"
+    " FROM embeddings e CROSS JOIN p),"
+    " bkt AS (SELECT vec_id, tbl, CAST(SUM(bit * (1 << CAST(plane AS INTEGER))) AS BIGINT)"
+    " AS bucket FROM bits GROUP BY vec_id, tbl),"
+    " qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bkt WHERE vec_id < 5),"
+    " cand AS (SELECT DISTINCT query_id, bkt.vec_id AS neighbor_id"
+    " FROM qb JOIN bkt USING (tbl, bucket) WHERE bkt.vec_id <> query_id),"
+    " qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"
+    " cv AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings)"
+    " SELECT query_id, neighbor_id, rank FROM ("
+    " SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id"
+    " ORDER BY list_cosine_similarity(qe, ne) DESC, neighbor_id) AS rank"
+    " FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)) WHERE rank <= 5",
+)
 def sim_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH ANN (llm/similarity.lsh_topk): the
-    no-model-fit scale path beside IVF; recall pinned on planted
-    near-duplicates in tests/test_similarity.py."""
-    from stockify_spark.llm.similarity import lsh_topk
+    """Hyperplane LSH ANN, deterministic data-seeded spec: bucket
+    keys are sign bits against the first 48 corpus vectors, so the
+    candidate rule is SQL-nameable and oracle-checked hash-exact.
+    One map-side pass (llm/similarity.seeded_lsh_topk); the
+    random-plane lsh_topk remains the library operator."""
+    from stockify_spark.llm.similarity import seeded_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return seeded_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8, n_tables=6
+    )
 
 
 @register(
