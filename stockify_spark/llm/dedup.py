@@ -137,6 +137,108 @@ def minhash_signatures(
     return _signatures_from_base(base, num_hashes)
 
 
+# Cross-engine MinHash: permutations are (a*h + b) mod P over a
+# 60-bit md5-prefix base hash — md5 exists in every engine, so the
+# WHOLE signature family is nameable in ANSI SQL (unlike xxhash64,
+# which is JVM-only). P = 2^31 - 1 keeps a*h + b under 2^62: no
+# overflow under ANSI mode, identical % semantics on positives.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_seed_constants(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (a_i, b_i) permutation constants, derived from one seed —
+    shared by the Spark expressions AND the differential oracle's SQL
+    so both engines name the exact same hash family."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = [int(x) for x in rng.randint(1, MINHASH_P, size=num_hashes)]
+    b = [int(x) for x in rng.randint(0, MINHASH_P, size=num_hashes)]
+    return a, b
+
+
+def minhash_lsh_pairs_seeded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a fully deterministic,
+    SQL-expressible hash family (see :func:`minhash_seed_constants`).
+
+    Same banding shape as :func:`minhash_lsh_pairs` — explode →
+    per-shingle base hash → ``num_hashes`` seeded permutation mins
+    collapsed map-side in one partial aggregate, band keys as an
+    ids-only equi-join, exact Jaccard verification — but every step
+    is reproducible in ANSI SQL, so the differential oracle
+    hash-checks the LSH *semantics* (which pairs band-collide AND
+    verify), not just row counts. Band keys join on the literal
+    min-value tuple rendered as a string (collision-free), not an
+    engine hash of it."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    A, B = minhash_seed_constants(num_hashes)
+
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
+    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    hv = F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    hashed = inv.select(
+        "_id",
+        *[((F.lit(A[i]) * hv + F.lit(B[i])) % MINHASH_P).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    banded = (
+        sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                ",", *[F.col(f"_h{b * r + j}") for j in range(r)]
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("_id", "band.band_id", "band.band_key")
+        .persist()
+    )
+    cand = (
+        banded.select(F.col("_id").alias("id_a"), "band_id", "band_key")
+        .join(
+            banded.select(F.col("_id").alias("id_b"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    joined = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.size("_sh").alias("_na")),
+        "id_a",
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.size("_sh").alias("_nb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -436,6 +538,78 @@ def simhash_near_dup_pairs(
     )
     cand = (
         a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs_seeded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """SimHash near-dup pairs with a fully SQL-expressible signature.
+
+    Same shape as :func:`simhash_near_dup_pairs` but the per-token
+    hash is the 60-bit md5-prefix (cross-engine, see
+    :data:`MINHASH_P` notes) instead of JVM-only blake2b/xxhash, so a
+    differential oracle can reproduce signatures, banding, AND the
+    hamming verification bit-for-bit — everything is integer
+    arithmetic. Signature: per-bit ±1 counts over whitespace tokens
+    (duplicates kept), sign bits packed to one BIGINT; candidates
+    agree on one of 4 15-bit bands; verify ``bit_count(xor) <=
+    max_hamming``. Pure column expressions — no Python in the plan.
+    """
+    n_bits, n_bands = 60, 4
+    band_bits = n_bits // n_bands  # 15
+    inv = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    )
+    hv = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    accs = inv.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_a{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"_a{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = accs.select("_id", sig_expr.alias("_sig"))
+
+    chunks = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band_id"),
+                        F.shiftrightunsigned("_sig", c * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for c in range(n_bands)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_sig", "ch.band_id", "ch.band_val")
+
+    a = chunks.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "band_id", "band_val")
+    b2 = chunks.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "band_id", "band_val")
+    cand = (
+        a.join(b2, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -587,16 +587,107 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # probabilistic banding → rows-only check; recall tested vs exact in tests
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    """ANSI-SQL reproduction of minhash_lsh_pairs_seeded: the same
+    (a_i, b_i) constants, the same md5-prefix base hash, the same
+    band keys and exact-Jaccard verification — so the driver
+    hash-checks which pairs band-collide AND verify."""
+    from stockify_spark.llm.dedup import MINHASH_P, minhash_seed_constants
+
+    a, b = minhash_seed_constants(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({a[i]} * hv + {b[i]}) % {MINHASH_P}) AS h{i}" for i in range(num_hashes)
+    )
+    bands_sql = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, CONCAT({key}) AS band_key FROM sig".format(
+            b=bb,
+            key=", ',', ".join(f"h{bb * r + j}" for j in range(r)),
+        )
+        for bb in range(bands)
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),"
+        " inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),"
+        " m AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
+        f" % {MINHASH_P} AS hv FROM inv),"
+        f" sig AS (SELECT doc_id, {mins} FROM m GROUP BY doc_id),"
+        f" bands AS ({bands_sql}),"
+        " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a"
+        " JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key"
+        " AND a.doc_id < b.doc_id)"
+        " SELECT id_a, id_b,"
+        " ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard"
+        " FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b"
+        " WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5",
+    )[0]
+
+
+@register("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(
+    """MinHash-LSH near-dup pairs, deterministic cross-engine hash
+    family (md5-prefix base + seeded linear permutations): the LSH
+    banding semantics are hash-exact-checked against the SQL oracle.
+    The xxhash64-based minhash_lsh_pairs stays the library fast path;
+    its banding recall vs exact Jaccard is pinned in tests."""
+    from stockify_spark.llm.dedup import minhash_lsh_pairs_seeded
+
+    return minhash_lsh_pairs_seeded(
         _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.5
     )
 
 
-@register("dedup_simhash")  # signature algorithm is engine-defined → rows-only check
+def _simhash_oracle_sql(n_bits: int = 60, n_bands: int = 4, max_hamming: int = 10) -> str:
+    """ANSI-SQL reproduction of simhash_near_dup_pairs_seeded: 60-bit
+    md5-prefix token hashes, per-bit ±1 majority, 15-bit pigeonhole
+    bands, bit_count(xor) verification — all integer arithmetic, so
+    the comparison is hash-exact."""
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    accs = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS a{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN a{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS band_id, (sig >> {c * band_bits}) & {mask} AS band_val FROM sig"
+        for c in range(n_bands)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),"
+        " '\\s+')) AS tok FROM documents),"
+        " m AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
+        " AS hv FROM toks),"
+        f" acc AS (SELECT doc_id, {accs} FROM m GROUP BY doc_id),"
+        f" sig AS (SELECT doc_id, {sig} AS sig FROM acc),"
+        f" bands AS ({bands}),"
+        " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " a.sig AS sig_a, b.sig AS sig_b FROM bands a"
+        " JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val"
+        " AND a.doc_id < b.doc_id)"
+        " SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming"
+        f" FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"
+    )
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=10)
+    """SimHash near-dup pairs, SQL-expressible 60-bit md5-prefix
+    signature: banding and hamming verification are hash-exact-
+    checked against the oracle (llm/dedup.simhash_near_dup_pairs_
+    seeded — pure column expressions). The vectorized blake2b
+    simhash stays the library fast path, bit-exactness vs its scalar
+    reference pinned in tests."""
+    from stockify_spark.llm.dedup import simhash_near_dup_pairs_seeded
+
+    return simhash_near_dup_pairs_seeded(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=10
+    )
 
 
 @register(
