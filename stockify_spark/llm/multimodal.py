@@ -1,11 +1,14 @@
 """Multimodal (image/audio/video) column plumbing (north-star
 extension). Media are opaque ``binary`` columns with typed metadata;
 the Spark-side machinery — schema, partition sizing, Arrow batch
-shape, UDF signatures — is real and tested. The actual codecs
-(PIL/ffmpeg/librosa) are NOT in this container, so the decode step is
-STUBBED: ``decode_stub=True`` produces deterministic fake features
-(hash-seeded), ``decode_stub=False`` raises NotImplementedError at
-the point a real codec would run.
+shape, UDF signatures — is real and tested. Four container formats
+decode FOR REAL with the pure-stdlib codecs in this package: PNG
+(llm/png.py), baseline JPEG (llm/jpeg.py — huffman + IDCT, the
+compressed case), PCM WAV (llm/wav.py), and Y4M video (llm/y4m.py).
+``decode_stub=True`` swaps deterministic hash-seeded fake features
+for the decode step (the cheap-smoke path); formats that genuinely
+need native codecs (mp4/webm/mp3, progressive JPEG) raise
+NotImplementedError at the point the codec would run.
 """
 
 from __future__ import annotations
@@ -60,6 +63,20 @@ def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     return encode_png(pix)
 
 
+def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
+    """Deterministic REAL baseline-JPEG payload (see llm/jpeg.py):
+    the same gradient family as :func:`_synthetic_png`, through the
+    lossy DCT pipeline."""
+    from stockify_spark.llm.jpeg import encode_jpeg
+
+    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
+    yy, xx = np.indices((h, w))
+    pix = np.stack(
+        [(xx * 3 + yy * 5 + off + c * 11) % 256 for c in range(3)], axis=2
+    ).astype(np.uint8)
+    return encode_jpeg(pix, subsample="420")
+
+
 def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
     """Deterministic REAL WAV payload (see llm/wav.py): a per-clip
     sine tone plus hash-seeded noise at the metadata duration."""
@@ -93,16 +110,18 @@ def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table exercising the real plumbing (binary
     payloads, nullable per-kind metadata). ALL payloads are real:
-    PNGs (llm/png.py), PCM WAVs (llm/wav.py), and Y4M videos
-    (llm/y4m.py) — the stub path and ``decode_stub=False`` run on the
-    same table. Compressed containers (mp4/jpeg/mp3) genuinely need
-    native codecs and raise explicitly if presented."""
+    image rows alternate PNG (llm/png.py) and baseline JPEG
+    (llm/jpeg.py — the compressed container), audio is PCM WAV
+    (llm/wav.py), video is Y4M (llm/y4m.py) — the stub path and
+    ``decode_stub=False`` run on the same table. Formats needing
+    native codecs (mp4/webm/mp3) raise explicitly if presented."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
+        jpeg = kind == "image" and (i // 3) % 2 == 1
         if kind == "image":
-            payload = _synthetic_png(i, seed)
+            payload = _synthetic_jpeg(i, seed) if jpeg else _synthetic_png(i, seed)
         elif kind == "audio":
             payload = _synthetic_wav(i, seed, duration_ms=1000 + i)
         else:
@@ -111,9 +130,11 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}[
-                    kind
-                ],
+                {
+                    "image": "image/jpeg" if jpeg else "image/png",
+                    "audio": "audio/wav",
+                    "video": "video/x-yuv4mpeg",
+                }[kind],
                 len(payload),
                 64 if kind != "audio" else None,
                 48 if kind != "audio" else None,
@@ -132,12 +153,9 @@ def _fake_feature(content: bytes) -> np.ndarray:
     return vals / 32768.0 - 1.0
 
 
-def _png_feature(content: bytes) -> np.ndarray:
-    """REAL image feature from a decoded PNG: per-channel mean and
+def _image_feature(pix: np.ndarray) -> np.ndarray:
+    """REAL image feature from decoded pixels: per-channel mean and
     std (6) + 10-bin grayscale histogram (10) = FEATURE_DIM floats."""
-    from stockify_spark.llm.png import decode_png
-
-    pix = decode_png(content)
     if pix.ndim == 2:
         pix = pix[:, :, None].repeat(3, axis=2)
     rgb = pix[:, :, :3].astype(np.float32)
@@ -147,6 +165,18 @@ def _png_feature(content: bytes) -> np.ndarray:
     return np.concatenate(
         [rgb.mean(axis=(0, 1)) / 255.0, rgb.std(axis=(0, 1)) / 255.0, hist]
     )
+
+
+def _png_feature(content: bytes) -> np.ndarray:
+    from stockify_spark.llm.png import decode_png
+
+    return _image_feature(decode_png(content))
+
+
+def _jpeg_feature(content: bytes) -> np.ndarray:
+    from stockify_spark.llm.jpeg import decode_jpeg
+
+    return _image_feature(decode_jpeg(content))
 
 
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -177,6 +207,8 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 for kind, mime, content in zip(pdf["kind"], pdf["mime"], pdf["content"]):
                     if kind == "image" and mime == "image/png":
                         feats.append(_png_feature(content).tolist())
+                    elif kind == "image" and mime == "image/jpeg":
+                        feats.append(_jpeg_feature(content).tolist())
                     elif kind == "audio" and mime == "audio/wav":
                         feats.append(audio_features(*decode_wav(content)).tolist())
                     elif kind == "video" and mime == "video/x-yuv4mpeg":
@@ -185,7 +217,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         raise NotImplementedError(
                             f"real decode for {mime} requires native codecs,"
                             " not in this container — supported: image/png,"
-                            " audio/wav, video/x-yuv4mpeg"
+                            " image/jpeg (baseline), audio/wav, video/x-yuv4mpeg"
                         )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
@@ -277,20 +309,30 @@ def resize_images(
     template. With ``decode_stub`` the payload transform is a
     deterministic truncate/tile to a size proportional to the target
     area, so batch-shape, schema, and metadata plumbing are fully
-    exercised. ``decode_stub=False`` runs the REAL pipeline for PNGs:
-    stdlib decode (llm/png.py) → nearest-neighbor resample →
-    re-encode. Only image rows are touched — filter BEFORE decode so
-    video/audio payloads are never deserialized."""
+    exercised. ``decode_stub=False`` runs the REAL pipeline: stdlib
+    decode (PNG via llm/png.py, baseline JPEG via llm/jpeg.py,
+    dispatched on the container's magic bytes) → nearest-neighbor
+    resample → re-encode in the SAME container. Only image rows are
+    touched — filter BEFORE decode so video/audio payloads are never
+    deserialized."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
+                from stockify_spark.llm.jpeg import decode_jpeg, encode_jpeg
                 from stockify_spark.llm.png import decode_png, encode_png, resize_nearest
 
-                out_bytes = [
-                    encode_png(resize_nearest(decode_png(c), target_w, target_h))
-                    for c in pdf["content"]
-                ]
+                out_bytes = []
+                for c in pdf["content"]:
+                    c = bytes(c)
+                    if c[:2] == b"\xff\xd8":
+                        out_bytes.append(
+                            encode_jpeg(resize_nearest(decode_jpeg(c), target_w, target_h))
+                        )
+                    else:
+                        out_bytes.append(
+                            encode_png(resize_nearest(decode_png(c), target_w, target_h))
+                        )
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],

@@ -179,11 +179,14 @@ def test_png_codec_roundtrip_and_all_filters():
     assert np.array_equal(decode_png(data), pix)
 
 
-def test_real_png_feature_extraction_end_to_end(media):
-    """decode_stub=False on the image rows: REAL decode of the PNG
-    payloads inside mapInPandas, features derived from actual pixels
-    (bounded means/stds, histogram sums to 1)."""
+def test_real_image_feature_extraction_end_to_end(media):
+    """decode_stub=False on the image rows: REAL decode of BOTH image
+    containers (PNG and baseline JPEG) inside mapInPandas, features
+    derived from actual pixels (bounded means/stds, histogram sums
+    to 1)."""
     images = media.filter("kind = 'image'")
+    mimes = {r["mime"] for r in images.collect()}
+    assert mimes == {"image/png", "image/jpeg"}  # fixture covers both
     out = extract_features(images, decode_stub=False).orderBy("media_id").collect()
     assert len(out) == images.count()
     for r in out:
@@ -195,25 +198,81 @@ def test_real_png_feature_extraction_end_to_end(media):
     assert len({tuple(r["feature"]) for r in out}) == len(out)
 
 
-def test_real_png_resize_end_to_end(spark):
-    """decode_stub=False resize: output payloads are valid PNGs of
-    the target geometry whose pixels equal a nearest-neighbor
-    resample of the decoded source."""
+def test_real_image_resize_end_to_end(spark):
+    """decode_stub=False resize: output payloads are valid images in
+    the SAME container as their source (PNG stays PNG, JPEG stays
+    JPEG) at the target geometry; pixels equal a nearest-neighbor
+    resample of the decoded source (exactly for PNG, within the
+    re-encode loss for JPEG)."""
+    from stockify_spark.llm.jpeg import decode_jpeg
     from stockify_spark.llm.multimodal import resize_images
     from stockify_spark.llm.png import decode_png, resize_nearest
 
-    media = synthetic_media(spark, n=9)
+    media = synthetic_media(spark, n=18)
     src = {
-        r["media_id"]: bytes(r["content"])
+        r["media_id"]: (bytes(r["content"]), r["mime"])
         for r in media.filter("kind = 'image'").collect()
     }
     out = resize_images(media, target_w=16, target_h=12, decode_stub=False).collect()
     assert len(out) == len(src)
+    saw_jpeg = False
     for r in out:
-        got = decode_png(bytes(r["content"]))
-        want = resize_nearest(decode_png(src[r["media_id"]]), 16, 12)
-        assert got.shape == (12, 16, 3)
-        assert np.array_equal(got, want)
+        payload, mime = src[r["media_id"]]
+        got_bytes = bytes(r["content"])
+        if mime == "image/jpeg":
+            saw_jpeg = True
+            assert got_bytes[:2] == b"\xff\xd8"
+            got = decode_jpeg(got_bytes)
+            want = resize_nearest(decode_jpeg(payload), 16, 12)
+            assert got.shape == (12, 16, 3)
+            # quality-50 re-encode of a sharp-edged 4x downsample is
+            # genuinely lossy; random/garbage decode would sit ~70
+            err = np.abs(got.astype(float) - want.astype(float)).mean()
+            assert err < 30.0, err
+        else:
+            got = decode_png(got_bytes)
+            want = resize_nearest(decode_png(payload), 16, 12)
+            assert got.shape == (12, 16, 3)
+            assert np.array_equal(got, want)
+    assert saw_jpeg
+
+
+def test_jpeg_codec_roundtrip_psnr_and_rejections():
+    """Baseline JPEG codec (llm/jpeg.py): gray/444/420 round-trips
+    land above 30 dB PSNR on a smooth gradient; restart markers
+    decode identically; progressive frames raise explicitly."""
+    from stockify_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    x = np.linspace(0, 255, 48)
+    gray = np.clip(
+        np.add.outer(x, x) / 2 + rng.normal(0, 4, (48, 48)), 0, 255
+    ).astype(np.uint8)
+    rgb = np.stack([gray, gray[::-1], gray.T], axis=-1).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    out_g = decode_jpeg(encode_jpeg(gray))
+    assert out_g.shape == gray.shape and psnr(gray, out_g) > 30
+    for ss in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(rgb, subsample=ss))
+        assert out.shape == rgb.shape and psnr(rgb, out) > 30
+    # odd dimensions survive the MCU padding
+    odd = rgb[:37, :29]
+    out = decode_jpeg(encode_jpeg(odd, subsample="420"))
+    assert out.shape == odd.shape and psnr(odd, out) > 30
+    # restart markers: bit-identical result to the unsegmented stream
+    a = decode_jpeg(encode_jpeg(rgb, subsample="420"))
+    b = decode_jpeg(encode_jpeg(rgb, subsample="420", restart_interval=2))
+    assert np.array_equal(a, b)
+    # progressive is explicitly out of scope
+    bad = bytearray(encode_jpeg(gray))
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
 
 
 def test_frame_sample_plan(media):
