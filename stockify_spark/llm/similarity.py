@@ -231,7 +231,14 @@ def _seq_cosine(mat: np.ndarray, qmat: np.ndarray, qnorm: np.ndarray) -> np.ndar
     sum — bit-identical to the oracle's sequential per-pair loop
     (DuckDB ``list_cosine_similarity``) — while staying vectorized
     across rows (no per-row Python). np.matmul's pairwise summation
-    would drift in the last ulp and could flip near-tied ranks."""
+    would drift in the last ulp and could flip near-tied ranks.
+
+    Cost: dim vectorized passes per batch instead of one GEMM —
+    fine at dim≈64-768 (memory-bound either way). For high-dim
+    embeddings where the GEMM wins, swap in ``mat @ qmat.T`` (the
+    :func:`embedding_dup_pairs_blocked` form) and accept last-ulp
+    rank ties being broken by id — only differential-oracle
+    comparisons need the exact association, not production ANN."""
     dim = qmat.shape[1]
     dots = np.zeros((len(mat), len(qmat)))
     vnorm = np.zeros(len(mat))
