@@ -110,7 +110,14 @@ def lang_id(col: str | Column, default: str = "unknown") -> Column:
     return best_lang
 
 
-def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
+def winnow_fingerprints(
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+):
     """Winnowing document fingerprints (the rolling-hash scheme of
     MOSS): hash every character k-gram, keep the minimum hash of each
     sliding window of ``window`` consecutive k-grams, emit the
@@ -118,9 +125,15 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
 
     Guarantees: identical docs → identical fingerprint sets; any
     shared substring of length >= k + window - 1 shares at least one
-    fingerprint. Built entirely from explode + xxhash64 + a bounded
+    fingerprint. Built entirely from explode + a gram hash + a bounded
     partitioned window + distinct — no Python in the loop. Returns
     (id_col, fingerprint) rows.
+
+    ``hash_family``: ``"xxhash64"`` (fastest, JVM-only values) or
+    ``"md5"`` — the 60-bit md5-prefix hash shared with the MinHash /
+    SimHash families (llm/dedup.py), nameable in ANSI SQL so a
+    differential oracle can reproduce every fingerprint value
+    cross-engine.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -135,7 +148,11 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
             )
         ).alias("pos", "gram"),
     )
-    hashed = grams.select(id_col, "pos", F.xxhash64("gram").alias("h"))
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("gram")
+    hashed = grams.select(id_col, "pos", h.alias("h"))
     w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     kept = hashed.select(id_col, F.min("h").over(w).alias("fingerprint"))
     return kept.select(id_col, "fingerprint").distinct()

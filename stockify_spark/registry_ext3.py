@@ -301,17 +301,39 @@ def stream_interval_join(spark, sf_dir):
     return purchases_with_recent_clicks(_t(spark, sf_dir, "events"))
 
 
-@register("text_winnow_fingerprints")  # xxhash64-based → engine-specific values, rows-only
+@register(
+    "text_winnow_fingerprints",
+    # Exact cross-engine oracle: the md5-prefix 60-bit gram hash (the
+    # MinHash/SimHash family, llm/dedup.py:141) is nameable in ANSI
+    # SQL, so DuckDB reproduces every fingerprint VALUE — k-grams via
+    # unnest(range(..)) (Spark's sequence() is inclusive-end, range()
+    # is exclusive-end, hence the +1), min over the same 4-gram
+    # sliding window, distinct. regexp_replace needs the 'g' flag in
+    # DuckDB (global is Spark's default).
+    "WITH n AS (SELECT doc_id,"
+    "  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t"
+    "  FROM documents WHERE doc_id < 100),"
+    " g AS (SELECT doc_id, t,"
+    "  unnest(range(0, greatest(length(t) - 5, 0) + 1)) AS pos FROM n),"
+    " h AS (SELECT doc_id, pos,"
+    "  CAST(CONCAT('0x', substr(md5(substr(t, CAST(pos AS INT) + 1, 5)), 1, 15))"
+    "   AS BIGINT) AS h FROM g),"
+    " k AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos"
+    "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM h)"
+    " SELECT DISTINCT doc_id, fingerprint FROM k",
+)
 def text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints: min k-gram hash per
-    sliding window, distinct per doc. Hash values are engine-defined
-    (xxhash64), so rows-only here; the containment properties
-    (identical docs → identical sets; shared substrings → shared
-    fingerprints) are pinned in tests/test_text.py."""
+    sliding window, distinct per doc. Uses the cross-engine md5-prefix
+    hash family so the oracle checks every fingerprint value exactly
+    (the xxhash64 family in functions/text.py is the faster JVM-only
+    production alternative); the containment properties (identical
+    docs → identical sets; shared substrings → shared fingerprints)
+    are pinned in tests/test_text.py."""
     from stockify_spark.functions.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return winnow_fingerprints(docs, "text", "doc_id")
+    return winnow_fingerprints(docs, "text", "doc_id", hash_family="md5")
 
 
 @register("media_resize")  # synthetic media fixture, stubbed codec → rows-only
