@@ -459,7 +459,17 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-@register("media_features")  # synthetic media fixture → rows-only check
+@register(
+    "media_features",
+    # The synthetic_media fixture is deterministic (id 0..95, kind
+    # cycles image/audio/video), so the full expected row set is pure
+    # SQL: the oracle checks the mapInPandas plumbing emits exactly
+    # one feature row per media row with ids and kinds intact.
+    "SELECT r AS media_id,"
+    " CASE CAST(r % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END AS kind"
+    " FROM range(96) t(r)",
+)
 def media_features(spark, sf_dir):
     """Multimodal decode+featurize plumbing over mapInPandas (decode
     stubbed — no codecs in this container; Arrow batch shape is
@@ -469,7 +479,15 @@ def media_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, n=96)).select("media_id", "kind")
 
 
-@register("media_frame_plan")  # synthetic media fixture → rows-only check
+@register(
+    "media_frame_plan",
+    # Exact row-set oracle: video rows are id ≡ 2 (mod 3) with
+    # duration_ms = 1000 + id, and the sample grid is every 250 ms.
+    # Spark's sequence(0, duration-1, 250) is inclusive-end; DuckDB's
+    # range(0, duration, 250) is exclusive-end — identical grids.
+    "SELECT media_id, unnest(range(0, 1000 + media_id, 250)) AS frame_ts_ms"
+    " FROM (SELECT 3 * r + 2 AS media_id FROM range(32) t(r))",
+)
 def media_frame_plan(spark, sf_dir):
     from stockify_spark.llm.multimodal import frame_sample_plan, synthetic_media
 

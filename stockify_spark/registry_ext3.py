@@ -336,7 +336,13 @@ def text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(docs, "text", "doc_id", hash_family="md5")
 
 
-@register("media_resize")  # synthetic media fixture, stubbed codec → rows-only
+@register(
+    "media_resize",
+    # Exact row-set oracle: only image rows (id ≡ 0 mod 3) may appear
+    # — the filter-before-decode contract — and every one resizes to
+    # the 32×24 target.
+    "SELECT 3 * r AS media_id, 32 AS width, 24 AS height FROM range(32) t(r)",
+)
 def media_resize(spark, sf_dir):
     """Image resize plumbing over mapInPandas (decode stubbed; the
     non-image rows are filtered BEFORE any payload deserialization)."""
