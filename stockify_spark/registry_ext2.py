@@ -515,19 +515,59 @@ def media_decode_real(spark, sf_dir):
     )
 
 
-@register("media_sample_frames")  # payload decode is engine-side → rows-only check
+def _video_pattern_constants(n: int = 96, seed: int = 42) -> str:
+    """VALUES rows (media_id, ofs, speed, duration_ms, n_frames) for
+    the synthetic video clips — the blake2b pattern offset is the only
+    non-SQL ingredient of the fixture, so it is embedded as a literal
+    and everything downstream of it stays declarative SQL."""
+    import hashlib
+
+    rows = []
+    for i in range(2, n, 3):
+        ofs = int.from_bytes(
+            hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big"
+        )
+        dur = 1000 + i
+        rows.append(f"({i}, {ofs}, {1 + i % 5}, {dur}, {max(int(round(dur * 10 / 1000)), 1)})")
+    return ", ".join(rows)
+
+
+@register(
+    "media_sample_frames",
+    # Closed-form oracle for the REAL video decode: each synthetic
+    # frame is the pattern (x*4 + y + ofs + t*speed*8) % 256, Y4M
+    # stores luma losslessly, and the mean of 3072 uint8 pixels is an
+    # exact integer sum < 2^53 followed by one IEEE division — so the
+    # oracle recomputes every sampled frame's mean luma from the
+    # pattern spec (codec not involved) and the decoded values must
+    # match BIT-EXACTLY. frame_index = ts*10//1000 == ts//100 at
+    # fps=10/1, clamped to the last frame. No video duration lands on
+    # a *.5 frame count, so Python's round() (banker's) and plain
+    # rounding agree on n_frames.
+    "WITH v(media_id, ofs, speed, duration_ms, n_frames) AS"
+    " (VALUES " + _video_pattern_constants() + "),"
+    " ts AS (SELECT media_id, ofs, speed, n_frames,"
+    "  unnest(range(0, duration_ms, 250)) AS frame_ts_ms FROM v),"
+    " fi AS (SELECT media_id, ofs, speed, frame_ts_ms,"
+    "  least(frame_ts_ms // 100, n_frames - 1) AS frame_index FROM ts),"
+    " px AS (SELECT x.r AS x, y.r AS y FROM range(64) x(r), range(48) y(r))"
+    " SELECT media_id, frame_ts_ms, frame_index,"
+    "  CAST(SUM((x * 4 + y + ofs + frame_index * speed * 8) % 256) AS DOUBLE)"
+    "   / 3072.0 AS mean_luma"
+    " FROM fi, px GROUP BY media_id, frame_ts_ms, frame_index",
+)
 def media_sample_frames(spark, sf_dir):
     """Frame sampling with REAL decode: explode timestamps BEFORE
     decode, then each row decodes only its own frame — Y4M frames sit
     at fixed offsets, so this is pointer arithmetic, not a clip scan
-    (llm/multimodal.sample_frames). Per-frame mean luma is pinned
-    against direct decode in tests."""
+    (llm/multimodal.sample_frames). The oracle recomputes each mean
+    luma from the synthetic pattern's closed form, so the driver
+    hash-checks the whole decode path end to end (mean emitted raw:
+    integer-sum/3072 is bit-identical on both engines)."""
     from stockify_spark.llm.multimodal import sample_frames, synthetic_media
 
     out = sample_frames(synthetic_media(spark, n=96), every_ms=250)
-    return out.select(
-        "media_id", "frame_ts_ms", "frame_index", F.round("mean_luma", 4).alias("mean_luma")
-    )
+    return out.select("media_id", "frame_ts_ms", "frame_index", "mean_luma")
 
 
 @register(
