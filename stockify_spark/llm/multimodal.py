@@ -50,17 +50,51 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
-    """Deterministic REAL PNG payload (see llm/png.py): a per-image
-    gradient pattern offset by a hash of (seed, i)."""
-    from stockify_spark.llm.png import encode_png
+def _pattern_offset(i: int, seed: int) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big"
+    )
 
-    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
+
+def _pattern_image(i: int, seed: int, w: int = 64, h: int = 48) -> np.ndarray:
+    """The SOURCE pixel array of synthetic image i: a per-image
+    gradient pattern offset by a hash of (seed, i). Shared by the
+    payload encoders and :func:`expected_media_features` so the
+    pre-encode spec is single-sourced."""
+    off = _pattern_offset(i, seed)
     yy, xx = np.indices((h, w))
-    pix = np.stack(
+    return np.stack(
         [(xx * 3 + yy * 5 + off + c * 11) % 256 for c in range(3)], axis=2
     ).astype(np.uint8)
-    return encode_png(pix)
+
+
+def _pattern_audio(i: int, seed: int, duration_ms: int, rate: int = 8000) -> np.ndarray:
+    """The SOURCE int16 samples of synthetic clip i: a per-clip sine
+    tone plus hash-seeded noise at the metadata duration."""
+    rng = np.random.RandomState(_pattern_offset(i, seed))
+    n = max(int(rate * duration_ms / 1000), 1)
+    t = np.arange(n) / rate
+    freq = 200.0 + (i % 16) * 50.0
+    x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+    return (x * 32767).astype(np.int16)
+
+
+def _pattern_video(i: int, seed: int, duration_ms: int, fps: int = 10) -> np.ndarray:
+    """The SOURCE luma frames of synthetic clip i: a moving gradient
+    bar whose speed depends on the clip id, 64×48."""
+    off = _pattern_offset(i, seed)
+    n_frames = max(int(round(duration_ms * fps / 1000)), 1)
+    yy, xx = np.indices((48, 64))
+    return np.stack(
+        [((xx * 4 + yy + off + t * (1 + i % 5) * 8) % 256) for t in range(n_frames)]
+    ).astype(np.uint8)
+
+
+def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
+    """Deterministic REAL PNG payload (see llm/png.py)."""
+    from stockify_spark.llm.png import encode_png
+
+    return encode_png(_pattern_image(i, seed, w, h))
 
 
 def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
@@ -69,42 +103,43 @@ def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     lossy DCT pipeline."""
     from stockify_spark.llm.jpeg import encode_jpeg
 
-    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
-    yy, xx = np.indices((h, w))
-    pix = np.stack(
-        [(xx * 3 + yy * 5 + off + c * 11) % 256 for c in range(3)], axis=2
-    ).astype(np.uint8)
-    return encode_jpeg(pix, subsample="420")
+    return encode_jpeg(_pattern_image(i, seed, w, h), subsample="420")
 
 
 def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
-    """Deterministic REAL WAV payload (see llm/wav.py): a per-clip
-    sine tone plus hash-seeded noise at the metadata duration."""
+    """Deterministic REAL WAV payload (see llm/wav.py)."""
     from stockify_spark.llm.wav import encode_wav
 
-    rng = np.random.RandomState(
-        int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
-    )
-    n = max(int(rate * duration_ms / 1000), 1)
-    t = np.arange(n) / rate
-    freq = 200.0 + (i % 16) * 50.0
-    x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
-    return encode_wav((x * 32767).astype(np.int16), sample_rate=rate)
+    return encode_wav(_pattern_audio(i, seed, duration_ms, rate), sample_rate=rate)
 
 
 def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
-    """Deterministic REAL Y4M payload (see llm/y4m.py): a moving
-    gradient bar whose speed depends on the clip id, at the metadata
-    duration and a 64×48 frame size."""
+    """Deterministic REAL Y4M payload (see llm/y4m.py)."""
     from stockify_spark.llm.y4m import encode_y4m
 
-    off = int.from_bytes(hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=4).digest(), "big")
-    n_frames = max(int(round(duration_ms * fps / 1000)), 1)
-    yy, xx = np.indices((48, 64))
-    frames = np.stack(
-        [((xx * 4 + yy + off + t * (1 + i % 5) * 8) % 256) for t in range(n_frames)]
-    ).astype(np.uint8)
-    return encode_y4m(frames, fps=(fps, 1))
+    return encode_y4m(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
+
+
+def expected_media_features(n: int = 96, seed: int = 42) -> list[tuple[int, float, float]]:
+    """(media_id, f0, f3) computed from the SOURCE pattern arrays —
+    the codecs are deliberately not involved, so comparing these
+    against features of the decoded payloads checks the whole
+    encode→decode round trip: exact for the lossless containers
+    (PNG/WAV/Y4M), within a measured 0.02 for baseline JPEG."""
+    from stockify_spark.llm.wav import audio_features
+    from stockify_spark.llm.y4m import video_features
+
+    out = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            f = _image_feature(_pattern_image(i, seed))
+        elif kind == "audio":
+            f = audio_features(_pattern_audio(i, seed, 1000 + i), 8000)
+        else:
+            f = video_features(_pattern_video(i, seed, 1000 + i), (10, 1))
+        out.append((i, float(f[0]), float(f[3])))
+    return out
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

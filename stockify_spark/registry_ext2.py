@@ -494,24 +494,48 @@ def media_frame_plan(spark, sf_dir):
     return frame_sample_plan(synthetic_media(spark, n=96), every_ms=250)
 
 
-@register("media_decode_real")  # payload decode is engine-side → rows-only check
+@register(
+    "media_decode_real",
+    # Tolerance-of-truth oracle (the agg_approx_distinct pattern):
+    # Spark decodes every payload for REAL and compares the features
+    # against the pattern-derived expectations (computed pre-encode,
+    # codecs not involved — multimodal.expected_media_features), so
+    # the booleans assert the encode→decode round trip: exact for
+    # the lossless containers, within a measured 0.02 (tol 0.05) for
+    # the lossy baseline JPEG. The oracle states every row must pass.
+    "SELECT r AS media_id,"
+    " CASE CAST(r % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END AS kind,"
+    " TRUE AS f0_ok, TRUE AS f3_ok"
+    " FROM range(96) t(r)",
+)
 def media_decode_real(spark, sf_dir):
-    """REAL decode path (no stub) for ALL THREE modalities: PNG
-    (llm/png.py), PCM WAV (llm/wav.py), and Y4M video (llm/y4m.py)
-    decode inside mapInPandas; features derive from actual pixels/
-    samples/frames (tests/test_multimodal.py pins the values against
-    the known synthetic patterns). Compressed containers would raise
-    explicitly — filter-BEFORE-decode keeps undecodable payloads
-    from ever deserializing."""
-    from stockify_spark.llm.multimodal import extract_features, synthetic_media
+    """REAL decode path (no stub) for ALL THREE modalities: PNG and
+    baseline JPEG (llm/png.py, llm/jpeg.py), PCM WAV (llm/wav.py),
+    and Y4M video (llm/y4m.py) decode inside mapInPandas; features
+    derive from actual pixels/samples/frames and are driver-checked
+    against the pre-encode pattern spec (exact for lossless formats,
+    |err| < 0.05 for JPEG whose measured max is 0.0184). Unsupported
+    compressed containers would raise explicitly — filter-BEFORE-
+    decode keeps undecodable payloads from ever deserializing."""
+    from stockify_spark.llm.multimodal import (
+        expected_media_features,
+        extract_features,
+        synthetic_media,
+    )
 
     media = synthetic_media(spark, n=96)
     feats = extract_features(media, decode_stub=False)
-    return feats.select(
+    exp = spark.createDataFrame(
+        expected_media_features(96), "media_id long, e0 double, e3 double"
+    )
+    is_jpeg = (F.col("media_id") % 3 == 0) & (F.floor(F.col("media_id") / 3) % 2 == 1)
+    tol = F.when(is_jpeg, F.lit(0.05)).otherwise(F.lit(1e-9))
+    return feats.join(F.broadcast(exp), "media_id").select(
         "media_id",
         "kind",
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
-        F.round(F.element_at("feature", 4).cast("double"), 4).alias("f3"),
+        (F.abs(F.element_at("feature", 1).cast("double") - F.col("e0")) <= tol).alias("f0_ok"),
+        (F.abs(F.element_at("feature", 4).cast("double") - F.col("e3")) <= tol).alias("f3_ok"),
     )
 
 
