@@ -331,3 +331,40 @@ def test_y4m_parameterized_frame_headers_take_scan_fallback():
     some, _ = decode_y4m(varied, frame_indices=[4, 2])
     assert np.array_equal(some[0], frames[4])
     assert np.array_equal(some[1], frames[2])
+
+
+def test_decode_matches_pattern_spec_within_oracle_tolerances():
+    """The media_decode_real oracle's claim, pinned here without
+    Spark: features of the DECODED payloads match features of the
+    pre-encode pattern arrays exactly for lossless containers and
+    within half the 0.05 oracle tolerance for baseline JPEG."""
+    from stockify_spark.llm.jpeg import decode_jpeg
+    from stockify_spark.llm.multimodal import (
+        _image_feature,
+        _synthetic_jpeg,
+        _synthetic_png,
+        _synthetic_wav,
+        _synthetic_y4m,
+        expected_media_features,
+    )
+    from stockify_spark.llm.png import decode_png
+    from stockify_spark.llm.wav import audio_features, decode_wav
+    from stockify_spark.llm.y4m import decode_y4m, video_features
+
+    expected = dict((i, (e0, e3)) for i, e0, e3 in expected_media_features(24))
+    for i in range(24):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            jpeg = (i // 3) % 2 == 1
+            payload = _synthetic_jpeg(i, 42) if jpeg else _synthetic_png(i, 42)
+            f = _image_feature(decode_jpeg(payload) if jpeg else decode_png(payload))
+            tol = 0.025 if jpeg else 0.0
+        elif kind == "audio":
+            f = audio_features(*decode_wav(_synthetic_wav(i, 42, duration_ms=1000 + i)))
+            tol = 0.0
+        else:
+            f = video_features(*decode_y4m(_synthetic_y4m(i, 42, duration_ms=1000 + i)))
+            tol = 0.0
+        e0, e3 = expected[i]
+        assert abs(float(f[0]) - e0) <= tol, (i, kind, float(f[0]), e0)
+        assert abs(float(f[3]) - e3) <= tol, (i, kind, float(f[3]), e3)

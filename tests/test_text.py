@@ -75,3 +75,36 @@ def test_winnow_fingerprints_containment_properties(spark):
     assert sets[0] == sets[3]
     assert sets[0] & sets[1]          # shared substring -> shared fingerprint
     assert not (sets[0] & sets[2])    # unrelated -> disjoint (k=5 grams)
+
+
+def test_winnow_md5_family_matches_brute_force(spark):
+    """The cross-engine md5-prefix winnow must select exactly the
+    fingerprints a straight-line Python reference picks (same
+    normalization, k-grams, 60-bit hash, window minima)."""
+    import hashlib
+    import re
+
+    from stockify_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        (0, "The  Quick brown\tfox jumps over the lazy dog"),
+        (1, "tiny"),
+        (2, ""),
+        (3, "exactly9!"),
+    ]
+    k, window = 5, 4
+
+    def brute(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        n_grams = max(len(norm) - k, 0) + 1
+        grams = [norm[i : i + k] for i in range(n_grams)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        return {min(hs[i : i + window]) for i in range(len(hs))}
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = winnow_fingerprints(docs, "text", "doc_id", hash_family="md5").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, t in texts:
+        assert got[doc_id] == brute(t), doc_id
