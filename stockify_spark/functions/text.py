@@ -156,3 +156,55 @@ def winnow_fingerprints(
     w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     kept = hashed.select(id_col, F.min("h").over(w).alias("fingerprint"))
     return kept.select(id_col, "fingerprint").distinct()
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition quality metrics per document: token
+    count, most-common-token fraction, duplicate-token fraction, and
+    most-common-bigram fraction (the "repetitious document" signals
+    of the Gopher / MassiveText filtering rules).
+
+    Shape at scale: one explode feeding two partial-aggregated
+    groupBys (token counts combine map-side before the (id, tok)
+    shuffle) plus one bounded lead() window per document for bigrams
+    — no corpus-wide state, everything keyed by the document id. All
+    fractions are single IEEE divisions of exact integer counts, so
+    a differential oracle matches them bit-for-bit.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    tc = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    uni = tc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("n_distinct"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bc = big.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    bi = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg_c")
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("top_c") / n).alias("top_token_frac"),
+            ((F.col("n_tokens") - F.col("n_distinct")) / n).alias("dup_token_frac"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("top_bg_c") / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )

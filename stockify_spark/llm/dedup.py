@@ -712,3 +712,41 @@ def duplicate_clusters(
     return connected_components(edges).select(
         F.col("node").alias(id_col), "component"
     )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_max_id: int = 20,
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination report: (train doc, eval doc) pairs
+    sharing at least ``min_shared`` distinct ``k``-token shingles —
+    the GPT-3/Gopher-style n-gram overlap check run before training.
+
+    Scale shape: the eval/benchmark side is small by nature, so its
+    shingle hashes BROADCAST and the training corpus is never
+    shuffled — the join is map-side against the scan, and only the
+    matching (train, eval) pairs reach the final (tiny) aggregation
+    shuffle. Shingle hashes use the cross-engine 60-bit md5-prefix
+    family (see minhash notes above), so a differential oracle can
+    name the identical candidate set.
+    """
+    hv = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    hashed = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("_sh")
+    ).select(id_col, hv.alias("h"))
+    ev = hashed.filter(F.col(id_col) < eval_max_id).select(
+        F.col(id_col).alias("eval_id"), "h"
+    )
+    tr = hashed.filter(F.col(id_col) >= eval_max_id).select(
+        F.col(id_col).alias("train_id"), "h"
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

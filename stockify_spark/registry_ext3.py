@@ -1683,3 +1683,92 @@ def join_range_bucketed(spark, sf_dir):
         bucket_width=250.0,
     )
     return joined.select("p_partkey", "band_brand")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline additions: repetition-based quality
+# filtering (Gopher/MassiveText) and benchmark contamination.
+# ---------------------------------------------------------------------------
+
+_TOKS3 = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "doc_quality_gopher",
+    # All fractions are single IEEE divisions of exact integer counts
+    # → bit-identical cross-engine; SUM() outputs are CAST to BIGINT
+    # (DuckDB HUGEINT degrades to float64 in the driver's pandas
+    # path).
+    f"WITH d AS (SELECT doc_id, {_TOKS3} AS l FROM documents),"
+    " tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM"
+    "  (SELECT doc_id, unnest(l) AS tok FROM d) GROUP BY doc_id, tok),"
+    " uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,"
+    "  MAX(c) AS top_c, COUNT(*) AS n_distinct FROM tc GROUP BY doc_id),"
+    " bg AS (SELECT doc_id, array_to_string(l[i + 1:i + 2], ' ') AS b FROM"
+    "  (SELECT doc_id, l, unnest(range(greatest(len(l) - 1, 0))) AS i FROM d)),"
+    " bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),"
+    " bi AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,"
+    "  MAX(c) AS top_bg_c FROM bc GROUP BY doc_id)"
+    " SELECT u.doc_id, u.n_tokens,"
+    "  CAST(u.top_c AS DOUBLE) / u.n_tokens AS top_token_frac,"
+    "  CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens AS dup_token_frac,"
+    "  CASE WHEN coalesce(b.n_bigrams, 0) > 0"
+    "   THEN CAST(b.top_bg_c AS DOUBLE) / b.n_bigrams ELSE 0.0 END"
+    "   AS top_bigram_frac,"
+    "  (u.n_tokens >= 30 AND CAST(u.top_c AS DOUBLE) / u.n_tokens <= 0.12"
+    "   AND CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens <= 0.6)"
+    "   AS keep"
+    " FROM uni u LEFT JOIN bi b USING (doc_id)",
+)
+def doc_quality_gopher(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (functions.text.
+    repetition_stats): most-common-token fraction, duplicate-token
+    fraction, most-common-bigram fraction, and the keep decision the
+    pipeline would act on. Two partial-aggregated groupBys + one
+    per-doc lead() window — nothing corpus-global."""
+    from stockify_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, "text", "doc_id")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_token_frac",
+        "top_bigram_frac",
+        (
+            (F.col("n_tokens") >= 30)
+            & (F.col("top_token_frac") <= 0.12)
+            & (F.col("dup_token_frac") <= 0.6)
+        ).alias("keep"),
+    )
+
+
+_SHINGLE8_SQL = (
+    f"list_distinct(list_transform(range(greatest(len({_TOKS3}) - 8, 0) + 1),"
+    f" i -> array_to_string({_TOKS3}[i + 1:i + 8], ' ')))"
+)
+
+
+@register(
+    "pipeline_contamination",
+    # The oracle names the identical candidate set because the
+    # shingle hash is the cross-engine md5-prefix family.
+    f"WITH d AS (SELECT doc_id, {_SHINGLE8_SQL} AS sh FROM documents),"
+    " u AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+    "  AS h FROM (SELECT doc_id, unnest(sh) AS s FROM d)),"
+    " e AS (SELECT doc_id AS eval_id, h FROM u WHERE doc_id < 20),"
+    " t AS (SELECT doc_id AS train_id, h FROM u WHERE doc_id >= 20)"
+    " SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared"
+    " FROM t JOIN e USING (h) GROUP BY train_id, eval_id",
+)
+def pipeline_contamination(spark, sf_dir):
+    """Benchmark contamination (llm/dedup.contamination_pairs): train
+    docs sharing any 8-token shingle with the eval set (doc_id < 20
+    plays the benchmark). The eval side broadcasts, so the training
+    corpus never shuffles — the pre-training hygiene check at 100 TB
+    is a map-side join against a few thousand benchmark shingles."""
+    from stockify_spark.llm.dedup import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_pairs(docs, "text", "doc_id", eval_max_id=20, k=8)
