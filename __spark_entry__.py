@@ -36,57 +36,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50), so the queries
-# with the LEAST accumulated correctness evidence go first. Round 1
-# verified the first 50 registered entries; round 2's disjoint window
-# verified the TPC-H / dedup / similarity / streaming / subquery /
-# pipeline surface. Round 3 leads with the 39 queries that have never
-# had a driver row, followed by the queries whose oracles were
-# re-typed this round (the five r02 hash failures were DuckDB
-# HUGEINT/DECIMAL→float64 pandas degradation on bit-identical values,
-# plus q7/q17 moved to DECIMAL accumulation) so they re-enter the
-# window and convert to green.
+# may budget-cap how many it checks per round (~50). Round-4 window
+# policy (VERDICT r03 items 1+3): lead with the only two queries that
+# have never held a green driver row — fn_array_ops (r03 ERR: raw
+# array columns, now scalarized) and agg_approx_distinct (r01 ERR,
+# fixed in r2, never re-windowed) — then refresh the 49 queries whose
+# only green evidence is r01 (stalest-first refresh; the ten
+# single-comparator filter probes sit at the window's edge since
+# their pattern is proven by every sibling). After those 51 come the
+# r02-green queries whose implementation was re-registered in r03
+# (cosine Arrow scoring, ngram shuffle drop, embedding-dup probe) so
+# correctness evidence postdates the last code change as windows
+# permit.
 _PRIORITY = [
-    # --- never driver-checked (r01+r02 windows missed these) ---
-    # scalar-function extensions
-    "fn_regexp", "fn_explode", "fn_posexplode", "fn_date_arith",
-    "fn_null_handling", "fn_string2", "fn_array_ops", "fn_trig",
-    "fn_least_greatest", "fn_crypto_hash",
-    # set-op extensions
-    "setop_intersect_all", "setop_except_all", "setop_union_by_name",
-    "setop_union_distinct",
-    # aggregate extensions
-    "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
-    "agg_bitwise_bool", "agg_skew_kurt", "agg_sum_f32",
-    # window extensions
-    "window_range_frame", "window_ntile", "window_first_last",
-    "window_partitioned_parity",
-    # UDF surface
-    "udf_group_zscore", "udf_scalar_pandas",
-    # multimodal plumbing + sampling
-    "media_decode_real", "media_sample_frames", "media_features",
-    "media_frame_plan", "media_resize",
-    "sample_seeded", "sample_stratified",
-    # text analysis extensions
-    "lang_detect", "text_bpe_tokens", "text_winnow_fingerprints",
-    # reference-parity suites
-    "stocks_filter_agg", "stocks_window_suite",
-    # trivial filter variant — never checked, pattern proven by the
-    # ten sibling filter queries green since r01
-    "filter_between_in_like",
-    # --- brand-new round-3 queries (never existed before) ---
-    "doc_quality_gopher", "pipeline_contamination",
-    # --- oracles re-typed this round: convert r02 hash-fails to green ---
-    "tpch_q10", "tpch_q12", "tpch_q15", "pipeline_token_pack",
-    "groupby_time_rollup",
-    # --- newly oracle-converted this round (were rows-only in r02) ---
-    "sim_ivf_topk", "sim_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
-    # --- window overflow (slots 51+): these three already hold GREEN
-    # r02 driver rows; their round-3 re-types (q7/q17 DECIMAL
-    # accumulation, cosine Arrow scoring) are proven by the local
-    # gate's dual-path compare, so they are the cheapest to let fall
-    # off a 50-query window ---
-    "sim_cosine_topk", "tpch_q7", "tpch_q17",
+    # --- never driver-green: must lead (VERDICT r03 item 1) ---
+    "fn_array_ops", "agg_approx_distinct", "agg_sum", "agg_min_max",
+    "agg_stats", "agg_filtered", "agg_count_distinct", "window_moving_avg",
+    "window_rolling_min", "window_rolling_max", "window_partitioned_sum", "window_running_total",
+    "window_rank", "window_lag_lead", "topk_orders", "topk_per_group",
+    "range_scan_price", "groupby_q1", "groupby_month", "groupby_having",
+    "groupby_rollup", "groupby_cube", "groupby_pivot", "agg_percentile",
+    "join_dim", "join_fact_agg", "join_semi", "join_anti",
+    "join_star", "join_asof", "setop_union_all", "setop_intersect",
+    "setop_except", "distinct_pairs", "fn_date", "fn_string",
+    "fn_json", "fn_math", "fn_conditional", "fn_array",
+    "stream_tumbling_counts", "filter_ge", "filter_gt", "filter_lt",
+    "filter_le", "filter_eq", "filter_ne", "filter_and",
+    "filter_or_not", "filter_empty", "filter_selection_vector",
+    # --- r02-green but code re-registered in r03: evidence should
+    # postdate the change ---
+    "sim_cosine_topk", "dedup_ngram_jaccard", "sim_embedding_dup",
+    # --- next-stalest (r02 evidence), in registration order ---
+    "dedup_exact", "text_stats", "text_fingerprint", "doc_quality",
+    "sim_quantized_topk", "subquery_scalar", "subquery_in",
+    "subquery_correlated", "tpch_q6", "tpch_q3", "stream_sliding_counts",
+    "stream_session_agg", "stream_dedup_keys", "groupby_grouping_sets",
+    "stream_stateful_totals", "stream_interval_join", "join_left_outer",
+    "join_full_outer", "join_cross", "tpch_q14", "tpch_q18",
+    "pipeline_clean_corpus", "tpch_q5", "groupby_mom_change",
+    "events_funnel", "tpch_q4", "tpch_q19", "tpch_q13", "tpch_q8",
+    "tpch_q22", "merge_upsert_orders", "dedup_clusters", "tpch_q7",
+    "tpch_q17", "tpch_q21", "dedup_embedding_clusters", "join_salted",
+    "join_range_bucketed",
 ]
 
 

@@ -618,9 +618,10 @@ def fn_string2(spark, sf_dir):
 
 @register(
     "fn_array_ops",
-    "SELECT p_partkey, words,"
+    "SELECT p_partkey,"
+    " array_to_string(words, ' ') AS words_str,"
     " CAST(len(words) AS INT) AS n_words,"
-    " list_sort(words) AS words_sorted,"
+    " array_to_string(list_sort(words), '|') AS words_sorted_str,"
     " list_contains(words, 'widget') AS has_widget,"
     " CAST(COALESCE(list_position(words, 'widget'), 0) AS INT) AS widget_pos,"
     " words[1] AS first_word,"
@@ -631,15 +632,19 @@ def fn_array_ops(spark, sf_dir):
     """Array algebra over a derived array column. Ordinal conventions
     reconciled in the oracle: both engines are 1-based for element
     access; Spark's array_position returns 0 for missing where DuckDB
-    returns NULL (coalesced)."""
+    returns NULL (coalesced). Array-valued intermediates (words,
+    words_sorted) are scalarized with array_join before projection:
+    the driver's pandas canonicalization cannot hash list cells, and
+    a string rendering carries identical information for the
+    differential check."""
     df = _t(spark, sf_dir, "part").select(
         "p_partkey", F.split("p_name", " ").alias("words")
     )
     return df.select(
         "p_partkey",
-        "words",
+        F.array_join("words", " ").alias("words_str"),
         F.size("words").cast("int").alias("n_words"),
-        F.sort_array("words").alias("words_sorted"),
+        F.array_join(F.sort_array("words"), "|").alias("words_sorted_str"),
         F.array_contains("words", "widget").alias("has_widget"),
         F.array_position("words", "widget").cast("int").alias("widget_pos"),
         F.element_at("words", 1).alias("first_word"),

@@ -106,6 +106,23 @@ def pandas_path_problems(spark_pdf, duck_pdf):
     if scols != dcols:
         return [f"pandas cols spark={scols} duckdb={dcols}"]
     spark_pdf, duck_pdf = spark_pdf.copy(), duck_pdf.copy()
+    # The driver canonicalizes with pandas.sort_values over the RAW
+    # columns, which factorizes object columns; a list/dict/ndarray
+    # cell raises "unhashable type" there and kills the whole row.
+    # Round 3 shipped fn_array_ops with raw array<string> outputs
+    # because this gate string-normalized cells before comparing —
+    # so replicate the driver and fail any non-scalar cell outright.
+    _UNHASHABLE = {"list", "dict", "ndarray", "tuple", "set"}
+    for side, pdf in (("spark", spark_pdf), ("duckdb", duck_pdf)):
+        for c in scols:
+            kind = _dtype_kind(pdf[c])
+            if kind.startswith("object:") and kind.split(":", 1)[1] in _UNHASHABLE:
+                problems.append(
+                    f"driver-unhashable {side} column [{c}] ({kind}): "
+                    "scalarize with array_join/to_json before projecting"
+                )
+    if problems:
+        return problems
     for c in scols:
         sk, dk = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
         # DATE columns: Spark toPandas yields datetime.date objects,
