@@ -232,9 +232,13 @@ def minhash_lsh_pairs_seeded(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.col("_na") + F.col("_nb")).cast("double") - inter
+    # Filter on the UNROUNDED ratio — the oracle's WHERE clause does —
+    # and round only the projected column. Filtering post-round would
+    # admit pairs with raw jaccard in [threshold-5e-7, threshold) that
+    # the oracle rejects (reachable once union sizes reach ~1e6).
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        joined.filter(inter / union >= jaccard_threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -307,9 +311,10 @@ def minhash_lsh_pairs(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # threshold applies to the true jaccard; round only the projection
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        joined.filter(inter / union >= jaccard_threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -400,9 +405,10 @@ def ngram_jaccard_pairs(
     # the intersection array is materialized — half the verify cost
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.col("_na") + F.col("_nb")).cast("double") - inter
+    # match the oracle: WHERE on the unrounded ratio, ROUND in SELECT
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        joined.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -634,15 +640,19 @@ def connected_components(
     keeping one representative per duplicate CLUSTER needs the
     transitive closure.
 
-    Iterative min-label propagation (Pregel-lite): each round every
-    node takes the min of its label and its neighbors' labels; stop
-    when a round changes nothing. Each round is one join + one
-    partial-aggregated groupBy, labels persisted across rounds.
-    Rounds needed = graph diameter — near-dup clusters are
-    small-diameter cliques/chains, so this converges in a handful of
-    rounds; for adversarial long-chain graphs switch to a
-    path-doubling variant (diameter log-steps) before raising
-    ``max_iters``.
+    Min-label propagation WITH pointer jumping (path doubling):
+    each round every node first takes the min of its label and its
+    neighbors' labels (one hop), then jumps to its current label's
+    label — so the propagation horizon DOUBLES per round and a
+    diameter-d graph converges in O(log d) rounds, not d. Both steps
+    only ever assign ids of reachable nodes (a neighbor's label and
+    a reachable node's label are both reachable), so the fixpoint is
+    exactly component = min reachable id. Each round is two
+    shuffled joins + one partial-aggregated groupBy; labels are
+    persisted across rounds and lineage is truncated with
+    localCheckpoint every 5 rounds so Catalyst's analysis cost stays
+    bounded however many rounds run. max_iters=20 therefore covers
+    graphs of diameter ~2^19 — far beyond any near-dup cluster.
     """
     nodes = (
         edges.select(F.col(id_a).alias("node"))
@@ -654,22 +664,43 @@ def connected_components(
     )
     labels = nodes.withColumn("component", F.col("node")).persist()
     labels.count()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("component").alias("_nmin"))
         )
+        hop = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component <- label(component). labels(it) holds
+        # the previous round's fixpoint-so-far; composing it with this
+        # round's one-hop result doubles the propagation distance.
+        jump = labels.select(
+            F.col("node").alias("_jn"), F.col("component").alias("_jc")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            hop.join(jump, hop["component"] == jump["_jn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_jc"), F.col("component"))
                 ).alias("component"),
             )
             .persist()
         )
+        # persist() keeps the DATA hot but the logical plan still
+        # accretes one join+agg per round; Catalyst analysis/optimizer
+        # time grows superlinearly with plan depth on long-chain
+        # graphs. localCheckpoint truncates lineage every 5 rounds so
+        # plan depth stays bounded regardless of graph diameter.
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

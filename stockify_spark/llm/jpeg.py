@@ -201,7 +201,10 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
+        try:
+            byte = self.data[self.pos >> 3]
+        except IndexError:
+            raise ValueError("corrupt JPEG: truncated scan") from None
         bit = (byte >> (7 - (self.pos & 7))) & 1
         self.pos += 1
         return bit
@@ -442,6 +445,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # ITU T.81 B.1.1.2: markers may be preceded by any number of
+        # 0xFF fill bytes — real-world encoders emit them for padding
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -110,6 +110,8 @@ def cosine_topk_batched(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty batch
+                continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cos = _seq_cosine(mat, qmat, qnorm)  # (B, Q)
@@ -127,6 +129,8 @@ def cosine_topk_batched(
                 out_q.append(np.full(len(order), qid))
                 out_n.append(nids[order])
                 out_c.append(col[order])
+            if not out_q:  # empty query set: np.concatenate([]) raises
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -563,6 +567,11 @@ def seeded_ivf_topk(
     rows = tagged.collect()
     c_rows = sorted([r for r in rows if r[0] == "c"], key=lambda r: r[1])
     q_rows = sorted([r for r in rows if r[0] == "q"], key=lambda r: r[1])
+    if len(c_rows) != n_centroids:
+        raise ValueError(
+            f"seeded IVF needs corpus ids 0..{n_centroids - 1} as seed "
+            f"centroids; found {len(c_rows)} of {n_centroids}"
+        )
     cids = np.array([r[1] for r in c_rows], dtype=np.int64)
     cmat = np.array([r[2] for r in c_rows], dtype=np.float64)
     cnorm = _seq_norms(cmat)
@@ -685,6 +694,11 @@ def seeded_lsh_topk(
     rows = tagged.collect()
     p_rows = sorted([r for r in rows if r[0] == "p"], key=lambda r: r[1])
     q_rows = sorted([r for r in rows if r[0] == "q"], key=lambda r: r[1])
+    if len(p_rows) != n_h:
+        raise ValueError(
+            f"seeded LSH needs corpus ids 0..{n_h - 1} as hyperplane "
+            f"normals; found {len(p_rows)} of {n_h}"
+        )
     pmat = np.array([r[2] for r in p_rows], dtype=np.float64)  # (n_h, dim)
     qids = np.array([r[1] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[2] for r in q_rows], dtype=np.float64)

@@ -565,9 +565,12 @@ def _video_pattern_constants(n: int = 96, seed: int = 42) -> str:
     # oracle recomputes every sampled frame's mean luma from the
     # pattern spec (codec not involved) and the decoded values must
     # match BIT-EXACTLY. frame_index = ts*10//1000 == ts//100 at
-    # fps=10/1, clamped to the last frame. No video duration lands on
-    # a *.5 frame count, so Python's round() (banker's) and plain
-    # rounding agree on n_frames.
+    # fps=10/1, clamped to the last frame. Durations CAN land on a
+    # *.5 frame count (media_id 50: 1050 ms -> 10.5 frames at fps 10);
+    # both _video_pattern_constants and _pattern_video compute
+    # n_frames with Python's round() (banker's), so encoder and
+    # oracle stay in lockstep — never switch one side alone to
+    # plain/floor rounding.
     "WITH v(media_id, ofs, speed, duration_ms, n_frames) AS"
     " (VALUES " + _video_pattern_constants() + "),"
     " ts AS (SELECT media_id, ofs, speed, n_frames,"

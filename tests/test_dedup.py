@@ -146,3 +146,46 @@ def test_cluster_detectors_agree_on_planted_dups(spark, docs):
            duplicate_clusters(docs, "text", "doc_id", detector="minhash").collect()}
     assert exact == lsh
     assert exact  # docs 0,1,2(,3) cluster
+
+
+def test_connected_components_long_chain_path_doubling(spark):
+    """A 200-node chain (diameter 199) must converge inside the
+    default max_iters=20: pointer jumping doubles the propagation
+    horizon each round (2^t - 1 >= 199 at t=8), and localCheckpoint
+    every 5 rounds keeps plan depth bounded. Labels must equal the
+    transitive-closure answer: every node -> component 0."""
+    from stockify_spark.llm.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_long_chain_matches_recursive_cte(spark):
+    """Cross-engine: the same 120-node two-chain graph labeled by a
+    DuckDB recursive CTE (min reachable id) must match exactly."""
+    import duckdb
+
+    from stockify_spark.llm.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(59)] + [(i, i + 1) for i in range(60, 119)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    want = dict(
+        con.execute(
+            "WITH RECURSIVE sym AS (SELECT id_a AS s, id_b AS d FROM e"
+            " UNION SELECT id_b, id_a FROM e),"
+            " reach(node, r) AS ("
+            "  SELECT s, s FROM sym UNION SELECT sym.s, reach.r FROM sym"
+            "  JOIN reach ON sym.d = reach.node)"
+            " SELECT node, MIN(r) FROM reach GROUP BY node"
+        ).fetchall()
+    )
+    assert got == want
