@@ -50,7 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # permit.
 _PRIORITY = [
     # --- never driver-green: must lead (VERDICT r03 item 1) ---
-    "fn_array_ops", "agg_approx_distinct", "agg_sum", "agg_min_max",
+    "fn_array_ops", "agg_approx_distinct",
+    # --- new in r4 (MJPEG-AVI container): new code needs driver
+    # evidence more than proven-green r01 rows need refreshing ---
+    "media_avi_index", "media_container_mjpeg",
+    "agg_sum", "agg_min_max",
     "agg_stats", "agg_filtered", "agg_count_distinct", "window_moving_avg",
     "window_rolling_min", "window_rolling_max", "window_partitioned_sum", "window_running_total",
     "window_rank", "window_lag_lead", "topk_orders", "topk_per_group",

@@ -1,14 +1,16 @@
 """Multimodal (image/audio/video) column plumbing (north-star
 extension). Media are opaque ``binary`` columns with typed metadata;
 the Spark-side machinery — schema, partition sizing, Arrow batch
-shape, UDF signatures — is real and tested. Four container formats
+shape, UDF signatures — is real and tested. Five container formats
 decode FOR REAL with the pure-stdlib codecs in this package: PNG
 (llm/png.py), baseline JPEG (llm/jpeg.py — huffman + IDCT, the
-compressed case), PCM WAV (llm/wav.py), and Y4M video (llm/y4m.py).
-``decode_stub=True`` swaps deterministic hash-seeded fake features
-for the decode step (the cheap-smoke path); formats that genuinely
-need native codecs (mp4/webm/mp3, progressive JPEG) raise
-NotImplementedError at the point the codec would run.
+compressed case), PCM WAV (llm/wav.py), Y4M video (llm/y4m.py), and
+MJPEG-in-AVI (llm/avi.py — a compressed video container: RIFF parse
++ per-frame entropy decode). ``decode_stub=True`` swaps
+deterministic hash-seeded fake features for the decode step (the
+cheap-smoke path); formats that genuinely need native codecs
+(mp4/webm/mp3, progressive JPEG) raise NotImplementedError at the
+point the codec would run.
 """
 
 from __future__ import annotations
@@ -120,6 +122,32 @@ def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     return encode_y4m(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
 
 
+def _synthetic_avi(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
+    """Deterministic REAL MJPEG-AVI payload (see llm/avi.py): the
+    same luma pattern family as :func:`_synthetic_y4m`, but each
+    frame goes through the lossy baseline-JPEG pipeline and the
+    container is RIFF/AVI with an idx1 frame index."""
+    from stockify_spark.llm.avi import encode_avi_mjpeg
+
+    return encode_avi_mjpeg(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
+
+
+def synthetic_media_avi(spark, n: int = 96, seed: int = 42) -> DataFrame:
+    """Video-only media table whose payloads are MJPEG AVIs — the
+    COMPRESSED-container twin of ``synthetic_media``'s Y4M rows: the
+    same clip ids (i ≡ 2 mod 3, i < n), the same source pattern
+    frames, so every closed-form oracle over the Y4M clips has a
+    tolerance-of-truth analog here (JPEG quantization bounds the
+    drift; measured max mean-luma error 0.57)."""
+    rows = []
+    for i in range(2, n, 3):
+        payload = _synthetic_avi(i, seed, duration_ms=1000 + i)
+        rows.append(
+            (i, "video", "video/x-msvideo", len(payload), 64, 48, 1000 + i, payload)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def expected_media_features(n: int = 96, seed: int = 42) -> list[tuple[int, float, float]]:
     """(media_id, f0, f3) computed from the SOURCE pattern arrays —
     the codecs are deliberately not involved, so comparing these
@@ -223,10 +251,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     ``repartition`` after a ``n_bytes`` bucket) before calling at
     scale so one task doesn't get all the 4K videos.
 
-    ``decode_stub=False`` REALLY decodes every uncompressed payload
-    format: ``image/png`` (llm/png.py), ``audio/wav`` (llm/wav.py),
-    and ``video/x-yuv4mpeg`` (llm/y4m.py), featurizing actual
-    pixels/samples/frames. Compressed containers (mp4, jpeg, mp3)
+    ``decode_stub=False`` REALLY decodes: ``image/png`` (llm/png.py),
+    ``image/jpeg`` baseline (llm/jpeg.py), ``audio/wav``
+    (llm/wav.py), ``video/x-yuv4mpeg`` (llm/y4m.py), and
+    ``video/x-msvideo`` MJPEG (llm/avi.py), featurizing actual
+    pixels/samples/frames. Inter-frame containers (mp4, webm, mp3)
     need native codecs and raise explicitly.
     """
 
@@ -248,11 +277,16 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         feats.append(audio_features(*decode_wav(content)).tolist())
                     elif kind == "video" and mime == "video/x-yuv4mpeg":
                         feats.append(video_features(*decode_y4m(content)).tolist())
+                    elif kind == "video" and mime == "video/x-msvideo":
+                        from stockify_spark.llm.avi import decode_avi_mjpeg
+
+                        feats.append(video_features(*decode_avi_mjpeg(content)).tolist())
                     else:
                         raise NotImplementedError(
                             f"real decode for {mime} requires native codecs,"
                             " not in this container — supported: image/png,"
-                            " image/jpeg (baseline), audio/wav, video/x-yuv4mpeg"
+                            " image/jpeg (baseline), audio/wav,"
+                            " video/x-yuv4mpeg, video/x-msvideo (MJPEG)"
                         )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
@@ -287,19 +321,22 @@ FRAME_STATS_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame sampling with REAL decode: the exploded (video, ts) rows
-    each decode ONLY their own frame — Y4M frames sit at fixed
-    offsets, so sampling frame k is pointer arithmetic, not a scan of
-    the clip (llm/y4m.py). This is the explode-before-decode shape
-    realized end to end: at scale each task seeks straight to its
-    frames and a 2-hour clip never deserializes for a 12-frame
-    sample."""
+    each decode ONLY their own frame. Y4M frames sit at fixed offsets
+    (llm/y4m.py) and MJPEG-AVI frames are indexed by idx1
+    (llm/avi.py), so sampling frame k is a seek plus at most one
+    JPEG entropy decode — never a scan of the clip. This is the
+    explode-before-decode shape realized end to end: at scale each
+    task seeks straight to its frames and a 2-hour clip never
+    deserializes for a 12-frame sample."""
     from stockify_spark.llm.y4m import _parse_header, decode_y4m, frame_count
 
     video = media.filter(
-        (F.col("kind") == "video") & (F.col("mime") == "video/x-yuv4mpeg")
+        (F.col("kind") == "video")
+        & (F.col("mime").isin("video/x-yuv4mpeg", "video/x-msvideo"))
     )
     exploded = video.select(
         "media_id",
+        "mime",
         "content",
         F.explode(
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
@@ -307,14 +344,24 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stockify_spark.llm.avi import avi_info, decode_avi_mjpeg
+
         for pdf in batches:
             rows = {"media_id": [], "frame_ts_ms": [], "frame_index": [], "mean_luma": []}
-            for mid, content, ts in zip(pdf["media_id"], pdf["content"], pdf["frame_ts_ms"]):
+            for mid, mime, content, ts in zip(
+                pdf["media_id"], pdf["mime"], pdf["content"], pdf["frame_ts_ms"]
+            ):
                 data = bytes(content)
-                _, _, fps, _ = _parse_header(data)
+                if mime == "video/x-msvideo":
+                    _, _, fps, n_frames = avi_info(data)
+                    decode = decode_avi_mjpeg
+                else:
+                    _, _, fps, _ = _parse_header(data)
+                    n_frames = frame_count(data)
+                    decode = decode_y4m
                 # clamp: a tail timestamp can round past the last frame
-                idx = min(int(ts) * fps[0] // (1000 * fps[1]), frame_count(data) - 1)
-                frame, _ = decode_y4m(data, frame_indices=[idx])
+                idx = min(int(ts) * fps[0] // (1000 * fps[1]), n_frames - 1)
+                frame, _ = decode(data, frame_indices=[idx])
                 rows["media_id"].append(mid)
                 rows["frame_ts_ms"].append(int(ts))
                 rows["frame_index"].append(idx)

@@ -1777,3 +1777,120 @@ def pipeline_contamination(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return contamination_pairs(docs, "text", "doc_id", eval_max_id=20, k=8)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-container video: MJPEG-in-AVI (llm/avi.py). The clips
+# share ids and SOURCE pattern frames with the Y4M rows, so the same
+# closed-form constants drive both oracle families.
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_avi_index",
+    # Exact oracle: everything here comes from the RIFF headers and
+    # the idx1 frame index — no entropy decode — so the values are
+    # deterministic container metadata, hash-checked bit-for-bit.
+    # n_frames literals come from the shared pattern-constants helper
+    # (registry_ext2._video_pattern_constants; Python banker's round,
+    # same as the encoder).
+    None,  # filled below: needs the registry_ext2 literal helper
+)
+def media_avi_index(spark, sf_dir):
+    """Container metadata probe over REAL MJPEG AVIs: mapInPandas
+    parses RIFF headers + idx1 per payload (llm/avi.avi_info) and
+    never touches frame entropy data — the filter-before-decode
+    contract for compressed video, where routing/batching decisions
+    read O(header) bytes of a multi-GB clip."""
+    import pandas as pd
+
+    from stockify_spark.llm.multimodal import synthetic_media_avi
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("fps_num", T.IntegerType(), False),
+            T.StructField("fps_den", T.IntegerType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        from stockify_spark.llm.avi import avi_info
+
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, n = avi_info(bytes(content))
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps_num"].append(fps[0])
+                rows["fps_den"].append(fps[1])
+                rows["n_frames"].append(n)
+            yield pd.DataFrame(rows)
+
+    return synthetic_media_avi(spark, n=96).mapInPandas(run, schema)
+
+
+@register(
+    "media_container_mjpeg",
+    None,  # filled below: needs the registry_ext2 literal helper
+)
+def media_container_mjpeg(spark, sf_dir):
+    """Sampled-frame decode from a COMPRESSED container: explode the
+    250 ms grid BEFORE decode, then each row seeks frame k via the
+    AVI idx1 index and entropy-decodes ONLY that JPEG
+    (llm/multimodal.sample_frames → llm/avi.decode_avi_mjpeg).
+    frame_index is exact; mean luma is tolerance-of-truth against the
+    pre-encode pattern spec — JPEG quantization drifts the mean by at
+    most 0.57 across all 32 clips (tol 1.5), so luma_ok == TRUE
+    asserts the full container-parse → huffman → IDCT path."""
+    import numpy as np
+
+    from stockify_spark.llm.multimodal import (
+        _pattern_video,
+        sample_frames,
+        synthetic_media_avi,
+    )
+
+    exp_rows = []
+    for i in range(2, 96, 3):
+        frames = _pattern_video(i, 42, duration_ms=1000 + i)
+        for idx in range(len(frames)):
+            exp_rows.append((i, idx, float(np.asarray(frames[idx], dtype=np.float64).mean())))
+    exp = spark.createDataFrame(exp_rows, "media_id long, frame_index long, e_luma double")
+
+    out = sample_frames(synthetic_media_avi(spark, n=96), every_ms=250)
+    return out.join(F.broadcast(exp), ["media_id", "frame_index"]).select(
+        "media_id",
+        "frame_ts_ms",
+        "frame_index",
+        (F.abs(F.col("mean_luma") - F.col("e_luma")) <= 1.5).alias("luma_ok"),
+    )
+
+
+def _register_avi_oracles() -> None:
+    """The two AVI oracles need registry_ext2's pattern-constants
+    literal helper; registering them here keeps the import one-way
+    (ext3 → ext2) and the SQL single-sourced with the Y4M family."""
+    from stockify_spark.registry import ORACLE
+    from stockify_spark.registry_ext2 import _video_pattern_constants
+
+    v = "WITH v(media_id, ofs, speed, duration_ms, n_frames) AS (VALUES " + _video_pattern_constants() + ")"
+    ORACLE["media_avi_index"] = (
+        v + " SELECT media_id, 64 AS width, 48 AS height,"
+        " 10 AS fps_num, 1 AS fps_den, n_frames FROM v"
+    )
+    ORACLE["media_container_mjpeg"] = (
+        v + ", ts AS (SELECT media_id, n_frames,"
+        "  unnest(range(0, duration_ms, 250)) AS frame_ts_ms FROM v)"
+        " SELECT media_id, frame_ts_ms,"
+        "  least(frame_ts_ms // 100, n_frames - 1) AS frame_index,"
+        "  TRUE AS luma_ok FROM ts"
+    )
+
+
+_register_avi_oracles()
