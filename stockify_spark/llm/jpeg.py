@@ -2,8 +2,8 @@
 
 Covers the compressed-container gap left by the uncompressed codecs
 (llm/png.py, llm/wav.py, llm/y4m.py): baseline sequential DCT JPEG
-(SOF0), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:0 subsampling —
-the overwhelmingly common profile. Decode implements the full
+(SOF0), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling — the overwhelmingly common profiles. Decode implements the full
 pipeline: segment parse → Huffman entropy decode (with 0xFF00 byte
 unstuffing and restart markers) → dequantize → un-zigzag → 8×8
 inverse DCT → chroma upsample → YCbCr→RGB. The encoder emits the
@@ -319,8 +319,8 @@ def encode_jpeg(
     img: np.ndarray, subsample: str = "420", restart_interval: int = 0
 ) -> bytes:
     """Encode uint8 grayscale (h, w) or RGB (h, w, 3) as baseline
-    JPEG with the Annex-K quality-50 tables. ``subsample``: "420" or
-    "444" (ignored for grayscale). ``restart_interval`` > 0 emits a
+    JPEG with the Annex-K quality-50 tables. ``subsample``: "420",
+    "422", or "444" (ignored for grayscale). ``restart_interval`` > 0 emits a
     DRI segment and RSTn markers every that many MCUs (the
     error-resilience feature real encoders use; also exercises the
     decoder's restart path)."""
@@ -345,6 +345,14 @@ def encode_jpeg(
             cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
             sampling = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            # average 1x2 (horizontal only — full vertical chroma),
+            # the broadcast/video-capture profile
+            cbp = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
+            cb = cbp.reshape(h, cbp.shape[1] // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, crp.shape[1] // 2, 2).mean(axis=2)
+            sampling = [(2, 1), (1, 1), (1, 1)]
         elif subsample == "444":
             sampling = [(1, 1), (1, 1), (1, 1)]
         else:

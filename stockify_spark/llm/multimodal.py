@@ -102,10 +102,12 @@ def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
 def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     """Deterministic REAL baseline-JPEG payload (see llm/jpeg.py):
     the same gradient family as :func:`_synthetic_png`, through the
-    lossy DCT pipeline."""
+    lossy DCT pipeline. Alternates 4:2:0 and 4:2:2 chroma subsampling
+    so the decode oracle exercises both common profiles."""
     from stockify_spark.llm.jpeg import encode_jpeg
 
-    return encode_jpeg(_pattern_image(i, seed, w, h), subsample="420")
+    subsample = "422" if (i // 3) % 4 == 3 else "420"
+    return encode_jpeg(_pattern_image(i, seed, w, h), subsample=subsample)
 
 
 def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:

@@ -238,9 +238,10 @@ def test_real_image_resize_end_to_end(spark):
 
 
 def test_jpeg_codec_roundtrip_psnr_and_rejections():
-    """Baseline JPEG codec (llm/jpeg.py): gray/444/420 round-trips
-    land above 30 dB PSNR on a smooth gradient; restart markers
-    decode identically; progressive frames raise explicitly."""
+    """Baseline JPEG codec (llm/jpeg.py): gray/444/422/420
+    round-trips land above 30 dB PSNR on a smooth gradient; restart
+    markers decode identically; progressive frames raise
+    explicitly."""
     from stockify_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
     rng = np.random.RandomState(3)
@@ -256,13 +257,19 @@ def test_jpeg_codec_roundtrip_psnr_and_rejections():
 
     out_g = decode_jpeg(encode_jpeg(gray))
     assert out_g.shape == gray.shape and psnr(gray, out_g) > 30
-    for ss in ("444", "420"):
-        out = decode_jpeg(encode_jpeg(rgb, subsample=ss))
+    quality = {}
+    for ss in ("444", "422", "420"):
+        data = encode_jpeg(rgb, subsample=ss)
+        out = decode_jpeg(data)
         assert out.shape == rgb.shape and psnr(rgb, out) > 30
-    # odd dimensions survive the MCU padding
+        quality[ss] = (psnr(rgb, out), -len(data))
+    # less chroma loss → better fidelity and bigger files, in order
+    assert quality["444"] >= quality["422"] >= quality["420"]
+    # odd dimensions survive the MCU padding at every sampling shape
     odd = rgb[:37, :29]
-    out = decode_jpeg(encode_jpeg(odd, subsample="420"))
-    assert out.shape == odd.shape and psnr(odd, out) > 30
+    for ss in ("444", "422", "420"):
+        out = decode_jpeg(encode_jpeg(odd, subsample=ss))
+        assert out.shape == odd.shape and psnr(odd, out) > 30
     # restart markers: bit-identical result to the unsegmented stream
     a = decode_jpeg(encode_jpeg(rgb, subsample="420"))
     b = decode_jpeg(encode_jpeg(rgb, subsample="420", restart_interval=2))
