@@ -85,6 +85,22 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set(_NANOS_CONF, "true")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC for sessions not built by
+    :mod:`stockify_spark.session` (the verification driver uses a
+    vanilla SparkSession). The NTZ→LTZ normalization in
+    :func:`load_table` and every epoch-valued expression assume the
+    DuckDB-equivalent naive-UTC reading; like :func:`_ensure_nanos_conf`
+    this set is idempotent and constant-valued."""
+    tz_conf = "spark.sql.session.timeZone"
+    try:
+        current = spark.conf.get(tz_conf)
+    except Exception:
+        current = None
+    if current != "UTC":
+        spark.conf.set(tz_conf, "UTC")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, float32: bool = False
 ) -> DataFrame:
@@ -103,6 +119,7 @@ def load_table(
     nanos_cols = NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         _ensure_nanos_conf(spark)
+    _ensure_utc(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
@@ -110,6 +127,15 @@ def load_table(
     for c in nanos_cols:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Normalize naive parquet timestamps to TIMESTAMP (LTZ). Newer
+    # writers emit TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    # Spark 4 infers as TIMESTAMP_NTZ — a type many epoch functions
+    # (unix_millis & co.) reject. The session timezone is pinned to
+    # UTC (session.py), so this cast is value-identical to the naive
+    # reading DuckDB uses and to what earlier data vintages produced.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if float32:
         for c, t in df.dtypes:
             if t == "double":

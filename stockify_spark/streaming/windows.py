@@ -32,6 +32,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     for c in NANOS_TS_COLS.get("events", ()):
         if dict(stream.dtypes).get(c) == "bigint":
             stream = stream.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c, t in stream.dtypes:
+        if t == "timestamp_ntz":  # newer data vintages; see sources.io
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 
