@@ -36,42 +36,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50). Round-4 window
-# policy (VERDICT r03 items 1+3): lead with the only two queries that
-# have never held a green driver row — fn_array_ops (r03 ERR: raw
-# array columns, now scalarized) and agg_approx_distinct (r01 ERR,
-# fixed in r2, never re-windowed) — then refresh the 49 queries whose
-# only green evidence is r01 (stalest-first refresh; the ten
-# single-comparator filter probes sit at the window's edge since
-# their pattern is proven by every sibling). After those 51 come the
-# r02-green queries whose implementation was re-registered in r03
-# (cosine Arrow scoring, ngram shuffle drop, embedding-dup probe) so
-# correctness evidence postdates the last code change as windows
-# permit.
+# may budget-cap how many it checks per round (~50). Round-6 window
+# policy: the testdata was REGENERATED before round 5 (naive-micros
+# timestamps, Spark 4 infers TIMESTAMP_NTZ), so green evidence that
+# predates r05 is against data that no longer exists. Lead with the
+# queries newest-to-the-driver: the two MP4-container queries landed
+# this round, then window_range_frame (the one query that hard-ERRs
+# on NTZ without the round-6 loader fix — its only green row is r03,
+# pre-regeneration), then every query whose last green row is r02
+# (stalest evidence, 41 of them — includes all streaming, outer
+# joins, and most TPC-H), then the r03-green queries that read
+# event/order timestamps (the columns whose physical type changed).
+# The r03-green remainder follows for whatever window is left and
+# leads the r07 rotation; the r04/r05-fresh rows (basics + filters)
+# sit last.
 _PRIORITY = [
-    # --- never driver-green: must lead (VERDICT r03 item 1) ---
-    "fn_array_ops", "agg_approx_distinct",
-    # --- new in r4 (MJPEG-AVI container): new code needs driver
-    # evidence more than proven-green r01 rows need refreshing ---
-    "media_avi_index", "media_container_mjpeg",
-    "agg_sum", "agg_min_max",
-    "agg_stats", "agg_filtered", "agg_count_distinct", "window_moving_avg",
-    "window_rolling_min", "window_rolling_max", "window_partitioned_sum", "window_running_total",
-    "window_rank", "window_lag_lead", "topk_orders", "topk_per_group",
-    "range_scan_price", "groupby_q1", "groupby_month", "groupby_having",
-    "groupby_rollup", "groupby_cube", "groupby_pivot", "agg_percentile",
-    "join_dim", "join_fact_agg", "join_semi", "join_anti",
-    "join_star", "join_asof", "setop_union_all", "setop_intersect",
-    "setop_except", "distinct_pairs", "fn_date", "fn_string",
-    "fn_json", "fn_math", "fn_conditional", "fn_array",
-    "stream_tumbling_counts", "filter_ge", "filter_gt", "filter_lt",
-    "filter_le", "filter_eq", "filter_ne", "filter_and",
-    "filter_or_not", "filter_empty", "filter_selection_vector",
-    # --- r02-green but code re-registered in r03: evidence should
-    # postdate the change ---
-    "sim_cosine_topk", "dedup_ngram_jaccard", "sim_embedding_dup",
-    # --- next-stalest (r02 evidence), in registration order ---
+    # --- new code this round: Photo-JPEG MP4 container ---
+    "media_mp4_index", "media_container_mp4",
+    # --- hard-broken by the data regeneration until the r06 fix ---
+    "window_range_frame",
+    # --- last green r02: evidence two data-vintages old ---
     "dedup_exact", "text_stats", "text_fingerprint", "doc_quality",
+    "dedup_ngram_jaccard", "sim_cosine_topk", "sim_embedding_dup",
     "sim_quantized_topk", "subquery_scalar", "subquery_in",
     "subquery_correlated", "tpch_q6", "tpch_q3", "stream_sliding_counts",
     "stream_session_agg", "stream_dedup_keys", "groupby_grouping_sets",
@@ -82,6 +68,25 @@ _PRIORITY = [
     "tpch_q22", "merge_upsert_orders", "dedup_clusters", "tpch_q7",
     "tpch_q17", "tpch_q21", "dedup_embedding_clusters", "join_salted",
     "join_range_bucketed",
+    # --- r03-green queries over the retyped timestamp columns ---
+    "fn_date_arith", "groupby_time_rollup", "tpch_q10", "tpch_q12",
+    "tpch_q15", "window_partitioned_parity",
+    # --- r03-green remainder (r07 rotation seed) ---
+    "window_ntile", "window_first_last", "fn_regexp",
+    "setop_intersect_all", "setop_except_all", "setop_union_by_name",
+    "text_bpe_tokens", "sim_ivf_topk", "media_features",
+    "media_frame_plan", "media_decode_real", "media_sample_frames",
+    "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
+    "fn_explode", "fn_posexplode", "fn_null_handling",
+    "udf_group_zscore", "udf_scalar_pandas", "sim_lsh_topk",
+    "text_winnow_fingerprints", "media_resize", "lang_detect",
+    "dedup_minhash_lsh", "dedup_simhash", "filter_between_in_like",
+    "setop_union_distinct", "sample_seeded", "sample_stratified",
+    "fn_string2", "agg_bitwise_bool", "fn_crypto_hash",
+    "stocks_filter_agg", "stocks_window_suite", "fn_trig",
+    "fn_least_greatest", "agg_skew_kurt", "agg_sum_f32",
+    "pipeline_token_pack", "doc_quality_gopher", "pipeline_contamination",
+    "media_avi_index", "media_container_mjpeg",
 ]
 
 

@@ -6,11 +6,12 @@ decode FOR REAL with the pure-stdlib codecs in this package: PNG
 (llm/png.py), baseline JPEG (llm/jpeg.py — huffman + IDCT, the
 compressed case), PCM WAV (llm/wav.py), Y4M video (llm/y4m.py), and
 MJPEG-in-AVI (llm/avi.py — a compressed video container: RIFF parse
-+ per-frame entropy decode). ``decode_stub=True`` swaps
++ per-frame entropy decode), and Photo-JPEG MP4 (llm/mp4.py — ISO
+BMFF box parse + stbl sample tables). ``decode_stub=True`` swaps
 deterministic hash-seeded fake features for the decode step (the
 cheap-smoke path); formats that genuinely need native codecs
-(mp4/webm/mp3, progressive JPEG) raise NotImplementedError at the
-point the codec would run.
+(webm/mp3, inter-frame codecs like h264, progressive JPEG) raise
+NotImplementedError at the point the codec would run.
 """
 
 from __future__ import annotations
@@ -132,6 +133,30 @@ def _synthetic_avi(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     from stockify_spark.llm.avi import encode_avi_mjpeg
 
     return encode_avi_mjpeg(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
+
+
+def _synthetic_mp4(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
+    """Deterministic REAL Photo-JPEG MP4 payload (see llm/mp4.py):
+    the same luma pattern family as :func:`_synthetic_avi`, but the
+    container is ISO BMFF with full stbl sample tables."""
+    from stockify_spark.llm.mp4 import encode_mp4_mjpeg
+
+    return encode_mp4_mjpeg(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
+
+
+def synthetic_media_mp4(spark, n: int = 96, seed: int = 42) -> DataFrame:
+    """Video-only media table whose payloads are Photo-JPEG MP4s —
+    same clip ids and SOURCE pattern frames as
+    :func:`synthetic_media_avi`, so the closed-form oracles of the
+    Y4M/AVI families apply unchanged (the per-frame codec is the
+    same baseline JPEG; only the container differs)."""
+    rows = []
+    for i in range(2, n, 3):
+        payload = _synthetic_mp4(i, seed, duration_ms=1000 + i)
+        rows.append(
+            (i, "video", "video/mp4", len(payload), 64, 48, 1000 + i, payload)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_media_avi(spark, n: int = 96, seed: int = 42) -> DataFrame:
@@ -283,12 +308,17 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         from stockify_spark.llm.avi import decode_avi_mjpeg
 
                         feats.append(video_features(*decode_avi_mjpeg(content)).tolist())
+                    elif kind == "video" and mime == "video/mp4":
+                        from stockify_spark.llm.mp4 import decode_mp4_mjpeg
+
+                        feats.append(video_features(*decode_mp4_mjpeg(content)).tolist())
                     else:
                         raise NotImplementedError(
                             f"real decode for {mime} requires native codecs,"
                             " not in this container — supported: image/png,"
                             " image/jpeg (baseline), audio/wav,"
-                            " video/x-yuv4mpeg, video/x-msvideo (MJPEG)"
+                            " video/x-yuv4mpeg, video/x-msvideo (MJPEG),"
+                            " video/mp4 (Photo JPEG)"
                         )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
@@ -334,7 +364,7 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
     video = media.filter(
         (F.col("kind") == "video")
-        & (F.col("mime").isin("video/x-yuv4mpeg", "video/x-msvideo"))
+        & (F.col("mime").isin("video/x-yuv4mpeg", "video/x-msvideo", "video/mp4"))
     )
     exploded = video.select(
         "media_id",
@@ -347,6 +377,7 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from stockify_spark.llm.avi import avi_info, decode_avi_mjpeg
+        from stockify_spark.llm.mp4 import decode_mp4_mjpeg, mp4_info
 
         for pdf in batches:
             rows = {"media_id": [], "frame_ts_ms": [], "frame_index": [], "mean_luma": []}
@@ -357,6 +388,9 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                 if mime == "video/x-msvideo":
                     _, _, fps, n_frames = avi_info(data)
                     decode = decode_avi_mjpeg
+                elif mime == "video/mp4":
+                    _, _, fps, n_frames = mp4_info(data)
+                    decode = decode_mp4_mjpeg
                 else:
                     _, _, fps, _ = _parse_header(data)
                     n_frames = frame_count(data)

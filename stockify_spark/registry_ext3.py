@@ -1872,25 +1872,120 @@ def media_container_mjpeg(spark, sf_dir):
     )
 
 
-def _register_avi_oracles() -> None:
-    """The two AVI oracles need registry_ext2's pattern-constants
+# ---------------------------------------------------------------------------
+# Compressed-container video #2: Photo-JPEG MP4 (llm/mp4.py). Same
+# clip ids and SOURCE pattern frames as the AVI family — the
+# container differs (ISO BMFF stbl tables instead of RIFF idx1), the
+# per-frame codec and therefore the oracle constants are identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_mp4_index",
+    None,  # filled below: needs the registry_ext2 literal helper
+)
+def media_mp4_index(spark, sf_dir):
+    """Container metadata probe over REAL Photo-JPEG MP4s:
+    mapInPandas walks the ISO BMFF moov/stbl boxes per payload
+    (llm/mp4.mp4_info) and never touches mdat entropy data — the
+    filter-before-decode contract where routing decisions read
+    O(moov) bytes of a multi-GB clip. fps comes back as the exact
+    (timescale, stts delta) rational the muxer stored."""
+    import pandas as pd
+
+    from stockify_spark.llm.multimodal import synthetic_media_mp4
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("fps_num", T.IntegerType(), False),
+            T.StructField("fps_den", T.IntegerType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        from stockify_spark.llm.mp4 import mp4_info
+
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, n = mp4_info(bytes(content))
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps_num"].append(fps[0])
+                rows["fps_den"].append(fps[1])
+                rows["n_frames"].append(n)
+            yield pd.DataFrame(rows)
+
+    return synthetic_media_mp4(spark, n=96).mapInPandas(run, schema)
+
+
+@register(
+    "media_container_mp4",
+    None,  # filled below: needs the registry_ext2 literal helper
+)
+def media_container_mp4(spark, sf_dir):
+    """Sampled-frame decode from the MP4 container: explode the
+    250 ms grid BEFORE decode, then each row seeks sample k via the
+    stbl tables and entropy-decodes ONLY that JPEG
+    (llm/multimodal.sample_frames → llm/mp4.decode_mp4_mjpeg). Same
+    tolerance-of-truth bound as the AVI twin: the per-frame codec is
+    the identical baseline JPEG, so quantization drifts mean luma by
+    at most 0.57 across all 32 clips (tol 1.5)."""
+    import numpy as np
+
+    from stockify_spark.llm.multimodal import (
+        _pattern_video,
+        sample_frames,
+        synthetic_media_mp4,
+    )
+
+    exp_rows = []
+    for i in range(2, 96, 3):
+        frames = _pattern_video(i, 42, duration_ms=1000 + i)
+        for idx in range(len(frames)):
+            exp_rows.append((i, idx, float(np.asarray(frames[idx], dtype=np.float64).mean())))
+    exp = spark.createDataFrame(exp_rows, "media_id long, frame_index long, e_luma double")
+
+    out = sample_frames(synthetic_media_mp4(spark, n=96), every_ms=250)
+    return out.join(F.broadcast(exp), ["media_id", "frame_index"]).select(
+        "media_id",
+        "frame_ts_ms",
+        "frame_index",
+        (F.abs(F.col("mean_luma") - F.col("e_luma")) <= 1.5).alias("luma_ok"),
+    )
+
+
+def _register_container_oracles() -> None:
+    """The AVI and MP4 oracles need registry_ext2's pattern-constants
     literal helper; registering them here keeps the import one-way
-    (ext3 → ext2) and the SQL single-sourced with the Y4M family."""
+    (ext3 → ext2) and the SQL single-sourced with the Y4M family.
+    The MP4 oracles are textually the AVI ones: same ids, dims, fps,
+    frame grid — the containers differ only in how the bytes are laid
+    out, which is exactly what the queries verify."""
     from stockify_spark.registry import ORACLE
     from stockify_spark.registry_ext2 import _video_pattern_constants
 
     v = "WITH v(media_id, ofs, speed, duration_ms, n_frames) AS (VALUES " + _video_pattern_constants() + ")"
-    ORACLE["media_avi_index"] = (
+    index_sql = (
         v + " SELECT media_id, 64 AS width, 48 AS height,"
         " 10 AS fps_num, 1 AS fps_den, n_frames FROM v"
     )
-    ORACLE["media_container_mjpeg"] = (
+    frames_sql = (
         v + ", ts AS (SELECT media_id, n_frames,"
         "  unnest(range(0, duration_ms, 250)) AS frame_ts_ms FROM v)"
         " SELECT media_id, frame_ts_ms,"
         "  least(frame_ts_ms // 100, n_frames - 1) AS frame_index,"
         "  TRUE AS luma_ok FROM ts"
     )
+    ORACLE["media_avi_index"] = index_sql
+    ORACLE["media_container_mjpeg"] = frames_sql
+    ORACLE["media_mp4_index"] = index_sql
+    ORACLE["media_container_mp4"] = frames_sql
 
 
-_register_avi_oracles()
+_register_container_oracles()
