@@ -10,8 +10,8 @@ MJPEG-in-AVI (llm/avi.py — a compressed video container: RIFF parse
 BMFF box parse + stbl sample tables). ``decode_stub=True`` swaps
 deterministic hash-seeded fake features for the decode step (the
 cheap-smoke path); formats that genuinely need native codecs
-(webm/mp3, inter-frame codecs like h264, progressive JPEG) raise
-NotImplementedError at the point the codec would run.
+(webm/mp3, inter-frame codecs like h264) raise NotImplementedError
+at the point the codec would run.
 """
 
 from __future__ import annotations
@@ -101,13 +101,18 @@ def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
 
 
 def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
-    """Deterministic REAL baseline-JPEG payload (see llm/jpeg.py):
-    the same gradient family as :func:`_synthetic_png`, through the
-    lossy DCT pipeline. Alternates 4:2:0 and 4:2:2 chroma subsampling
-    so the decode oracle exercises both common profiles."""
-    from stockify_spark.llm.jpeg import encode_jpeg
+    """Deterministic REAL JPEG payload (see llm/jpeg.py): the same
+    gradient family as :func:`_synthetic_png`, through the lossy DCT
+    pipeline. Alternates 4:2:0 and 4:2:2 chroma subsampling and, on a
+    third cadence, progressive (SOF2) streams — so the decode oracle
+    exercises all three common profiles. Progressive carries the SAME
+    quantized coefficients as baseline, so every downstream pattern
+    oracle is unchanged (decode is bit-identical)."""
+    from stockify_spark.llm.jpeg import encode_jpeg, encode_jpeg_progressive
 
     subsample = "422" if (i // 3) % 4 == 3 else "420"
+    if (i // 3) % 3 == 2:
+        return encode_jpeg_progressive(_pattern_image(i, seed, w, h), subsample=subsample)
     return encode_jpeg(_pattern_image(i, seed, w, h), subsample=subsample)
 
 

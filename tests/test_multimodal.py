@@ -32,19 +32,27 @@ def test_feature_extraction_shape_and_determinism(media):
     assert len({tuple(r["feature"]) for r in a}) == 30
 
 
-def test_real_decode_rejects_compressed_containers(spark):
-    """Compressed formats (mp4 etc.) genuinely need native codecs and
-    must raise explicitly under decode_stub=False, not decode junk."""
+def test_real_decode_rejects_unsupported_containers(spark):
+    """Formats that genuinely need native codecs (webm here; mp4 is
+    now a real parser, llm/mp4.py) must raise explicitly under
+    decode_stub=False, not decode junk — and a supported container
+    with corrupt bytes must fail loudly too."""
     from stockify_spark.llm.multimodal import MEDIA_SCHEMA
 
     fake = spark.createDataFrame(
-        [(0, "video", "video/mp4", 8, None, None, 1000, b"\x00" * 8)], MEDIA_SCHEMA
+        [(0, "video", "video/webm", 8, None, None, 1000, b"\x00" * 8)], MEDIA_SCHEMA
     )
     with pytest.raises(Exception) as exc_info:
         extract_features(fake, decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+    junk_mp4 = spark.createDataFrame(
+        [(0, "video", "video/mp4", 8, None, None, 1000, b"\x00" * 8)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc_info:
+        extract_features(junk_mp4, decode_stub=False).collect()
+    assert "not an MP4" in str(exc_info.value)
 
 
 def test_y4m_codec_roundtrip_and_indexed_access():
@@ -274,12 +282,113 @@ def test_jpeg_codec_roundtrip_psnr_and_rejections():
     a = decode_jpeg(encode_jpeg(rgb, subsample="420"))
     b = decode_jpeg(encode_jpeg(rgb, subsample="420", restart_interval=2))
     assert np.array_equal(a, b)
-    # progressive is explicitly out of scope
+    # hierarchical frames remain explicitly out of scope
     bad = bytearray(encode_jpeg(gray))
     i = bad.find(b"\xff\xc0")
-    bad[i + 1] = 0xC2
+    bad[i + 1] = 0xC5
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_identical_to_baseline():
+    """Progressive (SOF2) transmits the same quantized coefficients
+    as baseline, reordered — so after all passes the decode must be
+    BIT-IDENTICAL to decoding the baseline stream of the same image,
+    across subsampling profiles, grayscale, and odd (dummy-block)
+    dimensions. This is the strongest possible oracle for the four
+    G.1.2 scan state machines."""
+    from stockify_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from stockify_spark.llm.multimodal import _pattern_image
+
+    for i, sub in ((3, "420"), (4, "422"), (5, "444")):
+        img = _pattern_image(i, 42)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, subsample=sub)),
+            decode_jpeg(encode_jpeg_progressive(img, subsample=sub)),
+        ), sub
+    gray = _pattern_image(7, 42)[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray)), decode_jpeg(encode_jpeg_progressive(gray))
+    )
+    # odd dims: the interleaved DC scan covers MCU-padded dummy
+    # blocks while non-interleaved AC scans cover only the true grid
+    for w, h, sub in ((61, 37, "420"), (50, 25, "422"), (41, 31, "444")):
+        odd = _pattern_image(w + h, 42, w=w, h=h)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(odd, subsample=sub)),
+            decode_jpeg(encode_jpeg_progressive(odd, subsample=sub)),
+        ), (w, h, sub)
+
+
+def test_jpeg_progressive_eobn_runs_decode():
+    """Other encoders (libjpeg with optimized tables) code long
+    end-of-band runs as EOBn symbols — our encoder only ever emits
+    EOB1, so exercise the decoder's EOBn path with a hand-built
+    stream: a custom AC table defining EOB4 (symbol 0x20), one scan
+    where the first block carries a coefficient and the rest share
+    one EOB4 run."""
+    from stockify_spark.llm.jpeg import (
+        _BitWriter,
+        _DC_LUMA,
+        _build_codes,
+        _dht_payload,
+        _dqt_payload,
+        _seg,
+        decode_jpeg,
+        encode_jpeg,
+        QTABLE_LUMA,
+    )
+
+    # 32x8 grayscale → 4 blocks; flat 128 everywhere except block 0
+    img = np.full((8, 32), 128, dtype=np.uint8)
+    img[:, :8] = 160
+    base = decode_jpeg(encode_jpeg(img))
+
+    ac_bits = [0] * 16
+    ac_vals = [0x00, 0x20, 0x01, 0xF0]  # EOB1, EOB4, run0/size1, ZRL
+    ac_bits[2] = 4  # all four at length 3 (canonical, valid)
+    dc_codes = _build_codes(*_DC_LUMA)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, _dqt_payload(0, QTABLE_LUMA))
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, *_DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, ac_bits, ac_vals))
+    # DC first scan, Al=0: diffs 4, -4, 0, 0 (quantized DC of
+    # 160-128=32 is 32*8/16=16... compute from the baseline encoder's
+    # own quantization: DC = round(8*(level-128)/16))
+    from stockify_spark.llm.jpeg import _magnitude
+
+    dcs = [16, 0, 0, 0]
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    wtr = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        size, bits = _magnitude(dc - pred)
+        pred = dc
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(bits, size)
+    out += wtr.flush()
+    # AC first scan 1..63, Al=0: all bands zero → one EOB4 covers
+    # all four blocks
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    wtr = _BitWriter()
+    code, length = ac_codes[0x20]
+    wtr.write(code, length)
+    wtr.write(3, 2)  # eobrun = (1<<2) + 3 - 1 → wait: 4 + bits(2)=3 → 7? see below
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    # EOB4 + 2 extension bits b11 → run = 4 + 3 = 7 blocks ≥ 4: fine
+    got = decode_jpeg(bytes(out))
+    assert np.array_equal(got, base)
 
 
 def test_frame_sample_plan(media):
