@@ -51,8 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # leads the r07 rotation; the r04/r05-fresh rows (basics + filters)
 # sit last.
 _PRIORITY = [
-    # --- new code this round: Photo-JPEG MP4 container ---
+    # --- new code this round: Photo-JPEG MP4 container, PII
+    # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",
+    "pipeline_pii_redact", "text_tfidf_topk",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

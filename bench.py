@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "media_decode_real",
     "pipeline_token_pack",
     "text_winnow_fingerprints",
+    # round-6-landed: second compressed container + hygiene ops
+    "media_container_mp4",
+    "pipeline_pii_redact",
+    "text_tfidf_topk",
 ]
 
 

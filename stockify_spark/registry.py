@@ -431,3 +431,4 @@ def range_scan_price(spark, sf_dir):
 from stockify_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext2  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext3  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext4  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,184 @@
+"""Fourth extension wave (round 6): training-data hygiene operators
+— PII redaction and distinctive-term extraction over the documents
+table. Same determinism conventions as registry.py: every float in
+an output is ROUND()ed identically on both engines, ties broken by a
+total order, and regex patterns restricted to the syntax subset that
+behaves identically in Java regex (Spark) and RE2 (DuckDB): no
+lookaround, no backreferences, leftmost-first alternation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training hygiene). The synthetic corpus contains
+# no organic PII, so the query plants a deterministic PII suffix per
+# doc — identically in the Spark plan and the oracle SQL — and then
+# redacts it: the MECHANISM (pattern match, count, replace, verify)
+# is what's under test, with nonzero counts on every row.
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 common-subset patterns.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d{2}-\d{3}-\d{4,8}"
+
+_PII_SUFFIX_SPARK = (
+    " contact user{id}@example-{m}.org or +49-555-{id7} at 10.{m}.{m}.{m}"
+)
+
+
+def _planted(doc_id):
+    """The deterministic PII suffix for one doc — Spark side."""
+    m = (doc_id % 250) + 1
+    id7 = 1000000 + doc_id
+    return F.concat(
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example-"),
+        m.cast("string"),
+        F.lit(".org or +49-555-"),
+        id7.cast("string"),
+        F.lit(" at 10."),
+        m.cast("string"),
+        F.lit("."),
+        m.cast("string"),
+        F.lit("."),
+        m.cast("string"),
+    )
+
+
+_PLANTED_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example-'"
+    " || CAST(doc_id % 250 + 1 AS VARCHAR) || '.org or +49-555-'"
+    " || CAST(1000000 + doc_id AS VARCHAR)"
+    " || ' at 10.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
+)
+
+
+@register(
+    "pipeline_pii_redact",
+    "WITH planted AS (SELECT doc_id,"
+    f" text || {_PLANTED_SQL} AS text FROM documents),"
+    " counted AS (SELECT doc_id, text,"
+    f" len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,"
+    f" len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ips,"
+    f" len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones"
+    " FROM planted)"
+    " SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,"
+    " CAST(n_ips AS BIGINT) AS n_ips,"
+    " CAST(n_phones AS BIGINT) AS n_phones,"
+    " CAST(length(regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_IPV4_RE}', '<IP>', 'g'),"
+    f" '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,"
+    " CAST(NOT regexp_matches(regexp_replace(regexp_replace("
+    f" regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{_IPV4_RE}', '<IP>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'),"
+    f" '{_EMAIL_RE}') AS BOOLEAN) AS clean"
+    " FROM counted",
+)
+def pipeline_pii_redact(spark, sf_dir):
+    """PII scrubbing, the standard pre-training hygiene pass (emails,
+    IPv4s, phone numbers → typed placeholders). Pure column
+    expressions — regexp_extract_all / regexp_replace run inside
+    whole-stage codegen, zero Python, zero shuffles: at 100 TB this
+    is a map-only pass whose cost is the scan itself. The `clean`
+    column re-scans the redacted text for residual matches — the
+    verify step a compliance pipeline needs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), _planted(F.col("doc_id"))).alias("text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_IPV4_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        (~redacted.rlike(_EMAIL_RE)).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per document (tf-idf family). Ranking is kept in
+# integer space — (tf DESC, df ASC, token ASC) — because ln() is not
+# bit-reproducible across libm implementations; tf, df, and n_docs
+# are emitted so the float tf·idf is reconstructable downstream.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+@register(
+    "text_tfidf_topk",
+    "WITH tok AS (SELECT doc_id, unnest("
+    f" {_TOKS_SQL}) AS token FROM documents),"
+    " tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf"
+    "  FROM tok GROUP BY doc_id, token),"
+    " withdf AS (SELECT doc_id, token, tf,"
+    "  CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df FROM tf),"
+    " scored AS (SELECT doc_id, token, tf, df,"
+    "  ROW_NUMBER() OVER (PARTITION BY doc_id"
+    "   ORDER BY tf DESC, df ASC, token ASC) AS rk"
+    "  FROM withdf)"
+    " SELECT doc_id, token, tf, df, CAST(rk AS BIGINT) AS rk"
+    " FROM scored WHERE rk <= 3",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 distinctive terms per document: term frequency widened
+    with corpus document frequency, ranked (tf DESC, df ASC, token).
+
+    Scale shape: the raw exploded-token stream (the 100 TB-scale
+    thing) is scanned ONCE into the tf aggregate (map-side combine on
+    doc_id+token); document frequency is a window count over that
+    compact result re-partitioned by token, and the top-k is a
+    bounded per-doc window — three sequential shuffles, all moving
+    only (doc_id, token, tf) rows, no join, no second text scan
+    (an earlier join-based draft double-scanned the source because
+    exchange reuse does not fire across the differently-filtered
+    subtrees)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df as a window count over the tf table, not a second aggregate
+    # joined back: (doc_id, token) is unique after the tf
+    # aggregation, so COUNT OVER (PARTITION BY token) IS the document
+    # frequency — and the raw exploded-token stream (the big thing)
+    # is scanned exactly once, with all later shuffles moving only
+    # the compact (doc_id, token, tf) rows.
+    withdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        withdf.select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", F.col("rk").cast("long").alias("rk"))
+    )
