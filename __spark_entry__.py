@@ -54,7 +54,7 @@ _PRIORITY = [
     # --- new code this round: Photo-JPEG MP4 container, PII
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",
-    "pipeline_pii_redact", "text_tfidf_topk",
+    "pipeline_pii_redact", "text_tfidf_topk", "media_mp3_index",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

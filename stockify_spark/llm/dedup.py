@@ -576,14 +576,20 @@ def simhash_near_dup_pairs_seeded(
     """
     n_bits, n_bands = 60, 4
     band_bits = n_bits // n_bands  # 15
+    # materialize the md5-prefix hash once per token in a projection
+    # so single evaluation is guaranteed by the plan shape rather
+    # than left to codegen subexpression elimination (measured ~6%
+    # at sf0.1 — CSE was already firing — but the guarantee is the
+    # point; CSE does not apply in interpreted fallback mode)
     inv = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ).select(
+        "_id", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_h")
     )
-    hv = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
     accs = inv.groupBy("_id").agg(
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_a{b}")
             for b in range(n_bits)
         ]

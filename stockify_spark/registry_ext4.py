@@ -28,11 +28,6 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE_RE = r"\+\d{2}-\d{3}-\d{4,8}"
 
-_PII_SUFFIX_SPARK = (
-    " contact user{id}@example-{m}.org or +49-555-{id7} at 10.{m}.{m}.{m}"
-)
-
-
 def _planted(doc_id):
     """The deterministic PII suffix for one doc — Spark side."""
     m = (doc_id % 250) + 1
@@ -182,3 +177,84 @@ def text_tfidf_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressed-audio container probe: MP3 frame-header walk (llm/mp3.py)
+# — the audio twin of media_avi_index / media_mp4_index. Sample
+# decode stays an honest NotImplementedError boundary; the probe
+# (frame index, duration, CBR/VBR classification) is real structure
+# over structurally valid frames.
+# ---------------------------------------------------------------------------
+
+_MP3_N = 48
+_MP3_KBPS_SQL = "list_value(0,32,40,48,56,64,80,96,112,128,160,192,224,256,320)"
+
+
+@register(
+    "media_mp3_index",
+    f"WITH ids AS (SELECT unnest(range(0, {_MP3_N})) AS media_id),"
+    " spec AS (SELECT media_id,"
+    "  40 + (media_id % 60) AS n_frames,"
+    f" {_MP3_KBPS_SQL}[(media_id % 14) + 2] AS k1,"
+    f" {_MP3_KBPS_SQL}[((media_id + 5) % 14) + 2] AS k2,"
+    "  CASE media_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000"
+    "   ELSE 32000 END AS sample_rate FROM ids)"
+    " SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,"
+    " CAST(sample_rate AS INTEGER) AS sample_rate,"
+    " CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms,"
+    " CAST(CASE WHEN media_id % 2 = 0 THEN k1"
+    "  ELSE ((n_frames + 1) // 2 * k1 + n_frames // 2 * k2) // n_frames"
+    "  END AS INTEGER) AS mean_kbps,"
+    " CAST(media_id % 2 = 1 AS BOOLEAN) AS is_vbr"
+    " FROM spec",
+)
+def media_mp3_index(spark, sf_dir):
+    """Compressed-audio metadata probe: mapInPandas walks MPEG-1
+    Layer III frame headers per payload (llm/mp3.mp3_info) — frame
+    count, sample rate, exact duration, mean bitrate, CBR/VBR — and
+    never reads audio payload bytes. Even ids are CBR streams, odd
+    ids alternate two bitrates (VBR); the oracle recomputes every
+    figure closed-form from the generation spec. Sample decode is
+    the documented NotImplementedError boundary (llm/mp3.decode_mp3)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from stockify_spark.llm.mp3 import encode_mp3_frames
+
+    rows = []
+    for i in range(_MP3_N):
+        b1, b2 = (i % 14) + 1, ((i + 5) % 14) + 1
+        n = 40 + (i % 60)
+        pattern = [b1] * n if i % 2 == 0 else [b1, b2] * ((n + 1) // 2)
+        rows.append((i, bytearray(encode_mp3_frames(pattern[:n], sr_idx=i % 3))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("mean_kbps", T.IntegerType(), False),
+            T.StructField("is_vbr", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches):
+        from stockify_spark.llm.mp3 import mp3_info
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n, sr, dur, mean, vbr = mp3_info(bytes(content))
+                out["media_id"].append(mid)
+                out["n_frames"].append(n)
+                out["sample_rate"].append(sr)
+                out["duration_ms"].append(dur)
+                out["mean_kbps"].append(mean)
+                out["is_vbr"].append(vbr)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema)
