@@ -1,10 +1,11 @@
 """Fourth extension wave (round 6): training-data hygiene operators
-— PII redaction and distinctive-term extraction over the documents
-table. Same determinism conventions as registry.py: every float in
-an output is ROUND()ed identically on both engines, ties broken by a
-total order, and regex patterns restricted to the syntax subset that
-behaves identically in Java regex (Spark) and RE2 (DuckDB): no
-lookaround, no backreferences, leftmost-first alternation.
+(PII redaction, distinctive-term extraction), the MP3 frame-header
+probe, and weighted PageRank. Same determinism conventions as
+registry.py: every float in an output is ROUND()ed identically on
+both engines, ties broken by a total order, and regex patterns
+restricted to the syntax subset that behaves identically in Java
+regex (Spark) and RE2 (DuckDB): no lookaround, no backreferences,
+leftmost-first alternation.
 """
 
 from __future__ import annotations
@@ -258,3 +259,64 @@ def media_mp3_index(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #2: weighted PageRank on the nation trade
+# graph (operators/graph.py). The oracle is a DuckDB recursive CTE
+# running the identical recurrence; both engines round the final
+# ranks to 9 decimals (per-destination sums add ≤25 doubles in
+# engine-defined order — ~1e-15 drift vs a 5e-10 rounding boundary).
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_pagerank",
+    "WITH RECURSIVE"
+    " e AS (SELECT c_nationkey AS src, s_nationkey AS dst,"
+    "  CAST(COUNT(*) AS DOUBLE) AS w"
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    "  JOIN customer ON o_custkey = c_custkey"
+    "  JOIN supplier ON l_suppkey = s_suppkey"
+    "  GROUP BY 1, 2),"
+    " ew AS (SELECT e.*, ow.ow FROM e JOIN"
+    "  (SELECT src, SUM(w) AS ow FROM e GROUP BY src) ow USING (src)),"
+    " n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e),"
+    " pr(it, node, rank) AS ("
+    "  SELECT 0, src, 1.0 / (SELECT n FROM n)"
+    "   FROM (SELECT DISTINCT src FROM e)"
+    "  UNION ALL"
+    "  SELECT it + 1, dst,"
+    "   (1.0 - 0.85) / (SELECT n FROM n) + 0.85 * SUM(rank * w / ow)"
+    "  FROM pr JOIN ew ON ew.src = pr.node"
+    "  WHERE it < 8 GROUP BY it + 1, dst)"
+    " SELECT CAST(node AS BIGINT) AS nation, ROUND(rank, 9) AS rank"
+    " FROM pr WHERE it = 8",
+)
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the customer-nation → supplier-nation
+    trade graph: edge weights are lineitem counts aggregated from
+    the 4-way fact join (the data-sized work — one shuffle per join
+    plus the edge aggregation), then 8 fixed-point rounds over the
+    25-node edge list (operators/graph.pagerank, localCheckpoint
+    lineage truncation). The dense trade graph gives every nation
+    in- and out-edges, so the inner-join recurrence is standard
+    uniform-teleport PageRank."""
+    from stockify_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iters=8, damping=0.85)
+    return ranks.select(
+        F.col("node").cast("long").alias("nation"), F.round("rank", 9).alias("rank")
+    )
