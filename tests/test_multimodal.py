@@ -391,6 +391,75 @@ def test_jpeg_progressive_eobn_runs_decode():
     assert np.array_equal(got, base)
 
 
+def test_jpeg_progressive_restart_markers():
+    """libjpeg commonly emits DRI + RSTn inside progressive scans:
+    DC predictors and EOB runs must reset at each restart. Hand-build
+    the same 4-block image as the EOBn test with restart_interval=2
+    in the DC scan (two entropy segments, predictor resets between
+    them) and per-segment EOB1s in the AC scan."""
+    from stockify_spark.llm.jpeg import (
+        _BitWriter,
+        _DC_LUMA,
+        _AC_LUMA,
+        _build_codes,
+        _dht_payload,
+        _dqt_payload,
+        _magnitude,
+        _seg,
+        decode_jpeg,
+        encode_jpeg,
+        QTABLE_LUMA,
+    )
+
+    img = np.full((8, 32), 128, dtype=np.uint8)
+    img[:, :8] = 160
+    base = decode_jpeg(encode_jpeg(img))
+
+    dc_codes = _build_codes(*_DC_LUMA)
+    ac_codes = _build_codes(*_AC_LUMA)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, _dqt_payload(0, QTABLE_LUMA))
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, *_DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, *_AC_LUMA))
+    out += _seg(0xDD, (2).to_bytes(2, "big"))  # DRI: restart every 2 MCUs
+
+    def dc_bits(dcs, pred0=0):
+        w = _BitWriter()
+        pred = pred0
+        for dc in dcs:
+            size, bits = _magnitude(dc - pred)
+            pred = dc
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+        return w.flush()
+
+    # DC scan: blocks [16, 0] | RST0 | [0, 0] — predictor resets, so
+    # the second segment codes 0-diffs from pred=0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += dc_bits([16, 0])
+    out += b"\xff\xd0"  # RST0
+    out += dc_bits([0, 0])
+    # AC scan 1..63: all-zero bands; one EOB1 per block, split by RST1
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    w = _BitWriter()
+    code, length = ac_codes[0x00]
+    w.write(code, length)
+    w.write(code, length)
+    out += w.flush()
+    out += b"\xff\xd1"  # RST1
+    w = _BitWriter()
+    w.write(code, length)
+    w.write(code, length)
+    out += w.flush()
+    out += b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    assert np.array_equal(got, base)
+
+
 def test_frame_sample_plan(media):
     plan = frame_sample_plan(media, every_ms=500)
     rows = plan.collect()
