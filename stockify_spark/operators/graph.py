@@ -56,7 +56,12 @@ def pagerank(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.cast("double").alias("_w")
     )
     outw = ew.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    ew = ew.join(outw, "_src")
+    # Materialize the normalized edge list ONCE (eager checkpoint):
+    # it is referenced by every iteration, and without this each
+    # round's plan re-derives it from the source — for an edge table
+    # aggregated from fact joins that means re-running the joins
+    # iters times (the plan audit showed 33 scans for 8 rounds).
+    ew = ew.join(outw, "_src").localCheckpoint(eager=True)
 
     nodes = ew.select(F.col("_src").alias("node")).distinct()
     n = nodes.count()  # bounded: one scalar for the teleport term
@@ -74,5 +79,8 @@ def pagerank(
             (F.lit(teleport) + F.lit(damping) * F.col("_c")).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            # eager: actually truncate lineage now — a lazy checkpoint
+            # materializes nothing until an action, leaving the full
+            # 2·iters-join plan in place for the final one
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -320,3 +320,75 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(
         F.col("node").cast("long").alias("nation"), F.round("rank", 9).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model counts (the KenLM-style corpus statistics a
+# perplexity quality filter is built from). Everything is exact
+# integers — counts and continuation counts — so the comparison is
+# hash-exact; downstream smoothing (Kneser-Ney etc.) is a pure
+# function of these tables.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_lm",
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts"
+    "  FROM documents),"
+    " tri AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3"
+    "  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM tok"
+    "        WHERE len(ts) >= 3)),"
+    " counted AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n"
+    "  FROM tri GROUP BY w1, w2, w3),"
+    " withcont AS (SELECT w1, w2, w3, n,"
+    "  CAST(COUNT(*) OVER (PARTITION BY w2, w3) AS BIGINT) AS continuations,"
+    "  CAST(SUM(n) OVER (PARTITION BY w2, w3) AS BIGINT) AS bigram_total"
+    "  FROM counted)"
+    " SELECT w1, w2, w3, n, continuations, bigram_total"
+    " FROM withcont WHERE n >= 3",
+)
+def text_ngram_lm(spark, sf_dir):
+    """Trigram LM count table with Kneser-Ney continuation counts:
+    per trigram, its count, the number of DISTINCT left contexts of
+    its (w2, w3) suffix, and that suffix's total count — the exact
+    integer statistics interpolated-KN smoothing needs (the n >= 3
+    floor is the usual count pruning).
+
+    Scale shape: trigrams come from a per-row array zip (no
+    self-join of the token stream, which is scanned once); one
+    shuffle builds the trigram counts with map-side combine, and the
+    suffix statistics are window aggregates over that compact table
+    re-partitioned on (w2, w3). At 100 TB the trigram table is the
+    big intermediate — it shuffles as (3 words, count) rows only,
+    and the count-floor prunes the long tail at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    tri = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 2),
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 2, F.size("ts") - 2),
+                    F.slice(F.col("ts"), 3, F.size("ts") - 2),
+                ),
+                lambda a, b: F.struct(
+                    a.alias("w1"), b["0"].alias("w2"), b["1"].alias("w3")
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    counted = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n"))
+    # suffix statistics as window aggregates over the compact count
+    # table — the join-back formulation recomputed `counted` (and its
+    # upstream trigram explode) twice, same exchange-reuse miss as
+    # text_tfidf_topk's first draft
+    wcont = Window.partitionBy("w2", "w3")
+    return (
+        counted.select(
+            "w1", "w2", "w3", "n",
+            F.count(F.lit(1)).over(wcont).alias("continuations"),
+            F.sum("n").over(wcont).alias("bigram_total"),
+        )
+        .filter(F.col("n") >= 3)
+    )
