@@ -65,10 +65,13 @@ BENCH_QUERIES = [
     "media_decode_real",
     "pipeline_token_pack",
     "text_winnow_fingerprints",
-    # round-6-landed: second compressed container + hygiene ops
+    # round-6-landed: second compressed container + hygiene ops,
+    # LM counts, iterative graph
     "media_container_mp4",
     "pipeline_pii_redact",
     "text_tfidf_topk",
+    "text_ngram_lm",
+    "graph_pagerank",
 ]
 
 
