@@ -1002,10 +1002,13 @@ def _encode_ac_refine(writer: _BitWriter, blocks: list[np.ndarray], ac_codes: di
             if v == 0:
                 run += 1
                 continue
-            if abs(v) > 1:
-                br.append(abs(v) & 1)
-                continue
-            # newly significant (|t| == 1)
+            # ZRL flush happens at ANY nonzero once the zero run
+            # exceeds 15 — including history coefficients — so every
+            # buffered correction bit stays inside the 16-zero span
+            # the decoder walks after the ZRL. Flushing only at
+            # newly-significant coefficients desyncs the stream when
+            # a history coefficient sits past the 16th zero (found by
+            # the hypothesis round-trip property on noise images).
             while run > 15 and i < eob:
                 code, length = ac_codes[0xF0]
                 writer.write(code, length)
@@ -1013,6 +1016,10 @@ def _encode_ac_refine(writer: _BitWriter, blocks: list[np.ndarray], ac_codes: di
                 for bit in br:
                     writer.write(bit, 1)
                 br = []
+            if abs(v) > 1:
+                br.append(abs(v) & 1)
+                continue
+            # newly significant (|t| == 1)
             code, length = ac_codes[(run << 4) | 1]
             writer.write(code, length)
             writer.write(1 if v > 0 else 0, 1)

@@ -141,3 +141,34 @@ def test_y4m_roundtrip_property(n, h, w, seed):
     idx = rng.randint(0, n)
     one, _ = decode_y4m(data, frame_indices=[int(idx)])
     assert np.array_equal(one[0], frames[idx])
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    w=st.integers(min_value=8, max_value=40),
+    h=st.integers(min_value=8, max_value=40),
+    sub=st.sampled_from(["420", "422", "444"]),
+    gray=st.booleans(),
+)
+@settings(max_examples=12, deadline=None)
+def test_progressive_jpeg_bit_identical_to_baseline(seed, w, h, sub, gray):
+    """The defining invariant of progressive JPEG: it transmits the
+    SAME quantized coefficients as the baseline stream, reordered —
+    so after all passes the decodes must be bit-identical, for any
+    image content, any subsampling, any (dummy-block) dimensions.
+    Pure-numpy property: no Spark job per example."""
+    import numpy as np
+
+    from stockify_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w) if gray else (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample=sub) if not gray else encode_jpeg(img))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, subsample=sub) if not gray else encode_jpeg_progressive(img)
+    )
+    assert np.array_equal(base, prog)
