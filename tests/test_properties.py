@@ -172,3 +172,62 @@ def test_progressive_jpeg_bit_identical_to_baseline(seed, w, h, sub, gray):
         encode_jpeg_progressive(img, subsample=sub) if not gray else encode_jpeg_progressive(img)
     )
     assert np.array_equal(base, prog)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=8, max_value=32),
+    h=st.integers(min_value=8, max_value=32),
+)
+@settings(max_examples=10, deadline=None)
+def test_container_roundtrip_avi_mp4_agree(seed, n, w, h):
+    """Both compressed containers wrap the identical per-frame JPEG
+    codec, so for ANY frame content the decoded clips must be
+    byte-equal to each other and metadata must match the encode
+    parameters. Pure-numpy property."""
+    import numpy as np
+
+    from stockify_spark.llm.avi import avi_info, decode_avi_mjpeg, encode_avi_mjpeg
+    from stockify_spark.llm.mp4 import decode_mp4_mjpeg, encode_mp4_mjpeg, mp4_info
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+    avi = encode_avi_mjpeg(frames, fps=(10, 1))
+    mp4 = encode_mp4_mjpeg(frames, fps=(10, 1))
+    assert avi_info(avi) == (w, h, (10, 1), n)
+    assert mp4_info(mp4) == (w, h, (10, 1), n)
+    a, _ = decode_avi_mjpeg(avi)
+    b, _ = decode_mp4_mjpeg(mp4)
+    assert np.array_equal(a, b)
+    # indexed access agrees with the full decode on both containers
+    idx = [int(rng.randint(n))]
+    sa, _ = decode_avi_mjpeg(avi, frame_indices=idx)
+    sb, _ = decode_mp4_mjpeg(mp4, frame_indices=idx)
+    assert np.array_equal(sa, a[idx]) and np.array_equal(sb, b[idx])
+
+
+@given(
+    bits=st.lists(st.integers(min_value=1, max_value=14), min_size=1, max_size=40),
+    sr_idx=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=20, deadline=None)
+def test_mp3_frame_walk_matches_encode_spec(bits, sr_idx):
+    """For ANY bitrate-index sequence the header walk must recover
+    the frame count, sample rate, exact duration, integer mean
+    bitrate, and VBR flag from headers alone."""
+    from stockify_spark.llm.mp3 import (
+        BITRATES_KBPS,
+        SAMPLE_RATES,
+        encode_mp3_frames,
+        mp3_info,
+    )
+
+    data = encode_mp3_frames(bits, sr_idx=sr_idx)
+    n, sr, dur, mean, vbr = mp3_info(data)
+    kbps = [BITRATES_KBPS[b] for b in bits]
+    assert n == len(bits)
+    assert sr == SAMPLE_RATES[sr_idx]
+    assert dur == len(bits) * 1152 * 1000 // sr
+    assert mean == sum(kbps) // len(kbps)
+    assert vbr == (len(set(kbps)) > 1)
