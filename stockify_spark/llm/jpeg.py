@@ -30,6 +30,8 @@ production deployment would swap in a native decoder behind the same
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 # --- Annex K tables (ITU T.81) -------------------------------------------
@@ -447,8 +449,17 @@ def encode_jpeg(
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
     uint8: (h, w) for grayscale, (h, w, 3) RGB otherwise.
-    Hierarchical/arithmetic/12-bit inputs raise
-    NotImplementedError."""
+    Hierarchical/arithmetic/12-bit inputs raise NotImplementedError;
+    malformed input raises ValueError — never a raw index/struct
+    error (the fuzz contract shared by every parser in this
+    package)."""
+    try:
+        return _decode_jpeg_checked(data)
+    except (IndexError, KeyError, struct.error, StopIteration, OverflowError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_checked(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")

@@ -72,6 +72,13 @@ def parse_frames(data: bytes) -> list[tuple[int, int, int]]:
     """Walk the frame sequence: [(offset, frame_bytes, bitrate_kbps)].
     Tolerates an ID3v2 prefix (tag length from its syncsafe header)
     and stops at trailing garbage that is not a valid header."""
+    try:
+        return _parse_frames_unchecked(data)
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt MP3: {exc!r}") from exc
+
+
+def _parse_frames_unchecked(data: bytes) -> list[tuple[int, int, int]]:
     data = bytes(data)
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:

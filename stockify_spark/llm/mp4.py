@@ -257,7 +257,16 @@ def _parse_video_stbl(data: bytes, body: int, size: int, info: dict) -> None:
 def _parse_mp4(data: bytes) -> dict:
     """Single moov pass: dims, codec fourcc, timescale/delta, and the
     per-sample (offset, size) table of the first video track. No
-    pixel decode."""
+    pixel decode. Malformed input raises ValueError — never a raw
+    struct/index error (the fuzz contract shared by every parser in
+    this package)."""
+    try:
+        return _parse_mp4_unchecked(data)
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise ValueError(f"corrupt MP4: {exc!r}") from exc
+
+
+def _parse_mp4_unchecked(data: bytes) -> dict:
     if len(data) < 12:
         raise ValueError("not an MP4: too short")
     first = data[4:8]

@@ -71,7 +71,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to a uint8 array: (h, w) for grayscale, else
     (h, w, channels). Supports bit depth 8, color types 0/2/6,
-    interlace 0, all five scanline filters."""
+    interlace 0, all five scanline filters. Malformed input raises
+    ValueError — never a raw struct/zlib/index error (the fuzz
+    contract shared by every parser in this package)."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if bytes(data[:8]) != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8

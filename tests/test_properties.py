@@ -231,3 +231,45 @@ def test_mp3_frame_walk_matches_encode_spec(bits, sr_idx):
     assert dur == len(bits) * 1152 * 1000 // sr
     assert mean == sum(kbps) // len(kbps)
     assert vbr == (len(set(kbps)) > 1)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=10, deadline=None)
+def test_parsers_fail_cleanly_on_malformed_input(seed):
+    """The fuzz contract shared by every parser in llm/: truncated or
+    bit-flipped input raises ValueError or NotImplementedError —
+    never a raw IndexError/struct.error/ZeroDivisionError/etc. (a
+    corpus at scale WILL contain corrupt files, and a mapInPandas
+    task must be able to catch a typed error per row instead of
+    crashing the stage on an implementation detail)."""
+    import numpy as np
+
+    from stockify_spark.llm.avi import avi_info, encode_avi_mjpeg
+    from stockify_spark.llm.jpeg import decode_jpeg, encode_jpeg_progressive
+    from stockify_spark.llm.mp3 import encode_mp3_frames, mp3_info
+    from stockify_spark.llm.mp4 import encode_mp4_mjpeg, mp4_info
+    from stockify_spark.llm.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(2, 16, 16)).astype(np.uint8)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    cases = [
+        (encode_avi_mjpeg(frames), avi_info),
+        (encode_mp4_mjpeg(frames), mp4_info),
+        (encode_mp3_frames([5, 9, 12]), mp3_info),
+        (encode_png(img), decode_png),
+        (encode_jpeg_progressive(img), decode_jpeg),
+    ]
+    for data, probe in cases:
+        cut = int(rng.randint(len(data)))
+        try:
+            probe(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        for _ in range(20):
+            mut = bytearray(data)
+            mut[int(rng.randint(len(mut)))] ^= int(rng.randint(1, 256))
+            try:
+                probe(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
