@@ -55,7 +55,7 @@ _PRIORITY = [
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",
     "pipeline_pii_redact", "text_tfidf_topk", "media_mp3_index",
-    "graph_pagerank", "text_ngram_lm",
+    "graph_pagerank", "text_ngram_lm", "sim_pq_topk",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

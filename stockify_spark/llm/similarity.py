@@ -805,3 +805,122 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the at-scale ANN compression standard
+# ---------------------------------------------------------------------------
+
+
+def pq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Product-quantized top-k with EXACT integer math end to end.
+
+    The FAISS-style IVFPQ recipe's PQ half, made cross-engine
+    deterministic: vectors are int8-quantized (quantize_int8's
+    half-up spec), split into ``n_sub`` subvectors, and each
+    subvector is encoded as the index of its nearest codebook entry
+    (integer L2, ties to the lowest index). Scoring is asymmetric
+    distance computation: the query's exact subvectors dotted with
+    the codebook entry its neighbor's code names — all sums of
+    bounded integers, so ranking is bit-deterministic and a SQL
+    oracle reproduces it hash-exactly.
+
+    The codebook is data-seeded (the quantized subvectors of the
+    first ``n_codes`` corpus vectors) — the same bounded-model
+    convention as seeded-IVF/LSH: ONE driver-side collect of
+    ``n_codes`` rows regardless of corpus size, shipped to executors
+    as literal expressions. Corpus encode + scoring are map-side
+    column expressions; the only shuffle is the final top-k window.
+    At 100 TB the codes table is n_sub bytes/vector (64x smaller
+    than float32 dims at 4x16) and re-ranking the short list against
+    float vectors is the standard second pass.
+    """
+    import numpy as np
+
+    sub_dim_df = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = sub_dim_df["d"]
+    sub_dim = dim // n_sub
+
+    # bounded model: quantized subvectors of the first n_codes vectors
+    rows = sorted(
+        corpus.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    maxabs = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+    q8 = np.floor(mat * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
+    # cb[m][j] = list of sub_dim ints
+    cb = [
+        [q8[j, m * sub_dim : (m + 1) * sub_dim].tolist() for j in range(len(q8))]
+        for m in range(n_sub)
+    ]
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+    cb_lits = [[lit_arr(entry) for entry in cb[m]] for m in range(n_sub)]
+
+    qvec = quantize_int8(vec_col)
+    subs = [F.slice(qvec, m * sub_dim + 1, sub_dim) for m in range(n_sub)]
+
+    def l2(a, b_lit):
+        return F.aggregate(
+            F.zip_with(a, b_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def dot(a, b_lit):
+        return F.aggregate(
+            F.zip_with(a, b_lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # encode: per subspace, argmin over the codebook (first index wins
+    # ties — array_position returns the first match)
+    code_cols = []
+    for m in range(n_sub):
+        d2s = F.array(*[l2(subs[m], cb_lits[m][j]) for j in range(n_codes)])
+        code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).alias(f"_c{m}"))
+    coded = corpus.select(F.col(id_col).alias("neighbor_id"), *code_cols)
+
+    # queries carry exact quantized subvectors
+    q = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        *[subs[m].alias(f"_s{m}") for m in range(n_sub)],
+    )
+
+    pairs = coded.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # ADC: dot of the query subvector with the codebook entry the
+    # neighbor's code names, per subspace — a CASE over the n_codes
+    # literal entries keeps everything JVM-side
+    adc_terms = []
+    for m in range(n_sub):
+        expr = None
+        for j in range(n_codes):
+            term = dot(F.col(f"_s{m}"), cb_lits[m][j])
+            cond = F.col(f"_c{m}") == j
+            expr = F.when(cond, term) if expr is None else expr.when(cond, term)
+        adc_terms.append(expr.otherwise(F.lit(0).cast("long")))
+    score = adc_terms[0]
+    for t in adc_terms[1:]:
+        score = score + t
+
+    w = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_dot", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

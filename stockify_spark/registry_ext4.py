@@ -1,11 +1,11 @@
 """Fourth extension wave (round 6): training-data hygiene operators
-(PII redaction, distinctive-term extraction), the MP3 frame-header
-probe, and weighted PageRank. Same determinism conventions as
-registry.py: every float in an output is ROUND()ed identically on
-both engines, ties broken by a total order, and regex patterns
-restricted to the syntax subset that behaves identically in Java
-regex (Spark) and RE2 (DuckDB): no lookaround, no backreferences,
-leftmost-first alternation.
+(PII redaction, distinctive-term extraction, trigram LM counts), the
+MP3 frame-header probe, weighted PageRank, and product-quantized
+ANN. Same determinism conventions as registry.py: every float in an
+output is ROUND()ed identically on both engines, ties broken by a
+total order, and regex patterns restricted to the syntax subset that
+behaves identically in Java regex (Spark) and RE2 (DuckDB): no
+lookaround, no backreferences, leftmost-first alternation.
 """
 
 from __future__ import annotations
@@ -392,3 +392,61 @@ def text_ngram_lm(spark, sf_dir):
         )
         .filter(F.col("n") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (llm/similarity.pq_topk) — the FAISS-style
+# PQ compression made cross-engine deterministic: int8 half-up
+# quantization, data-seeded codebooks (subvectors of the first 16
+# corpus vectors), integer-L2 encode with ties to the lowest index,
+# and exact-integer asymmetric-distance scoring, so the comparison is
+# hash-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_pq_topk",
+    "WITH q8 AS ("
+    " SELECT vec_id, list_transform(embedding,"
+    "  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /"
+    "   greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30)"
+    "   + 0.5) AS BIGINT)) AS q"
+    " FROM embeddings),"
+    "subs AS ("
+    " SELECT vec_id, m, q[m*16+1 : m*16+16] AS sub"
+    " FROM q8, (SELECT unnest(range(0, 4)) AS m)),"
+    "cb AS ("
+    " SELECT m, vec_id AS j, sub AS csub FROM subs WHERE vec_id < 16),"
+    "dists AS ("
+    " SELECT s.vec_id, s.m, cb.j,"
+    "  list_sum(list_transform(list_zip(s.sub, cb.csub),"
+    "   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2"
+    " FROM subs s JOIN cb ON cb.m = s.m),"
+    "codes AS ("
+    " SELECT vec_id, m, j FROM ("
+    "  SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk"
+    "  FROM dists) WHERE rk = 1),"
+    "adc AS ("
+    " SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,"
+    "  SUM(list_sum(list_transform(list_zip(qs.sub, cb.csub), p -> p[1] * p[2]))) AS dot"
+    " FROM subs qs"
+    " JOIN codes c ON TRUE"
+    " JOIN cb ON cb.m = qs.m AND cb.m = c.m AND cb.j = c.j"
+    " WHERE qs.vec_id < 5 AND c.vec_id <> qs.vec_id"
+    " GROUP BY 1, 2)"
+    "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ("
+    " SELECT query_id, neighbor_id,"
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank"
+    " FROM adc) WHERE rank <= 5",
+)
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantized ANN top-k (llm/similarity.pq_topk): 4
+    subspaces x 16-entry seeded codebooks over int8 vectors, exact
+    integer encode + asymmetric-distance scoring. Corpus encode and
+    scoring are map-side JVM column expressions against the literal
+    codebook; the only shuffle is the per-query top-k window. The
+    fourth ANN variant beside brute-force, seeded-IVF, and
+    hyperplane LSH — at scale the 4-byte codes are the cheap
+    first-pass ranker, float re-scoring the short list."""
+    from stockify_spark.llm.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"))
