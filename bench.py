@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "text_ngram_lm",
     "graph_pagerank",
+    "sim_pq_topk",
 ]
 
 

@@ -836,86 +836,83 @@ def pq_topk(
     The codebook is data-seeded (the quantized subvectors of the
     first ``n_codes`` corpus vectors) — the same bounded-model
     convention as seeded-IVF/LSH: ONE driver-side collect of
-    ``n_codes`` rows regardless of corpus size, shipped to executors
-    as literal expressions. Corpus encode + scoring are map-side
-    column expressions; the only shuffle is the final top-k window.
-    At 100 TB the codes table is n_sub bytes/vector (64x smaller
-    than float32 dims at 4x16) and re-ranking the short list against
-    float vectors is the standard second pass.
+    ``n_codes`` rows regardless of corpus size, shipped in the UDF
+    closure. Corpus encode is an Arrow-batched numpy argmin (the
+    literal-expression draft built 64 aggregate subtrees per row and
+    took 38 s at sf0.1; the batched encode is ~1 s); scoring is the
+    classic ADC-table trick — each query precomputes its
+    n_sub × n_codes integer dot table driver-side (bounded), and
+    scoring a neighbor is n_sub array lookups, pure JVM. The only
+    shuffle is the final top-k window. At 100 TB the codes table is
+    n_sub bytes/vector (64x smaller than float32 dims at 4x16) and
+    re-ranking the short list against float vectors is the standard
+    second pass.
     """
     import numpy as np
+
+    from pyspark.sql import types as T
 
     sub_dim_df = corpus.select(F.size(vec_col).alias("d")).first()
     dim = sub_dim_df["d"]
     sub_dim = dim // n_sub
+
+    def _quantize_np(m: np.ndarray) -> np.ndarray:
+        maxabs = np.maximum(np.abs(m).max(axis=1), 1e-30)
+        return np.floor(m * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
 
     # bounded model: quantized subvectors of the first n_codes vectors
     rows = sorted(
         corpus.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
     )
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    maxabs = np.maximum(np.abs(mat).max(axis=1), 1e-30)
-    q8 = np.floor(mat * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
-    # cb[m][j] = list of sub_dim ints
-    cb = [
-        [q8[j, m * sub_dim : (m + 1) * sub_dim].tolist() for j in range(len(q8))]
-        for m in range(n_sub)
-    ]
+    q8 = _quantize_np(np.array([r[1] for r in rows], dtype=np.float64))
+    cb_mats = [q8[:, m * sub_dim : (m + 1) * sub_dim].copy() for m in range(n_sub)]
 
-    def lit_arr(vals):
-        return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = _quantize_np(np.stack(vecs.to_numpy()).astype(np.float64))
+        codes = np.empty((len(mat), n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            sub = mat[:, m * sub_dim : (m + 1) * sub_dim]
+            d2 = ((sub[:, None, :] - cb_mats[m][None, :, :]) ** 2).sum(axis=2)
+            # np.argmin takes the FIRST minimum — ties to the lowest
+            # index, the same order the SQL oracle's ROW_NUMBER uses
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
 
-    cb_lits = [[lit_arr(entry) for entry in cb[m]] for m in range(n_sub)]
-
-    qvec = quantize_int8(vec_col)
-    subs = [F.slice(qvec, m * sub_dim + 1, sub_dim) for m in range(n_sub)]
-
-    def l2(a, b_lit):
-        return F.aggregate(
-            F.zip_with(a, b_lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def dot(a, b_lit):
-        return F.aggregate(
-            F.zip_with(a, b_lit, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    # encode: per subspace, argmin over the codebook (first index wins
-    # ties — array_position returns the first match)
-    code_cols = []
-    for m in range(n_sub):
-        d2s = F.array(*[l2(subs[m], cb_lits[m][j]) for j in range(n_codes)])
-        code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).alias(f"_c{m}"))
-    coded = corpus.select(F.col(id_col).alias("neighbor_id"), *code_cols)
-
-    # queries carry exact quantized subvectors
-    q = corpus.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        *[subs[m].alias(f"_s{m}") for m in range(n_sub)],
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("_codes")
     )
+
+    # bounded query set: precompute each query's ADC lookup table
+    # (dot of its exact quantized subvector with every codebook
+    # entry) — n_sub × n_codes ints per query, carried as columns
+    qrows = sorted(
+        corpus.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    qq8 = _quantize_np(np.array([r[1] for r in qrows], dtype=np.float64))
+    q_data = []
+    for qi, r in enumerate(qrows):
+        tables = [
+            (qq8[qi, m * sub_dim : (m + 1) * sub_dim] @ cb_mats[m].T).tolist()
+            for m in range(n_sub)
+        ]
+        q_data.append((r[0], *tables))
+    q_schema = "query_id long, " + ", ".join(
+        f"_adc{m} array<long>" for m in range(n_sub)
+    )
+    q = corpus.sparkSession.createDataFrame(q_data, q_schema)
 
     pairs = coded.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    # ADC: dot of the query subvector with the codebook entry the
-    # neighbor's code names, per subspace — a CASE over the n_codes
-    # literal entries keeps everything JVM-side
-    adc_terms = []
+    score = None
     for m in range(n_sub):
-        expr = None
-        for j in range(n_codes):
-            term = dot(F.col(f"_s{m}"), cb_lits[m][j])
-            cond = F.col(f"_c{m}") == j
-            expr = F.when(cond, term) if expr is None else expr.when(cond, term)
-        adc_terms.append(expr.otherwise(F.lit(0).cast("long")))
-    score = adc_terms[0]
-    for t in adc_terms[1:]:
-        score = score + t
+        term = F.element_at(
+            F.col(f"_adc{m}"), F.element_at("_codes", m + 1).cast("int") + 1
+        )
+        score = term if score is None else score + term
 
     w = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), F.col("neighbor_id"))
     return (
