@@ -56,6 +56,13 @@ _PRIORITY = [
     "media_mp4_index", "media_container_mp4",
     "pipeline_pii_redact", "text_tfidf_topk", "media_mp3_index",
     "graph_pagerank", "text_ngram_lm", "sim_pq_topk",
+    # --- new code this round, wave 2 (registry_ext5): sessionize,
+    # time-series windows, histogram/mode/unpivot/skyline, triangle
+    # enumeration, normalization dedup, HLL sketch union ---
+    "events_sessionize", "window_ewma", "window_drawdown",
+    "agg_histogram", "agg_mode", "groupby_unpivot",
+    "analytics_skyline", "graph_triangles", "text_normalize",
+    "agg_sketch_union",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

@@ -1,0 +1,480 @@
+"""Fifth extension wave (round 6, continued): classic analytics the
+reference's users reach for next — gaps-and-islands sessionization,
+EWMA / drawdown time-series windows (the stock-analytics natives),
+fixed-width histograms, deterministic mode, unpivot/melt, Pareto
+skyline — plus degree-oriented triangle enumeration
+(operators/graph.triangles), corpus normalization dedup, and
+re-aggregatable HLL sketch union.
+
+Same determinism conventions as registry.py. Two specific to this
+file: EWMA uses alpha = 0.5 so every weight is an exact power of two
+(weight·x is a pure exponent shift — no rounding — and the explicit
+left-associated sum is bit-identical across engines), and every
+ranking ties on a unique id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands sessionization (the batch twin of
+# stream_session_agg): a new session starts when a user's gap from
+# their previous event exceeds 30 minutes; sessions are numbered per
+# user in time order and aggregated.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    "WITH t AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms"
+    "  FROM events),"
+    " flagged AS (SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000"
+    "   OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_new"
+    "  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),"
+    " sess AS (SELECT *, SUM(is_new) OVER"
+    "   (PARTITION BY user_id ORDER BY ms, event_id"
+    "    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)"
+    " SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
+    " CAST(COUNT(*) AS BIGINT) AS n_events,"
+    " MIN(ms) AS first_ms, MAX(ms) AS last_ms,"
+    " ROUND(SUM(value), 2) AS total_value"
+    " FROM sess GROUP BY user_id, session_seq",
+)
+def events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization: lag → new-session flag →
+    running sum of flags = session id → per-session aggregate. One
+    shuffle on user_id serves both window passes AND the final
+    group-by (session_seq is a refinement of the user partition —
+    Catalyst reuses the partitioning), so the whole operator is a
+    single exchange of (user, event) rows. At 100 TB user_id is a
+    high-cardinality key, so tasks parallelize; a pathological
+    single-user skew is AQE's skew-split case."""
+    t = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = t.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ms") - F.lag("ms").over(w) > 1800000)
+            | F.lag("ms").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ms").alias("first_ms"),
+        F.max("ms").alias("last_ms"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average, the stock-chart
+# smoother. alpha = 0.5 makes every weight 2^-(k+1): weight·x is an
+# exact exponent shift, so the explicit 8-term left-associated sum is
+# bit-identical across engines (no ROUND-policy dependence); the
+# denominator renormalizes over the lags that actually exist at the
+# start of each series.
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(value, {k}) OVER w, 0) * {2.0 ** -(k + 1)!r}"
+        for k in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {2.0 ** -(k + 1)!r} END"
+        for k in range(_EWMA_K)
+    )
+    return (
+        "SELECT event_id, user_id, value,"
+        f" ROUND(({num}) / ({den}), 6) AS ewma"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"
+    )
+
+
+@register("window_ewma", _ewma_sql())
+def window_ewma(spark, sf_dir):
+    """EWMA over each user's event series as a fixed composition of
+    lag() terms — a bounded-frame window, per-partition state O(K).
+    The recursive form y_t = αx_t + (1-α)y_{t-1} is inherently
+    sequential; the K-term truncation (weight tail < 0.4% at K=8,
+    α=0.5) is the standard scale-out rewrite — every row computes
+    independently inside one window pass, one shuffle on user_id."""
+    t = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_K):
+        lagk = F.lag("value", k).over(w)
+        wt = 2.0 ** -(k + 1)
+        num = num + F.coalesce(lagk, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lagk.isNull(), 0.0).otherwise(wt)
+    return t.select(
+        "event_id", "user_id", "value", F.round(num / den, 6).alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drawdown — running peak and distance-from-peak per series, the
+# other stock-analytics native. Running MAX involves no float
+# addition, and peak/value arithmetic is per-row IEEE — everything
+# except the final display rounding is exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_drawdown",
+    "SELECT event_id, user_id, value,"
+    " MAX(value) OVER w AS peak,"
+    " ROUND(MAX(value) OVER w - value, 6) AS drawdown,"
+    " ROUND((MAX(value) OVER w - value) / MAX(value) OVER w, 6) AS drawdown_pct"
+    " FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id"
+    "  ROWS UNBOUNDED PRECEDING)",
+)
+def window_drawdown(spark, sf_dir):
+    """Running peak + drawdown over each user's value series: an
+    unbounded-preceding MAX frame (O(1) running state per partition,
+    one shuffle on user_id) and two per-row arithmetic columns.
+    events.value > 0 by construction (TESTDATA.md), so the pct
+    denominator needs no guard."""
+    t = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return t.select(
+        "event_id",
+        "user_id",
+        "value",
+        peak.alias("peak"),
+        F.round(peak - F.col("value"), 6).alias("drawdown"),
+        F.round((peak - F.col("value")) / peak, 6).alias("drawdown_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — the width_bucket aggregation every
+# profiler/BI layer needs. Bucket ids are exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_histogram",
+    "SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " ROUND(SUM(o_totalprice), 2) AS total,"
+    " MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi"
+    " FROM orders GROUP BY 1",
+)
+def agg_histogram(spark, sf_dir):
+    """20-bucket fixed-width histogram of order totals: one map-side
+    bucket-id expression, one group-by with map-side combine — the
+    shuffle moves |buckets| partial rows per task, scale-free. (A
+    data-adaptive variant is agg_percentile_approx's quantile sketch;
+    this is the exact fixed-bounds profile.)"""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode — most frequent value per group with a total
+# tie order (count DESC, value ASC), the portable definition of the
+# MODE() aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_mode",
+    "WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt"
+    "  FROM customer GROUP BY 1, 2),"
+    " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment"
+    "   ORDER BY cnt DESC, c_nationkey ASC) AS rk FROM c)"
+    " SELECT c_mktsegment, CAST(c_nationkey AS INT) AS mode_nation,"
+    " CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk = 1",
+)
+def agg_mode(spark, sf_dir):
+    """Per-segment modal nation: count pairs (map-side combine),
+    then a rank-1 window over the compact (segment, nation, count)
+    table. Built-in MODE() is non-deterministic on ties in both
+    engines; the explicit (cnt DESC, value ASC) order is the
+    differential-testable definition. Two shuffles, both over
+    |segments|×|nations| rows — group-bounded, scale-free."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("int").alias("mode_nation"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide-to-long reshape via stack(), the inverse of
+# groupby_pivot. Counts stay BIGINT-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "groupby_unpivot",
+    "WITH wide AS (SELECT n_nationkey,"
+    "  (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)"
+    "   AS customers,"
+    "  (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)"
+    "   AS suppliers FROM nation)"
+    " SELECT CAST(n_nationkey AS INT) AS nation, metric,"
+    "  CAST(val AS BIGINT) AS val FROM ("
+    "  SELECT n_nationkey, 'customers' AS metric, customers AS val FROM wide"
+    "  UNION ALL"
+    "  SELECT n_nationkey, 'suppliers' AS metric, suppliers AS val FROM wide)",
+)
+def groupby_unpivot(spark, sf_dir):
+    """Melt a wide per-nation count table to (nation, metric, val)
+    rows with stack() — the inverse reshape of groupby_pivot. The
+    wide table is built by aggregating each fact side to |nations|
+    rows FIRST and broadcast-joining onto the nation spine, so the
+    unpivot itself is a zero-shuffle per-row expansion."""
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    wide = (
+        nation.join(F.broadcast(cust), "nation", "left")
+        .join(F.broadcast(supp), "nation", "left")
+        .select(
+            "nation",
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+    return wide.select(
+        F.col("nation").cast("int").alias("nation"),
+        F.expr(
+            "stack(2, 'customers', customers, 'suppliers', suppliers)"
+            " AS (metric, val)"
+        ),
+    ).select("nation", "metric", F.col("val").cast("long").alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline — the undominated (price DESC, quantity ASC)
+# frontier, computed as a running-min scan over per-price minima.
+# No float arithmetic at all: comparisons only.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytics_skyline",
+    "WITH pp AS (SELECT l_extendedprice AS price, MIN(l_quantity) AS qty"
+    "  FROM lineitem GROUP BY 1),"
+    " rm AS (SELECT price, qty, MIN(qty) OVER"
+    "   (ORDER BY price DESC ROWS UNBOUNDED PRECEDING) AS run_min FROM pp),"
+    " r AS (SELECT price, qty,"
+    "  lag(run_min) OVER (ORDER BY price DESC) AS best_above FROM rm)"
+    " SELECT price, qty FROM r"
+    " WHERE best_above IS NULL OR qty < best_above",
+)
+def analytics_skyline(spark, sf_dir):
+    """2-D Pareto skyline (maximize price, minimize quantity): a
+    point survives iff its quantity beats the running minimum over
+    all strictly-higher prices. Group-by price collapses duplicates
+    (and resolves equal-price domination exactly), then ONE ordered
+    window pass replaces the quadratic dominance join — the classic
+    sort-filter skyline. The global ORDER BY is a range-partitioned
+    sort at scale; the running min is O(1) state. Comparisons only —
+    no float arithmetic to drift."""
+    pp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").alias("price"))
+        .agg(F.min("l_quantity").alias("qty"))
+    )
+    wrun = Window.orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlag = Window.orderBy(F.col("price").desc())
+    r = pp.withColumn("best_above", F.lag(F.min("qty").over(wrun)).over(wlag))
+    return r.filter(
+        F.col("best_above").isNull() | (F.col("qty") < F.col("best_above"))
+    ).select("price", "qty")
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration (operators/graph.triangles). The graph is
+# data-derived but engine-portable: nodes are key residues, and the
+# edge set is thinned by an md5 coin so the graph is sparse
+# (≈12% of pairs) — dense graphs make triangle counting trivially
+# cubic-complete and hide the orientation algorithm's point.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangles",
+    "WITH pairs AS (SELECT DISTINCT"
+    "   LEAST(l_orderkey % 80, l_partkey % 80) AS a,"
+    "   GREATEST(l_orderkey % 80, l_partkey % 80) AS b"
+    "  FROM lineitem WHERE l_orderkey % 80 <> l_partkey % 80),"
+    " e AS (SELECT a, b FROM pairs WHERE"
+    "  CAST(CONCAT('0x', substr(md5(CAST(a AS VARCHAR) || ':' ||"
+    "   CAST(b AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 12)"
+    " SELECT e1.a AS x1, e1.b AS x2, e2.b AS x3"
+    " FROM e e1 JOIN e e2 ON e2.a = e1.b"
+    " JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration on an md5-thinned residue graph via
+    degree orientation (operators/graph.triangles — O(m^1.5) wedge
+    bound vs the oracle's naive a<b<c triple join). Output is one
+    id-sorted (x1, x2, x3) row per triangle, exactly once."""
+    from stockify_spark.operators.graph import triangles
+
+    li = _t(spark, sf_dir, "lineitem")
+    ra = (F.col("l_orderkey") % 80).cast("long")
+    rb = (F.col("l_partkey") % 80).cast("long")
+    pairs = (
+        li.filter(ra != rb)
+        .select(F.least(ra, rb).alias("a"), F.greatest(ra, rb).alias("b"))
+        .distinct()
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = pairs.filter(coin % 100 < 12)
+    return triangles(edges, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Normalization dedup — canonicalize text (case-fold, punctuation →
+# space, whitespace collapse) and group by the canonical form's
+# md5. The normalization pipeline is the operator under test;
+# dedup_exact covers the raw-bytes variant.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_normalize",
+    "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    "  AS norm_key,"
+    " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+    " MIN(doc_id) AS keep_doc_id,"
+    " CAST(MIN(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))"
+    "  AS BIGINT) AS norm_len"
+    " FROM documents GROUP BY 1",
+)
+def text_normalize(spark, sf_dir):
+    """Canonicalization dedup: lower → non-alnum runs to one space →
+    trim → md5 group key, keeping the lowest doc_id as survivor.
+    Pure column expressions ahead of one 16-byte-key shuffle; at
+    100 TB the map side reduces each document to (hash, id, len)
+    before the exchange — same shape as dedup_exact with the
+    normalization pass fused into the scan."""
+    t = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        t.select("doc_id", F.md5(norm).alias("norm_key"), F.length(norm).alias("_len"))
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min("_len").cast("long").alias("norm_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable HLL sketches: per-group sketches unioned to a
+# global estimate — the sketch-cube pattern (build once at fine
+# grain, roll up without rescanning). Tolerance-of-truth oracle, the
+# agg_approx_distinct convention: estimates are engine-specific, so
+# each engine asserts its own estimate against the exact answer.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_sketch_union",
+    "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,"
+    " CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,"
+    " TRUE AS union_estimate_ok FROM orders",
+)
+def agg_sketch_union(spark, sf_dir):
+    """Datasketches HLL cube: one sketch per order priority
+    (hll_sketch_agg — map-side mergeable state), then hll_union_agg
+    rolls the five group sketches into the global estimate WITHOUT
+    rescanning orders — the pre-aggregated-cube pattern that makes
+    distinct-count dashboards O(groups) instead of O(rows) per
+    query. The oracle is tolerance-of-truth (agg_approx_distinct
+    convention): the unioned estimate must land within 10% of the
+    exact global cardinality, asserted engine-side."""
+    orders = _t(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(unioned)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        (
+            F.abs(F.col("est") - F.col("n_exact")) <= 0.1 * F.col("n_exact")
+        ).alias("union_estimate_ok"),
+    )

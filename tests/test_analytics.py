@@ -1,0 +1,126 @@
+"""Semantics tests for the fifth extension wave
+(stockify_spark/registry_ext5.py): sessionization boundaries, EWMA
+renormalization at series starts, drawdown monotonicity, skyline
+dominance, and the HLL sketch-union tolerance contract. The
+cross-engine value check lives in tools/check_oracle.py; these pin
+the operator semantics on hand-built micro-inputs where the right
+answer is computable by eye."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, seconds_offset, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=s), uid, "click", v, "{}")
+        for eid, uid, s, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _run(spark, tmp_path, df, qname):
+    """Write a one-table sf_dir and run the registered query on it."""
+    from stockify_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return QUERIES[qname](spark, d)
+
+
+def test_sessionize_splits_exactly_at_gap_threshold(spark, tmp_path):
+    rows = [
+        # user 1: events at 0s, 1700s (same session), 1700+1801s (new)
+        (1, 1, 0, 10.0),
+        (2, 1, 1700, 20.0),
+        (3, 1, 3501, 30.0),
+        # user 2: single event
+        (4, 2, 50, 5.0),
+    ]
+    out = _run(spark, tmp_path, _events(spark, rows), "events_sessionize")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (2, 30.0),
+        (1, 2): (1, 30.0),
+        (2, 1): (1, 5.0),
+    }
+
+
+def test_sessionize_gap_of_exactly_30min_does_not_split(spark, tmp_path):
+    rows = [(1, 1, 0, 1.0), (2, 1, 1800, 1.0)]  # gap == threshold
+    out = _run(spark, tmp_path, _events(spark, rows), "events_sessionize")
+    assert out.count() == 1
+
+
+def test_ewma_renormalizes_over_available_lags(spark, tmp_path):
+    """First row of a series has only lag-0: ewma == value exactly.
+    Second row: (x1/2 + x0/4) / (3/4)."""
+    rows = [(1, 1, 0, 8.0), (2, 1, 10, 4.0)]
+    out = _run(spark, tmp_path, _events(spark, rows), "window_ewma")
+    got = {r["event_id"]: r["ewma"] for r in out.collect()}
+    assert got[1] == pytest.approx(8.0, abs=1e-9)
+    assert got[2] == pytest.approx((4.0 / 2 + 8.0 / 4) / 0.75, abs=1e-6)
+
+
+def test_drawdown_is_zero_at_running_peak_and_positive_after(spark, tmp_path):
+    rows = [(1, 1, 0, 10.0), (2, 1, 10, 15.0), (3, 1, 20, 12.0)]
+    out = _run(spark, tmp_path, _events(spark, rows), "window_drawdown")
+    got = {r["event_id"]: (r["peak"], r["drawdown"], r["drawdown_pct"]) for r in out.collect()}
+    assert got[1] == (10.0, 0.0, 0.0)
+    assert got[2] == (15.0, 0.0, 0.0)
+    assert got[3][0] == 15.0
+    assert got[3][1] == pytest.approx(3.0)
+    assert got[3][2] == pytest.approx(0.2)
+
+
+def test_skyline_keeps_only_undominated_points(spark, tmp_path):
+    """Skyline of {(p,q)}: maximize price, minimize qty. Hand-built
+    frontier: (100,1) and (300,5); (200,5) is dominated by (300,5),
+    (100,2) by (100,1) via the per-price min collapse."""
+    li = spark.createDataFrame(
+        [(1, 100.0, 1.0), (2, 100.0, 2.0), (3, 200.0, 5.0), (4, 300.0, 5.0)],
+        "l_orderkey long, l_extendedprice double, l_quantity double",
+    )
+    from stockify_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = sorted(
+        (r["price"], r["qty"])
+        for r in QUERIES["analytics_skyline"](spark, d).collect()
+    )
+    assert got == [(100.0, 1.0), (300.0, 5.0)]
+
+
+def test_sketch_union_estimate_within_tolerance_at_sf001(spark):
+    from stockify_spark.registry import QUERIES
+
+    row = QUERIES["agg_sketch_union"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["union_estimate_ok"] is True
+    assert row["n_exact"] > 0 and row["n_groups"] > 0
+
+
+def test_histogram_buckets_partition_the_rows(spark):
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["agg_histogram"](spark, "/root/testdata/sf0.001").collect()
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_metadata(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).num_rows
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert 25000.0 * r["bucket"] <= r["lo"] <= r["hi"] < 25000.0 * (r["bucket"] + 1)

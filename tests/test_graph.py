@@ -55,3 +55,59 @@ def test_lineage_checkpoint_keeps_many_iterations_tractable(spark):
     assert sum(a.values()) == pytest.approx(1.0, abs=1e-9)
     for v in a.values():
         assert v == pytest.approx(1.0 / 3, abs=1e-6)  # symmetric: uniform
+
+
+# --- triangles (operators/graph.triangles) ---------------------------------
+
+def _brute_triangles(edge_set):
+    import itertools
+
+    nodes = sorted({v for e in edge_set for v in e})
+    out = []
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edge_set and (b, c) in edge_set and (a, c) in edge_set:
+            out.append((a, b, c))
+    return sorted(out)
+
+
+def test_triangles_match_brute_force_on_random_graph(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 25
+    edge_set = {
+        (int(a), int(b))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.rand() < 0.25
+    }
+    from stockify_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(sorted(edge_set), "a long, b long")
+    got = sorted(
+        (r["x1"], r["x2"], r["x3"]) for r in triangles(edges).collect()
+    )
+    assert got == _brute_triangles(edge_set)
+    assert len(got) > 10  # non-degenerate instance
+
+
+def test_triangles_each_emitted_once_on_complete_graph(spark):
+    """K5 has exactly C(5,3)=10 triangles; orientation must emit each
+    once with sorted ids (the degree-tie path: all degrees equal)."""
+    edge_set = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    from stockify_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(sorted(edge_set), "a long, b long")
+    rows = [(r["x1"], r["x2"], r["x3"]) for r in triangles(edges).collect()]
+    assert len(rows) == 10 == len(set(rows))
+    assert all(x1 < x2 < x3 for x1, x2, x3 in rows)
+
+
+def test_triangles_hub_graph_has_none(spark):
+    """A star (one hub, no rim edges) is triangle-free — the case
+    where naive wedge counting is quadratic in hub degree."""
+    edge_set = {(0, b) for b in range(1, 40)}
+    from stockify_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(sorted(edge_set), "a long, b long")
+    assert triangles(edges).count() == 0
