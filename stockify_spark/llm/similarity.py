@@ -410,6 +410,77 @@ def quantized_topk(
     )
 
 
+def quantized_topk_batched(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`quantized_topk` with Arrow-batched numpy scoring — the
+    :func:`cosine_topk_batched` physics applied to the int8 path.
+
+    Quantization (floor(x·127/max|x| + 0.5), all double ops) and the
+    integer dot products are exact, so the numpy batch result is
+    bit-identical to both the expression form and the SQL oracle —
+    no sequential-association care needed beyond the quantize step's
+    (x·127.0)/maxabs op order. Each corpus batch emits only its
+    partial top-k per query; the one shuffle carries k rows per
+    (query, batch)."""
+    q_rows = sorted(
+        queries.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+
+    def _q8(mat: np.ndarray) -> np.ndarray:
+        maxabs = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+        # same op order as the column expression: (x * 127.0) / maxabs
+        return np.floor(mat * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
+
+    qmat = _q8(np.array([r[1] for r in q_rows], dtype=np.float64))
+    qsq = (qmat * qmat).sum(axis=1)  # exact int64
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = _q8(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            dots = cmat @ qmat.T  # int64: exact
+            csq = (cmat * cmat).sum(axis=1)
+            cos = dots.astype(np.float64) / np.sqrt(
+                (csq[:, None] * qsq[None, :]).astype(np.float64)
+            )
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                col, nids = cos[:, j], ids
+                keep = ids != qid
+                col, nids = col[keep], nids[keep]
+                order = np.lexsort((nids, -col))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(nids[order])
+                out_c.append(col[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_score": np.concatenate(out_c),
+                }
+            )
+
+    part = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, _score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_score").desc(), F.col("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF — the scale path
 # ---------------------------------------------------------------------------

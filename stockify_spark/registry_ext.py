@@ -765,8 +765,10 @@ def sim_quantized_topk(spark, sf_dir):
     """int8-quantized brute-force ANN: 4x less scan traffic and
     integer inner products — the cheap first-pass ranker at corpus
     scale (float re-scoring of the short list follows). Quantized
-    ranking recall vs float cosine is pinned in tests."""
-    from stockify_spark.llm.similarity import quantized_topk
+    ranking recall vs float cosine is pinned in tests. Scoring is
+    the Arrow-batched map-side-top-k form (exact integer math, so
+    still hash-identical to the expression variant and the oracle)."""
+    from stockify_spark.llm.similarity import quantized_topk_batched
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return quantized_topk_batched(emb, emb.filter(F.col("vec_id") < 5), k=5)
