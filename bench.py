@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "text_ngram_lm",
     "graph_pagerank",
     "sim_pq_topk",
+    # round-6 wave 2: sessionization, time-series windows, skyline,
+    # triangle enumeration, normalization dedup
+    "events_sessionize",
+    "window_ewma",
+    "window_drawdown",
+    "analytics_skyline",
+    "graph_triangles",
+    "text_normalize",
 ]
 
 

@@ -478,3 +478,177 @@ def agg_sketch_union(spark, sf_dir):
             F.abs(F.col("est") - F.col("n_exact")) <= 0.1 * F.col("n_exact")
         ).alias("union_estimate_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (the C4/RefinedWeb cleaning pass):
+# lines repeated across many documents are boilerplate (headers,
+# nav, disclaimers); drop any line occurring in >= K distinct docs
+# and reassemble each document from its surviving lines in order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_line_dedup",
+    "WITH lines AS (SELECT doc_id, i AS line_no, ln FROM ("
+    "  SELECT doc_id, unnest(string_split(text, '. ')) AS ln,"
+    "   unnest(range(1, len(string_split(text, '. ')) + 1)) AS i"
+    "  FROM documents)),"
+    " freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS n_docs FROM lines"
+    "  GROUP BY ln),"
+    " kept AS (SELECT l.doc_id, l.line_no, l.ln FROM lines l"
+    "  JOIN freq f ON f.ln = l.ln WHERE f.n_docs < 3)"
+    " SELECT doc_id,"
+    " CAST(COUNT(*) AS BIGINT) AS n_kept,"
+    " CAST(length(string_agg(ln, '. ' ORDER BY line_no)) AS BIGINT)"
+    "  AS clean_len,"
+    " md5(string_agg(ln, '. ' ORDER BY line_no)) AS clean_hash"
+    " FROM kept GROUP BY doc_id",
+)
+def pipeline_line_dedup(spark, sf_dir):
+    """Boilerplate-line removal: explode documents to (doc, line_no,
+    line), count DISTINCT docs per line, keep lines seen in < 3
+    docs, and reassemble each doc in original line order (emitted as
+    length + md5 so the output stays scalar). Scale shape: the line
+    table shuffles once for the frequency count (map-side combine on
+    the line text collapses within-partition repeats) and once for
+    the per-doc reassembly; the frequency side joins back by line
+    text — at 100 TB hash the line to a 16-byte key first. This is
+    the sentence-level sibling of dedup_exact and the standard
+    pre-training cleaning pass between document dedup and quality
+    filtering."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("_i", "ln"),
+    ).select("doc_id", (F.col("_i") + 1).alias("line_no"), "ln")
+    freq = lines.groupBy("ln").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(freq.filter(F.col("n_docs") < 3), "ln")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "ln"))
+                ),
+                lambda s: s["ln"],
+            ),
+            ". ",
+        ).alias("_clean"),
+    )
+    return reassembled.select(
+        "doc_id",
+        "n_kept",
+        F.length("_clean").cast("long").alias("clean_len"),
+        F.md5("_clean").alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix statistics per source — the table a data-mixing
+# config is written from (docs, chars, token estimate, quality
+# proxies per source, plus each source's share of the corpus).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_source_mix",
+    "WITH s AS (SELECT source, lang,"
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs,"
+    "  CAST(SUM(n_chars) AS BIGINT) AS total_chars,"
+    "  CAST(SUM(len(list_filter(string_split_regex(lower(text),"
+    "   '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS total_tokens"
+    "  FROM documents GROUP BY source, lang)"
+    " SELECT source, lang, n_docs, total_chars, total_tokens,"
+    " ROUND(CAST(total_tokens AS DOUBLE)"
+    "  / SUM(total_tokens) OVER (), 6) AS token_share"
+    " FROM s",
+)
+def pipeline_source_mix(spark, sf_dir):
+    """Per-(source, lang) corpus composition: docs, chars, tokens,
+    and each cell's token share of the whole corpus — the input to
+    any data-mixing/reweighting decision. One group-by with map-side
+    combine over the scan (token counting fused as a column
+    expression), then a window over the |sources|×|langs| result for
+    the shares: the second pass is group-bounded, scale-free."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_count = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    s = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(tok_count).cast("long").alias("total_tokens"),
+    )
+    return s.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split assignment — hash-based train/val/test
+# bucketing that is stable under recomputation, reshuffling, and
+# incremental corpus growth (the property random() splits lack).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_split_assign",
+    "WITH assigned AS (SELECT source, doc_id,"
+    "  CAST(CONCAT('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),"
+    "   1, 8)) AS BIGINT) % 100 AS bucket FROM documents)"
+    " SELECT source,"
+    " CASE WHEN bucket < 90 THEN 'train'"
+    "  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,"
+    " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+    " MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
+    " FROM assigned GROUP BY 1, 2",
+)
+def pipeline_split_assign(spark, sf_dir):
+    """90/5/5 train/val/test assignment from an md5 coin on the
+    document id: deterministic (re-runs agree), engine-portable (the
+    oracle reproduces every assignment bit-for-bit), and stable as
+    the corpus grows (new docs hash independently — no global sort
+    or count that reshuffles old assignments, which is why the
+    100 TB pipeline wants hash splits, not row_number() % N). Pure
+    map-side expression ahead of one group-bounded aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
