@@ -63,7 +63,8 @@ _PRIORITY = [
     "agg_histogram", "agg_mode", "groupby_unpivot",
     "analytics_skyline", "graph_triangles", "text_normalize",
     "agg_sketch_union", "pipeline_line_dedup", "pipeline_source_mix",
-    "pipeline_split_assign",
+    "pipeline_split_assign", "window_dist_stats", "merge_scd2_customers",
+    "events_concurrency",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

@@ -90,3 +90,51 @@ def compact_small_files(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def merge_scd2(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    effective_col: str = "effective_from",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE as one plan.
+
+    ``dim`` is the current dimension snapshot carrying
+    ``valid_from``/``valid_to`` (NULL valid_to = open row); ``updates``
+    carries the business columns plus ``effective_col``. Per updated
+    key: the open row is CLOSED (valid_to := effective date) and a new
+    open row is appended; unmatched dim rows pass through; history
+    rows (valid_to already set) are never touched. Output schema is
+    the dim schema plus ``is_current``.
+
+    Scale shape: one equi-join of dim against the (typically
+    broadcast-sized) update-key set decides closed-vs-kept; the new
+    rows are a map-side projection of updates — same single-shuffle
+    budget as merge_upsert, and the partition-scoped physical
+    companion (upsert_partitioned) applies unchanged when the
+    dimension is hive-partitioned."""
+    upd_keys = updates.select(*key_cols, F.col(effective_col).alias("_eff"))
+    open_rows = dim.filter(F.col(valid_to_col).isNull())
+    history = dim.filter(F.col(valid_to_col).isNotNull())
+
+    closed = open_rows.join(upd_keys, key_cols, "inner").select(
+        *[
+            F.col("_eff").alias(valid_to_col) if c == valid_to_col else F.col(c)
+            for c in dim.columns
+        ]
+    )
+    kept_open = open_rows.join(upd_keys.select(*key_cols), key_cols, "left_anti")
+    fresh = updates.select(
+        *[
+            F.col(effective_col).alias(valid_from_col)
+            if c == valid_from_col
+            else (F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col)
+                  if c == valid_to_col else F.col(c))
+            for c in dim.columns
+        ]
+    )
+    out = history.unionByName(closed).unionByName(kept_open).unionByName(fresh)
+    return out.withColumn("is_current", F.col(valid_to_col).isNull())

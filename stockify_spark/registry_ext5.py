@@ -652,3 +652,135 @@ def pipeline_split_assign(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution window functions — percent_rank / cume_dist,
+# the remaining members of the ranking family (window_rank covers
+# rank/dense_rank, window_ntile the quantile buckets). Both are
+# rational functions of integer ranks — exact in both engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_dist_stats",
+    "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,"
+    " percent_rank() OVER w AS pct_rank,"
+    " cume_dist() OVER w AS cume"
+    " FROM lineitem"
+    " WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)",
+)
+def window_dist_stats(spark, sf_dir):
+    """percent_rank + cume_dist per return-flag partition: one
+    shuffle on the partition key, ordered scan per partition. Ties
+    in l_quantity resolve by rank definition (not row order), so the
+    outputs are deterministic without a tiebreaker column — exact
+    integer-ratio doubles, no rounding needed."""
+    t = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension merge (operators/merge.merge_scd2): the warehouse
+# pattern for versioned dimensions. The update set is derived
+# deterministically from the data (every 10th-residue-0/1/2
+# customer gets a +100 balance adjustment effective 1995-06-01).
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_scd2_customers",
+    "WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal,"
+    "  '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to"
+    "  FROM customer),"
+    " upd AS (SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,"
+    "  '1995-06-01' AS effective_from FROM customer WHERE c_custkey % 10 < 3)"
+    " SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,"
+    "  valid_to IS NULL AS is_current FROM ("
+    "  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,"
+    "   u.effective_from AS valid_to"
+    "   FROM dim d JOIN upd u USING (c_custkey)"
+    "  UNION ALL"
+    "  SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to"
+    "   FROM dim WHERE c_custkey % 10 >= 3"
+    "  UNION ALL"
+    "  SELECT c_custkey, c_mktsegment, c_acctbal, effective_from,"
+    "   CAST(NULL AS VARCHAR) FROM upd)",
+)
+def merge_scd2_customers(spark, sf_dir):
+    """Type-2 SCD merge: updated keys close their open row at the
+    effective date and append a new open version; the oracle states
+    the same three-way union declaratively. One key join (update
+    side broadcast-sized) — see operators/merge.merge_scd2."""
+    from stockify_spark.operators.merge import merge_scd2
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 10 < 3).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("1995-06-01").alias("effective_from"),
+    )
+    return merge_scd2(dim, upd, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via sweep line: each event spans [ts, ts + value
+# seconds]; the classic +1/-1 endpoint walk gives the number of
+# simultaneously open intervals, maxed per event type. Endpoint tie
+# order (ends before starts) is part of the spec on both sides.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_concurrency",
+    "WITH iv AS (SELECT event_type, epoch_ms(ts) AS s,"
+    "  epoch_ms(ts) + CAST(FLOOR(value) AS BIGINT) * 1000 AS e FROM events),"
+    " pts AS (SELECT event_type, s AS t, 1 AS delta FROM iv"
+    "  UNION ALL SELECT event_type, e, -1 FROM iv),"
+    " run AS (SELECT event_type, SUM(delta) OVER"
+    "  (PARTITION BY event_type ORDER BY t, delta"
+    "   ROWS UNBOUNDED PRECEDING) AS open FROM pts)"
+    " SELECT event_type, CAST(MAX(open) AS BIGINT) AS peak_concurrent,"
+    " CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals"
+    " FROM run GROUP BY event_type",
+)
+def events_concurrency(spark, sf_dir):
+    """Peak concurrent intervals per event type by sweep line:
+    explode each interval to (+1 at start, -1 at end) endpoints, one
+    ordered running sum per type (ends sort before starts at equal
+    timestamps, so touching intervals don't stack), then max. One
+    shuffle on event_type; O(1) window state. The same construction
+    range-partitioned on time (with per-boundary carry-in, the
+    bucketed_prefix_sum pattern) is the scale form when one type
+    dominates."""
+    iv = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + F.floor("value").cast("long") * 1000).alias("e"),
+    )
+    pts = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("open"))
+    return run.groupBy("event_type").agg(
+        F.max("open").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -124,3 +124,40 @@ def test_histogram_buckets_partition_the_rows(spark):
     assert sum(r["n"] for r in rows) == n_orders
     for r in rows:
         assert 25000.0 * r["bucket"] <= r["lo"] <= r["hi"] < 25000.0 * (r["bucket"] + 1)
+
+
+def test_scd2_merge_closes_and_versions(spark):
+    from stockify_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None), (2, "B", "2020-01-01", None),
+         (3, "C", "2019-01-01", "2020-01-01")],  # history row: untouched
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2", "2021-06-01")], "k long, attr string, effective_from string"
+    )
+    rows = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in merge_scd2(dim, upd, ["k"]).collect()
+    }
+    assert rows[(1, "A")] == ("2020-01-01", "2021-06-01", False)   # closed
+    assert rows[(1, "A2")] == ("2021-06-01", None, True)           # new open
+    assert rows[(2, "B")] == ("2020-01-01", None, True)            # untouched open
+    assert rows[(3, "C")] == ("2019-01-01", "2020-01-01", False)   # history
+    assert len(rows) == 4
+
+
+def test_concurrency_touching_intervals_do_not_stack(spark, tmp_path):
+    """[0,60] and [60,120]: the end at t=60 sorts before the start
+    at t=60, so peak stays 1; [30,90] overlapping both lifts it to 2
+    for the middle stretch."""
+    rows = [(1, 1, 0, 60.0), (2, 1, 60, 60.0), (3, 2, 0, 60.0), (4, 2, 30, 60.0)]
+    evs = _events(spark, rows).withColumn(
+        "event_type", F.concat(F.lit("t"), F.col("user_id"))
+    ).drop("user_id").withColumn("user_id", F.lit(0)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = _run(spark, tmp_path, evs, "events_concurrency")
+    got = {r["event_type"]: r["peak_concurrent"] for r in out.collect()}
+    assert got == {"t1": 1, "t2": 2}
