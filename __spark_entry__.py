@@ -64,7 +64,8 @@ _PRIORITY = [
     "analytics_skyline", "graph_triangles", "text_normalize",
     "agg_sketch_union", "pipeline_line_dedup", "pipeline_source_mix",
     "pipeline_split_assign", "window_dist_stats", "merge_scd2_customers",
-    "events_concurrency",
+    "events_concurrency", "events_retention", "orders_rfm",
+    "text_vocab_stats", "agg_quantile_cube",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

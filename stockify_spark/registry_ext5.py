@@ -784,3 +784,174 @@ def events_concurrency(spark, sf_dir):
         F.max("open").cast("long").alias("peak_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-active week, counted in
+# each later week they return: the product-analytics matrix. All
+# integer arithmetic on epoch-day / 7 weeks.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_retention",
+    "WITH act AS (SELECT DISTINCT user_id,"
+    "  CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS week FROM events),"
+    " cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act"
+    "  GROUP BY user_id)"
+    " SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,"
+    " CAST(COUNT(*) AS BIGINT) AS n_active"
+    " FROM act a JOIN cohort c USING (user_id)"
+    " GROUP BY 1, 2",
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: distinct (user, week) activity,
+    cohort = each user's first week, counts per (cohort, offset).
+    Two shuffles on user_id (activity distinct + cohort agg share
+    the partitioning; Catalyst reuses the exchange) and one
+    group-bounded final aggregate. The activity distinct is the
+    data-sized step — map-side combine collapses within-partition
+    repeats before the exchange."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / 604800000).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quintiles per
+# customer, the classic CRM scoring. ntile ties are resolved by the
+# ORDER BY's unique (metric, custkey) total order on both engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_rfm",
+    "WITH base AS (SELECT o_custkey,"
+    "  MAX(epoch_ms(o_orderdate)) AS last_ms,"
+    "  CAST(COUNT(*) AS BIGINT) AS frequency,"
+    "  ROUND(SUM(o_totalprice), 2) AS monetary"
+    "  FROM orders GROUP BY o_custkey)"
+    " SELECT o_custkey, last_ms, frequency, monetary,"
+    " CAST(ntile(5) OVER (ORDER BY last_ms DESC, o_custkey) AS BIGINT) AS r_score,"
+    " CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,"
+    " CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score"
+    " FROM base",
+)
+def orders_rfm(spark, sf_dir):
+    """RFM scoring: one group-by to per-customer (recency,
+    frequency, monetary), then three quintile windows over the
+    compact customer table. The windows are global-order (parity
+    hazard, SURVEY §7.4.1) but over |customers| aggregated rows, not
+    raw orders — at 100 TB the production form range-partitions each
+    ORDER BY (the bucketed boundary-exchange pattern proven by
+    window_partitioned_parity)."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("last_ms").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "last_ms",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics per source — token/type counts and
+# type-token ratio (the Heaps-law inputs a corpus report needs).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_vocab_stats",
+    "WITH tok AS (SELECT source, unnest(list_filter("
+    "  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+    "  AS token FROM documents)"
+    " SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+    " CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,"
+    " ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 6)"
+    "  AS type_token_ratio,"
+    " CAST(MAX(length(token)) AS BIGINT) AS max_token_len"
+    " FROM tok GROUP BY source",
+)
+def text_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary profile: token count, type (distinct
+    token) count, type-token ratio, longest token. One exploded-token
+    aggregate; countDistinct expands to the standard two-phase
+    distinct (partial per-partition dedup before the exchange), so
+    shuffle bytes track per-source vocabulary, not the token
+    stream."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.round(
+            F.countDistinct("token").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+        F.max(F.length("token")).cast("long").alias("max_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch cube — per-segment approx medians rolled up, the
+# percentile sibling of agg_sketch_union. Tolerance-of-truth oracle:
+# each engine's sketch must land within 5% of ITS exact per-group
+# median (both engines also emit the exact medians, hash-compared).
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_quantile_cube",
+    "SELECT c_mktsegment,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " ROUND(median(c_acctbal), 2) AS exact_median,"
+    " TRUE AS sketch_ok"
+    " FROM customer GROUP BY c_mktsegment",
+)
+def agg_quantile_cube(spark, sf_dir):
+    """Per-segment exact median (hash-compared) beside the
+    percentile_approx sketch estimate (tolerance-asserted): the
+    exact form needs a per-group sort, the sketch is fixed-size
+    mergeable map-side state — at 100 TB the sketch column is the
+    one that survives, same shuffle shape as any group agg. DuckDB's
+    median of an even group interpolates like Spark's
+    percentile(0.5), so the exact columns hash-match."""
+    t = _t(spark, sf_dir, "customer")
+    approx = F.percentile_approx("c_acctbal", 0.5, 1000)
+    exact = F.percentile("c_acctbal", 0.5)
+    return t.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact, 2).alias("exact_median"),
+        (
+            F.abs(approx - exact)
+            <= F.greatest(F.abs(exact) * 0.05, F.lit(50.0))
+        ).alias("sketch_ok"),
+    )
