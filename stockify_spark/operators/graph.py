@@ -109,7 +109,13 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     map-side-combined aggregation of the (tiny, 2·m-row) endpoint
     explode.
     """
-    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    # materialize the (m-row) edge list once: it feeds the degree
+    # count, both join sides, and the closing-edge set — without this
+    # every reference re-derives it from source (the pagerank lesson:
+    # 15 scans for one query in the plan census)
+    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
+        eager=True
+    )
     deg = (
         e.select(F.col("_a").alias("_v"))
         .unionAll(e.select(F.col("_b").alias("_v")))
@@ -129,6 +135,8 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.when(lo_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
             F.when(lo_first, F.col("_b")).otherwise(F.col("_a")).alias("_w"),
         )
+        # referenced three times (both wedge sides + closing set)
+        .localCheckpoint(eager=True)
     )
     o1 = oriented.select(F.col("_u"), F.col("_w").alias("_x"))
     o2 = oriented.select(F.col("_u"), F.col("_w").alias("_y"))
