@@ -65,7 +65,8 @@ _PRIORITY = [
     "agg_sketch_union", "pipeline_line_dedup", "pipeline_source_mix",
     "pipeline_split_assign", "window_dist_stats", "merge_scd2_customers",
     "events_concurrency", "events_retention", "orders_rfm",
-    "text_vocab_stats", "agg_quantile_cube",
+    "text_vocab_stats", "agg_quantile_cube", "graph_tree_depth",
+    "agg_robust_stats", "agg_benford",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

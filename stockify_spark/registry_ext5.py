@@ -955,3 +955,149 @@ def agg_quantile_cube(spark, sf_dir):
             <= F.greatest(F.abs(exact) * 0.05, F.lit(50.0))
         ).alias("sketch_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy depth — the recursive-CTE workload Spark has no native
+# operator for, via pointer doubling (operators/graph.tree_depth).
+# The tree is the implicit binary heap over customer keys
+# (parent = k // 2, root 1), so the oracle's recursive CTE and the
+# closed form agree and every depth is integer-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_tree_depth",
+    "WITH RECURSIVE walk(node, cur, d) AS ("
+    "  SELECT c_custkey, c_custkey, 0 FROM customer"
+    "  UNION ALL"
+    "  SELECT node, cur // 2, d + 1 FROM walk WHERE cur > 1)"
+    " SELECT node, CAST(d AS BIGINT) AS depth,"
+    " CAST(2 * node > (SELECT MAX(c_custkey) FROM customer) AS BOOLEAN)"
+    "  AS is_leaf"
+    " FROM walk WHERE cur = 1",
+)
+def graph_tree_depth(spark, sf_dir):
+    """Depth of every node in the binary-heap hierarchy over
+    customer keys (parent = k // 2): the org-chart / BOM-explosion
+    traversal. The oracle's recursive CTE walks one hop per
+    recursion level (O(height) sequential steps); the Spark side is
+    pointer doubling — ⌈log₂ height⌉ self-joins of the (node, anc,
+    dist) table (operators/graph.tree_depth), the only shape whose
+    round count survives deep chains at cluster scale."""
+    from stockify_spark.operators.graph import tree_depth
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("node"),
+        (F.col("c_custkey") / 2).cast("long").alias("parent"),
+    )
+    depths = tree_depth(edges, root=1)
+    mx = cust.agg(F.max("c_custkey").alias("_mx"))
+    return depths.crossJoin(F.broadcast(mx)).select(
+        "node", "depth", (2 * F.col("node") > F.col("_mx")).alias("is_leaf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics per group — median / MAD / IQR, the
+# outlier-resistant profile. Exact interpolated percentiles on both
+# engines, ROUND()ed like every multi-double aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_robust_stats",
+    # discrete (order-statistic) percentiles, not interpolated ones:
+    # selection returns an actual data value — bit-exact across
+    # engines, where the interpolation a+(b-a)·f vs a·(1-f)+b·f
+    # drifts in the last ulp and flipped a ROUND(2) boundary
+    "WITH med AS (SELECT c_mktsegment,"
+    "  quantile_disc(c_acctbal, 0.5) AS med,"
+    "  quantile_disc(c_acctbal, 0.25) AS p25,"
+    "  quantile_disc(c_acctbal, 0.75) AS p75"
+    "  FROM customer GROUP BY c_mktsegment)"
+    " SELECT m.c_mktsegment,"
+    " m.med AS median_bal,"
+    " m.p75 - m.p25 AS iqr,"
+    " quantile_disc(ABS(c.c_acctbal - m.med), 0.5) AS mad"
+    " FROM customer c JOIN med m USING (c_mktsegment)"
+    " GROUP BY m.c_mktsegment, m.med, m.p25, m.p75",
+)
+def agg_robust_stats(spark, sf_dir):
+    """Median / IQR / MAD per market segment — the robust location
+    and spread profile (outliers move mean/stddev, not these). Two
+    passes by construction (MAD needs the group median first): a
+    per-group quantile aggregate, broadcast back onto the rows, then
+    a second quantile over the absolute deviations. Discrete
+    quantiles (order statistics) keep every output an exact data
+    value. Exact quantiles sort within each group — at 100 TB swap
+    in the percentile_approx sketch (agg_quantile_cube pins the
+    tolerance contract) unless exactness is the requirement."""
+    cust = _t(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("med"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").alias("p25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").alias("p75"),
+    )
+    joined = cust.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "_dev", F.abs(F.col("c_acctbal") - F.col("med"))
+    )
+    return (
+        joined.groupBy("c_mktsegment", "med", "p25", "p75")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)").alias("mad")
+        )
+        .select(
+            "c_mktsegment",
+            F.col("med").alias("median_bal"),
+            (F.col("p75") - F.col("p25")).alias("iqr"),
+            "mad",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile — the fraud-detection screen. The
+# first digit comes from the integer part's decimal string (exact:
+# integer-to-string is deterministic; no log10 whose last-ulp could
+# flip a digit at powers of ten), and the expected Benford mass is
+# a shared literal table.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {1: 0.30103, 2: 0.17609, 3: 0.12494, 4: 0.09691,
+            5: 0.07918, 6: 0.06695, 7: 0.05799, 8: 0.05115, 9: 0.04576}
+# a plain list literal indexed 1-based by digit (DuckDB's MAP[k]
+# extraction returns a one-element LIST, not the scalar)
+_BENFORD_SQL = "[" + ", ".join(str(_BENFORD[d]) for d in range(1, 10)) + "]"
+
+
+@register(
+    "agg_benford",
+    "WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+    "   AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders)"
+    " SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,"
+    " ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS freq,"
+    f" CAST({_BENFORD_SQL}[CAST(digit AS INT)] AS DOUBLE) AS benford_expected"
+    " FROM d GROUP BY digit",
+)
+def agg_benford(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic anomaly screen over financial
+    facts. Digit extraction goes through the integer part's decimal
+    string (exact on both engines; floor(log10(x)) would hinge on
+    libm's last ulp exactly at powers of ten). One group-bounded
+    aggregate plus a window over the 9-row result."""
+    t = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    d = t.select(digit.alias("digit"))
+    return d.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.sum(F.count(F.lit(1))).over(Window.partitionBy()),
+            6,
+        ).alias("freq"),
+    ).withColumn("benford_expected", expected[F.col("digit")])

@@ -111,3 +111,32 @@ def test_triangles_hub_graph_has_none(spark):
 
     edges = spark.createDataFrame(sorted(edge_set), "a long, b long")
     assert triangles(edges).count() == 0
+
+
+# --- tree_depth (operators/graph.tree_depth) -------------------------------
+
+def test_tree_depth_binary_heap_closed_form(spark):
+    """In the heap tree (parent = k // 2), depth(k) = floor(log2 k)."""
+    import math
+
+    from stockify_spark.operators.graph import tree_depth
+
+    edges = spark.createDataFrame(
+        [(k, k // 2) for k in range(2, 64)], "node long, parent long"
+    )
+    got = {r["node"]: r["depth"] for r in tree_depth(edges, root=1).collect()}
+    assert got == {k: int(math.log2(k)) for k in range(1, 64)}
+
+
+def test_tree_depth_long_chain_converges_in_log_rounds(spark):
+    """A 300-node chain has height 299 — pointer doubling must reach
+    every depth without 299 sequential joins (wall-clock sanity) and
+    return the exact depths."""
+    from stockify_spark.operators.graph import tree_depth
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(k, k - 1) for k in range(1, n)], "node long, parent long"
+    )
+    got = {r["node"]: r["depth"] for r in tree_depth(edges, root=0).collect()}
+    assert got == {k: k for k in range(n)}
