@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -93,6 +94,12 @@ def _pattern_video(i: int, seed: int, duration_ms: int, fps: int = 10) -> np.nda
     ).astype(np.uint8)
 
 
+# The @lru_cache on the synthetic payload encoders: pure functions
+# of (id, seed, dims/duration) returning immutable bytes, a few KB
+# each — re-encoding the fixture corpus (32-96 clips through the
+# pure-Python JPEG pipeline, ~23 ms each) dominated repeated
+# fixture builds (bench warm+timed iterations, test session).
+@lru_cache(maxsize=None)
 def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     """Deterministic REAL PNG payload (see llm/png.py)."""
     from stockify_spark.llm.png import encode_png
@@ -100,6 +107,7 @@ def _synthetic_png(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     return encode_png(_pattern_image(i, seed, w, h))
 
 
+@lru_cache(maxsize=None)
 def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     """Deterministic REAL JPEG payload (see llm/jpeg.py): the same
     gradient family as :func:`_synthetic_png`, through the lossy DCT
@@ -116,6 +124,7 @@ def _synthetic_jpeg(i: int, seed: int, w: int = 64, h: int = 48) -> bytes:
     return encode_jpeg(_pattern_image(i, seed, w, h), subsample=subsample)
 
 
+@lru_cache(maxsize=None)
 def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
     """Deterministic REAL WAV payload (see llm/wav.py)."""
     from stockify_spark.llm.wav import encode_wav
@@ -123,6 +132,7 @@ def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> byt
     return encode_wav(_pattern_audio(i, seed, duration_ms, rate), sample_rate=rate)
 
 
+@lru_cache(maxsize=None)
 def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     """Deterministic REAL Y4M payload (see llm/y4m.py)."""
     from stockify_spark.llm.y4m import encode_y4m
@@ -130,6 +140,7 @@ def _synthetic_y4m(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     return encode_y4m(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
 
 
+@lru_cache(maxsize=None)
 def _synthetic_avi(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     """Deterministic REAL MJPEG-AVI payload (see llm/avi.py): the
     same luma pattern family as :func:`_synthetic_y4m`, but each
@@ -140,6 +151,7 @@ def _synthetic_avi(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     return encode_avi_mjpeg(_pattern_video(i, seed, duration_ms, fps), fps=(fps, 1))
 
 
+@lru_cache(maxsize=None)
 def _synthetic_mp4(i: int, seed: int, duration_ms: int, fps: int = 10) -> bytes:
     """Deterministic REAL Photo-JPEG MP4 payload (see llm/mp4.py):
     the same luma pattern family as :func:`_synthetic_avi`, but the
