@@ -1101,3 +1101,223 @@ def agg_benford(spark, sf_dir):
             6,
         ).alias("freq"),
     ).withColumn("benford_expected", expected[F.col("digit")])
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler — the stats screen every engine ships
+# (null %, distinct counts, extrema) emitted long-format, one row
+# per profiled column.
+# ---------------------------------------------------------------------------
+
+@register(
+    "profile_columns",
+    "WITH s AS (SELECT"
+    "  COUNT(*) AS n,"
+    "  COUNT(o_custkey) AS nn_cust, COUNT(DISTINCT o_custkey) AS nd_cust,"
+    "  CAST(MIN(o_custkey) AS VARCHAR) AS mn_cust,"
+    "  CAST(MAX(o_custkey) AS VARCHAR) AS mx_cust,"
+    "  COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,"
+    "  MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st,"
+    "  COUNT(o_orderpriority) AS nn_pr, COUNT(DISTINCT o_orderpriority) AS nd_pr,"
+    "  MIN(o_orderpriority) AS mn_pr, MAX(o_orderpriority) AS mx_pr"
+    "  FROM orders)"
+    " SELECT col, n, n_nonnull, n_distinct, min_str, max_str FROM ("
+    "  SELECT 'o_custkey' AS col, n, nn_cust AS n_nonnull,"
+    "   nd_cust AS n_distinct, mn_cust AS min_str, mx_cust AS max_str FROM s"
+    "  UNION ALL SELECT 'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st FROM s"
+    "  UNION ALL SELECT 'o_orderpriority', n, nn_pr, nd_pr, mn_pr, mx_pr FROM s)",
+)
+def profile_columns(spark, sf_dir):
+    """Column profile of orders in ONE scan: per column — non-null
+    count, exact distinct, min/max (stringified for a uniform
+    long-format schema). All profiled columns aggregate in a single
+    pass (Catalyst expands the multi-distinct into one expand +
+    aggregate), then a zero-shuffle stack() reshapes wide → long. At
+    100 TB swap exact distincts for approx_count_distinct sketches
+    (agg_approx_distinct pins that contract) — same single-scan
+    shape."""
+    t = _t(spark, sf_dir, "orders")
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+    )
+    return s.select(
+        F.expr(
+            "stack(3,"
+            " 'o_custkey', n, nn_cust, nd_cust, mn_cust, mx_cust,"
+            " 'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st,"
+            " 'o_orderpriority', n, nn_pr, nd_pr, mn_pr, mx_pr)"
+            " AS (col, n, n_nonnull, n_distinct, min_str, max_str)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality rule screen — referential integrity, range, and
+# uniqueness checks as one rule → violation-count table (what a DQ
+# framework runs nightly).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_checks",
+    "SELECT rule, n_violations FROM ("
+    " SELECT 'lineitem_fk_orders' AS rule, CAST(("
+    "  SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS"
+    "   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))"
+    "  AS BIGINT) AS n_violations"
+    " UNION ALL SELECT 'orders_fk_customer', CAST(("
+    "  SELECT COUNT(*) FROM orders o WHERE NOT EXISTS"
+    "   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)"
+    " UNION ALL SELECT 'discount_in_range', CAST(("
+    "  SELECT COUNT(*) FROM lineitem"
+    "  WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)"
+    " UNION ALL SELECT 'orderkey_linenumber_unique', CAST(("
+    "  SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem"
+    "   GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT)"
+    " UNION ALL SELECT 'totalprice_positive', CAST(("
+    "  SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT))",
+)
+def dq_checks(spark, sf_dir):
+    """Five data-quality rules in one result: two referential-
+    integrity checks (anti-join counts — the 100 TB shape: one key
+    shuffle each, dim side broadcast when small), one domain range,
+    one composite-key uniqueness (group-bounded), one positivity.
+    Each rule is an independent subtree; Spark runs them as a union
+    of small aggregates, each with its own pushed-down scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def one(rule, cnt_df):
+        return cnt_df.select(
+            F.lit(rule).alias("rule"), F.col("cnt").cast("long").alias("n_violations")
+        )
+
+    fk1 = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    fk2 = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rng = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    uniq = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pos = orders.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        one("lineitem_fk_orders", fk1)
+        .unionAll(one("orders_fk_customer", fk2))
+        .unionAll(one("discount_in_range", rng))
+        .unionAll(one("orderkey_linenumber_unique", uniq))
+        .unionAll(one("totalprice_positive", pos))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral transition matrix — Markov counts between consecutive
+# event types per user (the session-flow / next-action model input).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_markov",
+    "WITH seq AS (SELECT user_id, event_type,"
+    "  lag(event_type) OVER (PARTITION BY user_id"
+    "   ORDER BY epoch_ms(ts), event_id) AS prev_type FROM events)"
+    " SELECT prev_type, event_type AS next_type,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)"
+    "  AS p_next"
+    " FROM seq WHERE prev_type IS NOT NULL"
+    " GROUP BY prev_type, event_type",
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition counts and row-normalized
+    probabilities between consecutive event types per user: one lag
+    window on the user_id partitioning, one group-bounded aggregate,
+    one window over the |types|² result. The transition matrix is
+    the input to next-action prediction and to anomaly screens
+    (transitions with n≈0 but traffic-heavy endpoints)."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    seq = t.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counted = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("prev_type")), 6
+        ).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling min-max normalization — trailing-20 feature scaling, the
+# outlier/normalization screen built ONLY from order statistics
+# (rolling MIN/MAX involve no float accumulation, so the comparison
+# is exact; a first draft used rolling stddev z-scores, but windowed
+# stddev accumulates differently across engines — DuckDB maintains a
+# segment tree with subtraction, Spark recomputes per frame — and
+# the drift exceeds any safe ROUND grid).
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rolling_norm",
+    "WITH r AS (SELECT event_id, user_id, value,"
+    "  MIN(value) OVER w AS lo, MAX(value) OVER w AS hi,"
+    "  COUNT(*) OVER w AS n_win"
+    "  FROM events"
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id"
+    "   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))"
+    " SELECT event_id, user_id, value, CAST(n_win AS BIGINT) AS n_win,"
+    " lo, hi,"
+    " CASE WHEN hi > lo THEN ROUND((value - lo) / (hi - lo), 6) END AS pos"
+    " FROM r",
+)
+def window_rolling_norm(spark, sf_dir):
+    """Trailing-20 min-max normalization per user series: one
+    partitioned window pass, O(frame) state, per-row arithmetic
+    after. `pos` = the value's position inside its trailing range
+    (NULL on a flat window) — the streaming-friendly scaling used
+    where z-scores would need a float-stable variance; min/max are
+    order statistics, so every column is exact across engines. The
+    n_win column makes the warm-up region explicit."""
+    t = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"), "event_id")
+        .rowsBetween(-19, 0)
+    )
+    lo = F.min("value").over(w)
+    hi = F.max("value").over(w)
+    return t.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.when(
+            hi > lo, F.round((F.col("value") - lo) / (hi - lo), 6)
+        ).alias("pos"),
+    )
