@@ -312,10 +312,10 @@ def groupby_unpivot(spark, sf_dir):
     "analytics_skyline",
     "WITH pp AS (SELECT l_extendedprice AS price, MIN(l_quantity) AS qty"
     "  FROM lineitem GROUP BY 1),"
-    " rm AS (SELECT price, qty, MIN(qty) OVER"
-    "   (ORDER BY price DESC ROWS UNBOUNDED PRECEDING) AS run_min FROM pp),"
-    " r AS (SELECT price, qty,"
-    "  lag(run_min) OVER (ORDER BY price DESC) AS best_above FROM rm)"
+    " r AS (SELECT price, qty, MIN(qty) OVER"
+    "   (ORDER BY price DESC"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above"
+    "  FROM pp)"
     " SELECT price, qty FROM r"
     " WHERE best_above IS NULL OR qty < best_above",
 )
@@ -333,11 +333,13 @@ def analytics_skyline(spark, sf_dir):
         .groupBy(F.col("l_extendedprice").alias("price"))
         .agg(F.min("l_quantity").alias("qty"))
     )
-    wrun = Window.orderBy(F.col("price").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # one exclusive-frame window (min over strictly-preceding rows)
+    # instead of the nested running-min + lag pair — same semantics
+    # on unique prices, one ordered pass fewer
+    w = Window.orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    wlag = Window.orderBy(F.col("price").desc())
-    r = pp.withColumn("best_above", F.lag(F.min("qty").over(wrun)).over(wlag))
+    r = pp.withColumn("best_above", F.min("qty").over(w))
     return r.filter(
         F.col("best_above").isNull() | (F.col("qty") < F.col("best_above"))
     ).select("price", "qty")
