@@ -679,14 +679,18 @@ def connected_components(
     bounded however many rounds run. max_iters=20 therefore covers
     graphs of diameter ~2^19 — far beyond any near-dup cluster.
     """
-    nodes = (
-        edges.select(F.col(id_a).alias("node"))
-        .union(edges.select(F.col(id_b).alias("node")))
-        .distinct()
+    # materialize the symmetric edge list ONCE: it is joined every
+    # round, and without this each round's plan re-derives it from
+    # the caller's source — for an edge list produced by a near-dup
+    # detector that means re-running candidate generation per round
+    # (the plan census showed 8 scans for dedup_embedding_clusters)
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    # every endpoint appears as a src in the symmetric set
+    nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).persist()
     labels.count()
     for it in range(max_iters):
