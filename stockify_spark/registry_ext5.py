@@ -1323,3 +1323,67 @@ def window_rolling_norm(spark, sf_dir):
             hi > lo, F.round((F.col("value") - lo) / (hi - lo), 6)
         ).alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view update
+# pattern: combine a pre-aggregated base with a delta batch's
+# partials WITHOUT rescanning base rows. The oracle is the full
+# recompute, so the differential check proves incremental == batch.
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_incremental_agg",
+    "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+    " ROUND(SUM(o_totalprice), 2) AS total,"
+    " MAX(epoch_ms(o_orderdate)) AS last_ms"
+    " FROM orders GROUP BY o_custkey",
+)
+def merge_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance: the per-customer order
+    aggregate is kept as (count, sum, max) partials; a new batch
+    aggregates ONLY its own rows and full-outer-merges onto the base
+    by key — count+count, sum+sum, greatest(max, max). The query
+    splits orders at 1997-01-01 into base/delta, runs the
+    incremental path, and the oracle recomputes from scratch:
+    hash-equality IS the incremental-consistency proof. At 100 TB
+    this is the shape that turns a daily full rescan into a
+    delta-sized job — every algebraic aggregate (sum/count/min/max,
+    and avg/stddev/sketches via their partials) merges this way; the
+    base side is a bucketed table co-partitioned on the key so the
+    merge join doesn't reshuffle it."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+            F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < cut))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cut))
+    b = base.select(
+        F.col("o_custkey"),
+        F.col("n_orders").alias("_bn"),
+        F.col("total").alias("_bt"),
+        F.col("last_ms").alias("_bm"),
+    )
+    d = delta.select(
+        F.col("o_custkey"),
+        F.col("n_orders").alias("_dn"),
+        F.col("total").alias("_dt"),
+        F.col("last_ms").alias("_dm"),
+    )
+    merged = b.join(d, "o_custkey", "full_outer")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce("_bn", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("n_orders"),
+        F.round(
+            F.coalesce("_bt", F.lit(0.0)) + F.coalesce("_dt", F.lit(0.0)), 2
+        ).alias("total"),
+        F.greatest(
+            F.coalesce("_bm", F.lit(-(1 << 62))), F.coalesce("_dm", F.lit(-(1 << 62)))
+        ).alias("last_ms"),
+    )
