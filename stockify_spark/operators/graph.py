@@ -67,6 +67,16 @@ def pagerank(
     nodes = ew.select(F.col("_src").alias("node")).distinct()
     n = nodes.count()  # bounded: one scalar for the teleport term
     teleport = (1.0 - damping) / n
+    if n <= 100_000:
+        # small graph: collapse the edge/rank tables to one partition
+        # so each of the 2·iters iteration stages schedules one task,
+        # not shuffle.partitions tasks of a few rows each (the
+        # per-round overhead dominated the 25-node trade graph).
+        # coalesce is a narrow op over the already-checkpointed
+        # blocks — no second materialization; billion-node graphs
+        # keep the hash-partitioned shape
+        ew = ew.coalesce(1)
+        nodes = nodes.coalesce(1)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
