@@ -1387,3 +1387,78 @@ def merge_incremental_agg(spark, sf_dir):
             F.coalesce("_bm", F.lit(-(1 << 62))), F.coalesce("_dm", F.lit(-(1 << 62)))
         ).alias("last_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latency bands — P50/P95/P99 per (event type, hour): the
+# observability dashboard aggregate. Discrete percentiles keep every
+# figure an exact data value (the agg_robust_stats lesson).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_latency_bands",
+    "SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " quantile_disc(value, 0.5) AS p50,"
+    " quantile_disc(value, 0.95) AS p95,"
+    " quantile_disc(value, 0.99) AS p99,"
+    " MAX(value) AS pmax"
+    " FROM events GROUP BY 1, 2",
+)
+def events_latency_bands(spark, sf_dir):
+    """P50/P95/P99/max of event values per (type, hour) — the
+    latency-dashboard rollup. Exact discrete percentiles sort within
+    each (type, hour) group: one shuffle, group-bounded output. At
+    100 TB the hourly grain keeps groups bounded and the
+    percentile_approx sketch (agg_quantile_cube's contract) replaces
+    the exact sort where dashboards tolerate ±ε."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t.withColumn(
+            "hour", F.floor(F.unix_millis("ts") / 3600000).cast("long")
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+            F.max("value").alias("pmax"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence — parts bought together in one order,
+# with support counts: the Apriori candidate-pair step. All exact
+# integers.
+# ---------------------------------------------------------------------------
+
+@register(
+    "basket_pairs",
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b"
+    "  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey"
+    "  AND a.l_partkey < b.l_partkey)"
+    " SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support"
+    " FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2",
+)
+def basket_pairs(spark, sf_dir):
+    """Frequent co-purchase pairs (support >= 2): distinct
+    (order, part) items, a self-join ON the order key to form
+    within-basket pairs, then pair-support counts — the candidate
+    generation step of association mining. The self-join is keyed on
+    l_orderkey, so pair blowup is Σ basket_size² — bounded by the
+    ~4-7-line TPC-H baskets (and in general by capping basket size
+    upstream, the standard Apriori guard); everything shuffles on
+    keys, no cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
