@@ -161,3 +161,40 @@ def test_concurrency_touching_intervals_do_not_stack(spark, tmp_path):
     out = _run(spark, tmp_path, evs, "events_concurrency")
     got = {r["event_type"]: r["peak_concurrent"] for r in out.collect()}
     assert got == {"t1": 1, "t2": 2}
+
+
+def test_basket_pairs_counts_known_baskets(spark, tmp_path):
+    """Orders {1: (10,20,30), 2: (10,20), 3: (10,20)} → (10,20)
+    support 3, (10,30) and (20,30) support 1 (filtered at >= 2).
+    Duplicate lines of one part in an order must not inflate support."""
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (3, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    from stockify_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r["part_a"], r["part_b"]): r["support"]
+        for r in QUERIES["basket_pairs"](spark, d).collect()
+    }
+    assert got == {(10, 20): 3}
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.io import load_table
+    from pyspark.sql import functions as F2
+
+    inc = QUERIES["merge_incremental_agg"](spark, "/root/testdata/sf0.001")
+    full = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_orders"),
+            F2.round(F2.sum("o_totalprice"), 2).alias("total"),
+            F2.max(F2.unix_millis("o_orderdate")).alias("last_ms"),
+        )
+    )
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
