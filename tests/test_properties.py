@@ -273,3 +273,85 @@ def test_parsers_fail_cleanly_on_malformed_input(seed):
                 probe(bytes(mut))
             except (ValueError, NotImplementedError):
                 pass
+
+
+# --- wave-2 operator invariants (round 6) ----------------------------------
+
+@given(seed=st.integers(min_value=0, max_value=10_000), p=st.floats(min_value=0.05, max_value=0.5))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangles_match_brute_force_property(spark, seed, p):
+    """Degree-oriented enumeration equals the O(n³) definition on
+    arbitrary random graphs — any edge density, any degree profile."""
+    import itertools
+    import numpy as np
+
+    from stockify_spark.operators.graph import triangles
+
+    rng = np.random.RandomState(seed)
+    n = 14
+    edge_set = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if rng.rand() < p
+    }
+    expected = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in edge_set and (b, c) in edge_set and (a, c) in edge_set
+    )
+    if not edge_set:
+        return
+    edges = spark.createDataFrame(sorted(edge_set), "a long, b long")
+    got = sorted((r["x1"], r["x2"], r["x3"]) for r in triangles(edges).collect())
+    assert got == expected
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tree_depth_random_forest_matches_walk(spark, seed):
+    """Pointer doubling equals the sequential parent walk on random
+    recursive trees (every node's parent has a smaller id)."""
+    import numpy as np
+
+    from stockify_spark.operators.graph import tree_depth
+
+    rng = np.random.RandomState(seed)
+    n = 40
+    parent = {k: int(rng.randint(0, k)) for k in range(1, n)}
+    depth = {0: 0}
+    for k in range(1, n):
+        depth[k] = depth[parent[k]] + 1
+    edges = spark.createDataFrame(sorted(parent.items()), "node long, parent long")
+    got = {r["node"]: r["depth"] for r in tree_depth(edges, root=0).collect()}
+    assert got == depth
+
+
+@given(gap_s=st.integers(min_value=60, max_value=7200))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_partitions_events_and_respects_gap(spark, tmp_path_factory, gap_s):
+    """For any event spacing: sessions partition a user's events
+    (counts sum to total), session_seq is 1..k dense, and the
+    recomputed gaps honor the 30-min rule."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    t = 0
+    for eid in range(12):
+        rows.append((eid, base + datetime.timedelta(seconds=t), 1, "c", 1.0, "{}"))
+        t += gap_s
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("sess") / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from stockify_spark.registry import QUERIES
+
+    out = QUERIES["events_sessionize"](spark, d).collect()
+    assert sum(r["n_events"] for r in out) == 12
+    seqs = sorted(r["session_seq"] for r in out)
+    assert seqs == list(range(1, len(out) + 1))
+    if gap_s > 1800:
+        assert len(out) == 12  # every event its own session
+    else:
+        assert len(out) == 1
