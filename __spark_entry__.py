@@ -68,7 +68,7 @@ _PRIORITY = [
     "text_vocab_stats", "agg_quantile_cube", "graph_tree_depth",
     "agg_robust_stats", "agg_benford", "profile_columns", "dq_checks",
     "events_markov", "window_rolling_norm", "merge_incremental_agg",
-    "events_latency_bands", "basket_pairs",
+    "events_latency_bands", "basket_pairs", "skyline_partitioned_parity",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

@@ -1462,3 +1462,65 @@ def basket_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-form skyline — the multi-partition proof for
+# analytics_skyline's global-order flag, same construction as
+# window_partitioned_parity / bucketed_prefix_sum: per-bucket local
+# pass + a carry table over bucket boundaries.
+# ---------------------------------------------------------------------------
+
+@register(
+    "skyline_partitioned_parity",
+    # identical result spec as analytics_skyline: the oracle IS the
+    # global-order formulation; the Spark side computes it bucketed
+    "WITH pp AS (SELECT l_extendedprice AS price, MIN(l_quantity) AS qty"
+    "  FROM lineitem GROUP BY 1),"
+    " r AS (SELECT price, qty, MIN(qty) OVER"
+    "   (ORDER BY price DESC"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above"
+    "  FROM pp)"
+    " SELECT price, qty FROM r"
+    " WHERE best_above IS NULL OR qty < best_above",
+)
+def skyline_partitioned_parity(spark, sf_dir):
+    """analytics_skyline WITHOUT the single-partition global window:
+    prices are range-bucketed (fixed width, so bucket order == price
+    order); each bucket computes its local strictly-preceding min in
+    parallel; a |buckets|-row carry table (min qty of every strictly
+    higher bucket — the only global pass, over bucket AGGREGATES)
+    broadcasts back, and the survivor test combines local + carried
+    minima. The oracle is the global-order SQL — hash-equality
+    proves the decomposition. Same pattern as
+    window_partitioned_parity / bucketed_prefix_sum (SURVEY §7.4.1):
+    this is how every 'global ORDER BY' analytic in this repo
+    actually runs at 100 TB."""
+    pp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").alias("price"))
+        .agg(F.min("l_quantity").alias("qty"))
+        .withColumn("bucket", F.floor(F.col("price") / 5000.0).cast("long"))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pp.withColumn("local_best", F.min("qty").over(wloc))
+    bucket_mins = pp.groupBy("bucket").agg(F.min("qty").alias("bmin"))
+    # carry: min over strictly HIGHER buckets — an exclusive-frame
+    # window over the tiny bucket-aggregate table (the two-phase
+    # scan's reduction step, |buckets| rows)
+    wcarry = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bucket_mins.withColumn("carried", F.min("bmin").over(wcarry)).select(
+        "bucket", "carried"
+    )
+    joined = local.join(F.broadcast(carry), "bucket")
+    best_above = F.least(
+        F.coalesce("local_best", F.lit(float("inf"))),
+        F.coalesce("carried", F.lit(float("inf"))),
+    )
+    return joined.filter(F.col("qty") < best_above).select("price", "qty")

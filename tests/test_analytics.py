@@ -198,3 +198,15 @@ def test_incremental_agg_equals_full_recompute(spark):
         )
     )
     assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+
+
+def test_skyline_bucketed_equals_global(spark):
+    """The range-partitioned skyline must equal the global-order
+    form row-for-row (the multi-partition parity proof)."""
+    from stockify_spark.registry import QUERIES
+
+    d = "/root/testdata/sf0.001"
+    a = QUERIES["analytics_skyline"](spark, d)
+    b = QUERIES["skyline_partitioned_parity"](spark, d)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
