@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Explicit LTZ default: under TIMESTAMP_NTZ, cast-to-"timestamp"
+        # and timestamp literals silently resolve NTZ, which epoch
+        # functions reject (the BENCH_r05 failure mode).
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw
         # longs; sources.io converts with integer division. Set at
         # session creation so no per-query code mutates session conf.

@@ -101,6 +101,25 @@ def _ensure_utc(spark: SparkSession) -> None:
         spark.conf.set(tz_conf, "UTC")
 
 
+def _ensure_ltz(spark: SparkSession) -> None:
+    """Pin ``spark.sql.timestampType`` to TIMESTAMP_LTZ. Under a
+    session that defaults the type to TIMESTAMP_NTZ, ``cast(x AS
+    TIMESTAMP)`` and string→timestamp literals resolve to NTZ, which
+    (a) makes the NTZ→LTZ normalization below a silent no-op and
+    (b) breaks every epoch function downstream (``unix_millis`` & co.
+    reject NTZ). BENCH_r05 hit exactly this in the harness's session.
+    Idempotent constant-valued set, same contract as
+    :func:`_ensure_utc`; with the session timezone pinned to UTC the
+    LTZ reading is value-identical to DuckDB's naive reading."""
+    type_conf = "spark.sql.timestampType"
+    try:
+        current = spark.conf.get(type_conf)
+    except Exception:
+        current = None
+    if current != "TIMESTAMP_LTZ":
+        spark.conf.set(type_conf, "TIMESTAMP_LTZ")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, float32: bool = False
 ) -> DataFrame:
@@ -120,6 +139,7 @@ def load_table(
     if nanos_cols:
         _ensure_nanos_conf(spark)
     _ensure_utc(spark)
+    _ensure_ltz(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
@@ -135,7 +155,10 @@ def load_table(
     # reading DuckDB uses and to what earlier data vintages produced.
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # T.TimestampType() is the LTZ type OBJECT — unlike the
+            # string "timestamp", it cannot be re-resolved to NTZ by
+            # spark.sql.timestampType, so this cast is conf-proof.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     if float32:
         for c, t in df.dtypes:
             if t == "double":

@@ -15,13 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockify_spark.sources.io import NANOS_TS_COLS
+from stockify_spark.sources.io import NANOS_TS_COLS, _ensure_ltz, _ensure_utc
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet (the local stand-in
     for Kafka; same downstream plan either way)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_utc(spark)
+    _ensure_ltz(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource wants a directory/glob, not a single file
     stream = (
@@ -34,7 +36,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
             stream = stream.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     for c, t in stream.dtypes:
         if t == "timestamp_ntz":  # newer data vintages; see sources.io
-            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+            from pyspark.sql import types as T
+
+            stream = stream.withColumn(c, F.col(c).cast(T.TimestampType()))
     return stream
 
 

@@ -1,0 +1,49 @@
+"""Session-conf robustness: the engine must work under a host session
+it did not build (the verification driver / bench harness may hand us
+a session whose defaults differ).
+
+Regression for the BENCH_r05 failure: under
+``spark.sql.timestampType=TIMESTAMP_NTZ``, ``cast(x AS TIMESTAMP)``
+resolves to NTZ, so the loader's NTZ→LTZ normalization silently
+no-ops and every epoch function (``unix_millis`` & co.) then rejects
+the column. ``load_table`` now pins the conf (idempotent, constant)
+and casts via the ``T.TimestampType()`` type object.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockify_spark.sources.io import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_load_table_normalizes_ts_under_ntz_default(spark):
+    prev = spark.conf.get("spark.sql.timestampType")
+    try:
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        df = load_table(spark, SF_SMOKE, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # the epoch function that BENCH_r05 died on must resolve
+        n = df.select(F.unix_millis("ts").alias("ms")).where(F.col("ms").isNotNull()).count()
+        assert n > 0
+        # loader restored the LTZ default for literal casts downstream
+        assert spark.conf.get("spark.sql.timestampType") == "TIMESTAMP_LTZ"
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
+
+
+def test_timestamp_literal_filters_survive_ntz_default(spark):
+    """TPC-H-style ``lit(...).cast("timestamp")`` predicates must keep
+    working after a hostile default, because load_table repins the
+    session conf before any such cast is analyzed."""
+    from stockify_spark.registry import QUERIES
+
+    prev = spark.conf.get("spark.sql.timestampType")
+    try:
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        assert QUERIES["tpch_q6"](spark, SF_SMOKE).count() == 1
+        assert QUERIES["window_range_frame"](spark, SF_SMOKE).count() == 1000
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
