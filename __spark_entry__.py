@@ -51,6 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # leads the r07 rotation; the r04/r05-fresh rows (basics + filters)
 # sit last.
 _PRIORITY = [
+    # --- new code round 6 session 2 (registry_ext6): BPE tokenizer
+    # training, chunking, fuzzy R-S join, MG heavy hitters ---
+    "tokenizer_bpe_merges", "doc_chunk_stride",
+    "join_fuzzy_parts", "agg_heavy_hitters",
     # --- new code this round: Photo-JPEG MP4 container, PII
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",

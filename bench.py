@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "analytics_skyline",
     "graph_triangles",
     "text_normalize",
+    # round-6 session 2: tokenizer training, chunking, heavy hitters,
+    # canonicalized fuzzy name join
+    "tokenizer_bpe_merges",
+    "doc_chunk_stride",
+    "agg_heavy_hitters",
+    "join_fuzzy_parts",
 ]
 
 

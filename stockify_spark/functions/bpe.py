@@ -1,0 +1,89 @@
+"""Distributed BPE merge learning (tokenizer training).
+
+The classic byte-pair-encoding training loop (Sennrich et al. 2016,
+public algorithm): represent each distinct word as a sequence of
+symbols (initially characters), repeatedly find the most frequent
+adjacent symbol pair weighted by word frequency, and merge it
+everywhere. The reference engine has no tokenizer surface; this is
+part of the training-data-pipeline extension (SURVEY §2 LLM ops).
+
+Spark-first shape: the word-frequency table is the distributed state.
+Each step is ONE shuffle (groupBy on the symbol pair) over the
+exploded adjacent-pair stream plus a map-side literal replace; the
+argmax is a single-row bounded collect (the learned merge IS driver
+state — it becomes part of the tokenizer model, exactly like the
+seed centroids in llm/similarity.py). At 100 TB the word table is
+the distinct-vocabulary aggregate (millions of rows, not the corpus),
+so per-step cost is proportional to vocabulary, not corpus size.
+
+Symbol-sequence encoding: each symbol ``x`` is wrapped as ``,x,`` and
+wrapped symbols are concatenated, so a word's state is a string like
+``,l,,o,,w,``. A pair merge is then the literal left-to-right
+replace of ``,l,,o,`` + ``,`` — adjacent merge sites share no
+characters in this encoding, so standard non-overlapping replace
+applies every left-to-right merge exactly as serial BPE does (and
+identically in Spark and DuckDB, which is what makes the oracle an
+exact cross-engine check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency table: the BPE training input."""
+    return (
+        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFrame:
+    """Learn ``steps`` BPE merges; returns (step, lhs, rhs, pair_cnt).
+
+    Deterministic: ties broken by (count desc, lhs asc, rhs asc), so
+    the learned merge table is exactly reproducible cross-engine.
+    """
+    sdf = words.select(
+        F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
+    ).persist()
+    sdf.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, steps + 1):
+            syms = F.split(F.expr("substring(s, 2, length(s)-2)"), ",,")
+            t = sdf.select(syms.alias("syms"), "cnt")
+            # adjacent pairs: zip the sequence against itself shifted
+            # by one — both slices clamp to empty for 1-symbol words
+            pairs = F.zip_with(
+                F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+            pair_counts = (
+                t.select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            top = pair_counts.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+            if not top:
+                break
+            best = top[0]
+            merges.append((step, best["l"], best["r"], int(best["c"])))
+            pat = f",{best['l']},,{best['r']},"
+            rep = f",{best['l']}{best['r']},"
+            nxt = sdf.select(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
+            ).persist()
+            nxt.count()
+            sdf.unpersist()
+            sdf = nxt
+    finally:
+        sdf.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, pair_cnt long"
+    )

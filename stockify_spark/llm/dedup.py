@@ -810,3 +810,75 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_set_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Entity-resolution R-S join: pairs (r, s) whose DISTINCT token
+    sets have Jaccard >= ``threshold`` — the two-relation cousin of
+    :func:`ngram_jaccard_pairs` (same AllPairs prefix-filter bound,
+    but candidates only cross relations, never within one).
+
+    Scale shape: token document-frequency is computed over the UNION
+    of both sides (one window over the token partition — the global
+    ordering must be shared or the prefix bound is unsound), each
+    side indexes only its ``|d| - ceil(t*|d|) + 1`` rarest tokens,
+    and the equi-join on the indexed token replaces the cross join.
+    Verification touches candidate pairs only. No all-pairs anywhere.
+
+    Both inputs must expose ``id_col`` and an array column
+    ``tokens_col`` (already distinct). Output: id_a (left), id_b
+    (right), jaccard (rounded 6dp; filter on the unrounded value).
+    """
+    L = left.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tk"))
+    R = right.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tk"))
+    both = (
+        L.withColumn("_side", F.lit(0))
+        .unionByName(R.withColumn("_side", F.lit(1)))
+        .persist()
+    )
+    inv = both.select(
+        "_side", "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("tok")
+    )
+    ranked = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    ).withColumn(
+        "_pos",
+        F.row_number().over(
+            W.partitionBy("_side", "_id").orderBy(F.col("_df").asc(), F.col("tok"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_side", "_id", "_n", "tok")
+    pl = prefix.filter(F.col("_side") == 0).drop("_side")
+    pr = prefix.filter(F.col("_side") == 1).drop("_side")
+    cand = (
+        pl.alias("a")
+        .join(pr.alias("b"), "tok")
+        .filter(
+            F.least(F.col("a._n"), F.col("b._n"))
+            >= F.ceil(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = both.filter(F.col("_side") == 0).select(
+        F.col("_id").alias("id_a"), F.col("_tk").alias("tk_a"), F.size("_tk").alias("_na")
+    )
+    tb = both.filter(F.col("_side") == 1).select(
+        F.col("_id").alias("id_b"), F.col("_tk").alias("tk_b"), F.size("_tk").alias("_nb")
+    )
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
+    return (
+        joined.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -56,3 +56,59 @@ def summary_stats(df: DataFrame, column: str) -> DataFrame:
         F.count(c).alias("count"),
         F.avg(c).alias("avg"),
     )
+
+
+def exact_heavy_hitters(tokens: DataFrame, col: str, phi: float = 0.02) -> DataFrame:
+    """Exact phi-heavy hitters (items with frequency >= phi * N) via a
+    Misra-Gries candidate pass + exact recount.
+
+    Scale shape: the naive plan shuffles EVERY distinct item through a
+    groupBy — at 100 TB of tokens that shuffle is the job. Here each
+    input partition first runs a Misra-Gries summary of capacity
+    k = ceil(1/phi) inside ``mapInPandas`` (pure map-side, no shuffle);
+    by the standard averaging argument any global phi-heavy item is
+    phi-heavy in at least one partition, and MG with capacity k >= 1/phi
+    retains every item of partition frequency > N_p/(k+1), so the union
+    of partition summaries is a SUPERSET of the true heavy hitters
+    (<= k rows per partition). The second pass recounts ONLY candidate
+    items (broadcast semi-join before the shuffle), so the final
+    aggregation shuffles at most k * n_partitions rows. The answer is
+    EXACT — the sketch only prunes, it never decides.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    k = max(1, math.ceil(1.0 / phi))
+    schema = T.StructType([T.StructField("item", T.StringType(), False)])
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg, schema=schema).distinct()
+    total = tokens.count()  # one scalar action; at scale this is a cached stat
+    cutoff = phi * total
+    return (
+        tokens.join(
+            F.broadcast(candidates), tokens[col] == candidates["item"], "inner"
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= cutoff)
+        .select(F.col("item").alias("word"), "cnt")
+    )

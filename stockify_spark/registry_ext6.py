@@ -1,0 +1,191 @@
+"""Round-6 wave: tokenizer training, chunking, entity-resolution
+join, sketch-pruned exact aggregation.
+
+Each query has an exact DuckDB oracle (driver contract,
+__spark_entry__.py). Reference attribution: the reference engine
+(stockify.cu) has none of these surfaces; they extend the
+training-data-pipeline coverage mandated by SURVEY §2 (LLM ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from stockify_spark.functions.bpe import bpe_learn, word_frequencies
+from stockify_spark.llm.dedup import fuzzy_set_join
+from stockify_spark.operators.aggregates import exact_heavy_hitters
+from stockify_spark.registry import register, _t
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_stride — context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(range(0, ((len(toks)-1)//{_CHUNK_S})+1)) AS i FROM t)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       array_to_string(list_slice(toks, i*{_CHUNK_S}+1, i*{_CHUNK_S}+{_CHUNK_W}), ' ') AS chunk_text,
+       len(list_slice(toks, i*{_CHUNK_S}+1, i*{_CHUNK_S}+{_CHUNK_W}))::BIGINT AS n_tokens
+FROM e
+"""
+
+
+@register("doc_chunk_stride", _CHUNK_SQL)
+def doc_chunk_stride(spark, sf_dir):
+    """Sliding-window document chunking: windows of 64 tokens with
+    stride 48 (16-token overlap) — the standard way a long document
+    becomes training-context rows. Pure per-row expressions
+    (split → sequence → explode → slice): embarrassingly parallel,
+    no shuffle, and the explode multiplies rows AFTER the scan so
+    column pruning still reaches parquet."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size("toks")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_S).cast("int"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("toks", F.col("i") * _CHUNK_S + 1, F.lit(_CHUNK_W)), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice("toks", F.col("i") * _CHUNK_S + 1, F.lit(_CHUNK_W))
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_merges — distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle(steps: int) -> str:
+    sql = """WITH words AS (
+  SELECT w AS word, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 12
+  GROUP BY w
+), s0 AS (SELECT regexp_replace(word, '(.)', ',\\1,', 'g') AS s, cnt FROM words)"""
+    for i in range(1, steps + 1):
+        sql += f""",
+p{i} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt)::BIGINT AS c
+  FROM (SELECT string_split(substr(s, 2, length(s)-2), ',,') AS syms, cnt FROM s{i-1}),
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i) u
+  GROUP BY 1, 2
+),
+best{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT replace(s, ',' || b.l || ',,' || b.r || ',', ',' || b.l || b.r || ',') AS s, cnt
+  FROM s{i-1}, best{i} b
+)"""
+    sel = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, l AS lhs, r AS rhs, c AS pair_cnt FROM best{i}"
+        for i in range(1, steps + 1)
+    )
+    return sql + f"\nSELECT * FROM ({sel}) ORDER BY step"
+
+
+@register("tokenizer_bpe_merges", _bpe_oracle(4))
+def tokenizer_bpe_merges(spark, sf_dir):
+    """First 4 BPE merges learned over the corpus vocabulary
+    (functions/bpe.py). Each step is one pair-count shuffle over the
+    distinct-word table + a map-side literal replace; the serial BPE
+    semantics (left-to-right non-overlapping merges, count-then-lex
+    tie-break) are reproduced exactly, proven by the chained-CTE
+    DuckDB oracle."""
+    words = word_frequencies(_t(spark, sf_dir, "documents"))
+    return bpe_learn(spark, words, steps=4)
+
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_parts — entity-resolution R-S set-similarity join
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH names AS (SELECT p_name, COUNT(*)::BIGINT AS c FROM part GROUP BY p_name),
+r AS (SELECT p_name, c, list_distinct(string_split(p_name, ' ')) AS t FROM names
+      WHERE strpos('02468ace', substr(md5(p_name), 1, 1)) > 0),
+s AS (SELECT p_name, c, list_distinct(string_split(p_name, ' ')) AS t FROM names
+      WHERE strpos('02468ace', substr(md5(p_name), 1, 1)) = 0),
+j AS (SELECT r.p_name AS a, s.p_name AS b, (r.c * s.c)::BIGINT AS np,
+             len(list_intersect(r.t, s.t))::DOUBLE AS i,
+             (len(r.t) + len(s.t))::DOUBLE AS n
+      FROM r, s)
+SELECT a AS name_a, b AS name_b, ROUND(i / (n - i), 6) AS jaccard, np AS n_pairs
+FROM j WHERE i / (n - i) >= 0.3
+"""
+
+
+@register("join_fuzzy_parts", _FUZZY_SQL)
+def join_fuzzy_parts(spark, sf_dir):
+    """Entity-resolution join on token-set Jaccard >= 0.3 between two
+    hash-split halves of the part-name CATALOG (llm/dedup.
+    fuzzy_set_join), with each match weighted by the number of raw
+    part pairs it represents.
+
+    Scale design — canonicalize, then fuzzy-join the distinct side:
+    the raw-row fuzzy join is output-quadratic whenever names repeat
+    (at sf0.1 it emits ~1.5M pairs for 64 distinct names), so the
+    scalable plan aggregates to distinct names first (one shuffle,
+    cardinality = |vocabulary| not |rows|), runs the prefix-filtered
+    R-S similarity join on that small side, and carries the group
+    sizes so the raw pair count is reported without materializing the
+    pairs. The oracle is the brute-force distinct-name cross join."""
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("c"))
+    tagged = names.withColumn(
+        "_even", F.substring(F.md5("p_name"), 1, 1).isin(*"02468ace")
+    ).withColumn("toks", F.array_distinct(F.split("p_name", " ")))
+    left = tagged.filter(F.col("_even"))
+    right = tagged.filter(~F.col("_even"))
+    matched = fuzzy_set_join(left, right, "p_name", "toks", threshold=0.3)
+    ca = left.select(F.col("p_name").alias("id_a"), F.col("c").alias("_ca"))
+    cb = right.select(F.col("p_name").alias("id_b"), F.col("c").alias("_cb"))
+    return (
+        matched.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "jaccard",
+            (F.col("_ca") * F.col("_cb")).alias("n_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters — exact frequent items, sketch-pruned shuffle
+# ---------------------------------------------------------------------------
+
+_HH_SQL = """
+WITH toks AS (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks),
+c AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w)
+SELECT w AS word, cnt FROM c, tot WHERE cnt >= 0.02 * n
+"""
+
+
+@register("agg_heavy_hitters", _HH_SQL)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact 2%-heavy-hitter tokens via map-side Misra-Gries candidate
+    summaries + an exact recount of candidates only
+    (operators/aggregates.exact_heavy_hitters). The final answer is
+    exact (the sketch prunes, never decides), which is what makes an
+    ANSI-SQL oracle possible for a sketch-based plan."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    return exact_heavy_hitters(tokens, "tok", phi=0.02)

@@ -1,0 +1,113 @@
+"""Round-6 wave: chunking, BPE learning, fuzzy R-S join, heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_stride_covers_every_token(spark):
+    docs = QUERIES["doc_chunk_stride"](spark, SF)
+    # invariant: sum of (n_tokens - overlap) + overlap of first chunk
+    # reconstructs the doc token count: chunks start at 0, 48, 96...
+    # so token i lives in chunk floor(i/48) (and possibly the one
+    # before); the LAST chunk must end exactly at n.
+    from stockify_spark.sources.io import load_table
+
+    n_by_doc = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    last = docs.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_i"),
+        F.max(F.col("chunk_id") * 48 + F.col("n_tokens")).alias("covered"),
+    )
+    bad = last.join(n_by_doc, "doc_id").filter(F.col("covered") != F.col("n"))
+    assert bad.count() == 0
+
+
+def test_chunk_sizes_are_clamped_windows(spark):
+    from stockify_spark.sources.io import load_table
+
+    docs = QUERIES["doc_chunk_stride"](spark, SF)
+    n_by_doc = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    # every chunk is exactly the window clamped to the document end:
+    # n_tokens == min(64, n - 48*chunk_id), and positive
+    j = docs.join(n_by_doc, "doc_id")
+    expect = F.least(F.lit(64), F.col("n") - 48 * F.col("chunk_id"))
+    assert j.filter(F.col("n_tokens") != expect).count() == 0
+    assert j.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_bpe_merges_deterministic_and_ordered(spark):
+    a = QUERIES["tokenizer_bpe_merges"](spark, SF).collect()
+    b = QUERIES["tokenizer_bpe_merges"](spark, SF).collect()
+    assert a == b
+    assert [r.step for r in sorted(a, key=lambda r: r.step)] == [1, 2, 3, 4]
+    # merge counts never increase: each merge consumes the most
+    # frequent pair, and later pair counts can only be bounded by it
+    counts = [r.pair_cnt for r in sorted(a, key=lambda r: r.step)]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Prefix-filtered R-S join recall is exactly 1.0 vs brute force."""
+    from stockify_spark.llm.dedup import fuzzy_set_join
+    from stockify_spark.sources.io import load_table
+
+    names = (
+        load_table(spark, SF, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("toks", F.array_distinct(F.split("p_name", " ")))
+        .withColumn("_even", F.substring(F.md5("p_name"), 1, 1).isin(*"02468ace"))
+    )
+    left = names.filter(F.col("_even"))
+    right = names.filter(~F.col("_even"))
+    fast = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_set_join(left, right, "p_name", "toks", 0.3).collect()
+    }
+    inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+    union = (F.size("a.toks") + F.size("b.toks")).cast("double") - inter
+    brute = {
+        (r.id_a, r.id_b)
+        for r in left.alias("a")
+        .crossJoin(right.alias("b"))
+        .filter(inter / union >= 0.3)
+        .select(F.col("a.p_name").alias("id_a"), F.col("b.p_name").alias("id_b"))
+        .collect()
+    }
+    assert fast == brute and len(fast) > 0
+
+
+def test_heavy_hitters_candidates_are_superset(spark):
+    """The MG candidate pass may over-generate but must never miss a
+    true heavy hitter — repartition to force many partitions and
+    compare against the exact groupBy answer."""
+    from stockify_spark.operators.aggregates import exact_heavy_hitters
+    from stockify_spark.sources.io import load_table
+
+    tokens = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .repartition(16)
+    )
+    got = {
+        (r.word, r.cnt) for r in exact_heavy_hitters(tokens, "tok", 0.02).collect()
+    }
+    total = tokens.count()
+    want = {
+        (r.tok, r.cnt)
+        for r in tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 0.02 * total)
+        .collect()
+    }
+    assert got == want and len(want) > 0
