@@ -126,6 +126,15 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
         eager=True
     )
+    if e.count() <= 1_000_000:
+        # small graph after the data-sized distinct: collapse to one
+        # partition so the dozen downstream stages schedule one task
+        # each instead of shuffle.partitions near-empty tasks (same
+        # rationale as pagerank's small-graph path; the count is a
+        # metadata-cheap action on the already-checkpointed blocks).
+        # Large graphs keep the hash-partitioned shape and the
+        # O(m^1.5) wedge bound carries the scale story.
+        e = e.coalesce(1)
     deg = (
         e.select(F.col("_a").alias("_v"))
         .unionAll(e.select(F.col("_b").alias("_v")))
