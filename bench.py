@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "doc_chunk_stride",
     "agg_heavy_hitters",
     "join_fuzzy_parts",
+    "ml_kmeans_assign",
+    "ml_linreg_group",
 ]
 
 

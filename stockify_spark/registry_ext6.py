@@ -189,3 +189,77 @@ def agg_heavy_hitters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     return exact_heavy_hitters(tokens, "tok", phi=0.02)
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_assign — distributed Lloyd's k-means (seeded, 2 updates)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int, updates: int) -> str:
+    sql = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cvec FROM e WHERE vec_id < {k})"""
+    for i in range(1, updates + 1):
+        sql += f""",
+a{i} AS (SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY list_distance(e.v, c.cvec) ASC, c.cluster) AS rn
+  FROM e CROSS JOIN c{i-1} c) WHERE rn = 1),
+c{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cluster, u.pos, ROUND(AVG(e.v[u.pos]), 6) AS m
+    FROM a{i} a JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(range(1, len(e.v)+1)) AS pos) u
+    GROUP BY a.cluster, u.pos)
+  GROUP BY cluster)"""
+    return sql + f"""
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY list_distance(e.v, c.cvec) ASC, c.cluster) AS rn
+  FROM e CROSS JOIN c{updates} c) WHERE rn = 1"""
+
+
+@register("ml_kmeans_assign", _kmeans_oracle(8, 2))
+def ml_kmeans_assign(spark, sf_dir):
+    """Two Lloyd iterations of k=8 k-means over the embedding corpus
+    (llm/clustering.py): map-side closure-model assignment (zero
+    shuffle), k*d-key mean-update shuffle, ROUND(6) model boundary —
+    the cross-engine-exact float policy. Output: final (vec_id,
+    cluster) assignment."""
+    from stockify_spark.llm.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, updates=2)
+
+
+# ---------------------------------------------------------------------------
+# ml_linreg_group — closed-form OLS per group
+# ---------------------------------------------------------------------------
+
+_LINREG_SQL = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(corr(l_extendedprice, l_quantity) * corr(l_extendedprice, l_quantity), 6) AS r2,
+       COUNT(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("ml_linreg_group", _LINREG_SQL)
+def ml_linreg_group(spark, sf_dir):
+    """Per-group simple linear regression (price ~ quantity) via the
+    closed-form moment aggregates: slope = covar_pop/var_pop,
+    intercept = mean(y) - slope*mean(x), r2 = corr^2 — one map-side-
+    combined aggregation pass, no iteration, no UDF. The scalable way
+    to fit millions of per-key models (one groupBy, k result rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    slope = F.covar_pop("l_extendedprice", "l_quantity") / F.var_pop("l_quantity")
+    intercept = F.avg("l_extendedprice") - slope * F.avg("l_quantity")
+    r2 = F.corr("l_extendedprice", "l_quantity") ** 2
+    return li.groupBy("l_returnflag").agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )

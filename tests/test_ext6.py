@@ -111,3 +111,77 @@ def test_heavy_hitters_candidates_are_superset(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    from stockify_spark.llm.clustering import kmeans_assign
+    from stockify_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    a = sorted((r.vec_id, r.cluster) for r in kmeans_assign(emb, 8, 2).collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans_assign(emb, 8, 2).collect())
+    assert a == b
+    clusters = {c for _, c in a}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    # every vector is assigned exactly once
+    assert len(a) == emb.count()
+
+
+def test_kmeans_iteration_reduces_inertia(spark):
+    """Lloyd's step never increases total within-cluster distance."""
+    from pyspark.sql import functions as F2
+
+    from stockify_spark.llm.clustering import _assign, kmeans_assign  # noqa: F401
+    from stockify_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    e = emb.select(
+        "vec_id", F2.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def inertia(assign_df, cents):
+        lut = {c: v for c, v in cents}
+        import math
+
+        rows = assign_df.join(e, "vec_id").collect()
+        tot = 0.0
+        for r in rows:
+            c = lut[r.cluster]
+            tot += math.sqrt(sum((a - b) ** 2 for a, b in zip(r.v, c)))
+        return tot
+
+    seeds = sorted(
+        (int(r.vec_id), list(r.v)) for r in e.filter(F2.col("vec_id") < 8).collect()
+    )
+    a0 = _assign(e, seeds)
+    i0 = inertia(a0, seeds)
+    # one mean update then re-assign: inertia must not increase
+    means = (
+        a0.join(e, "vec_id")
+        .select("cluster", F2.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F2.round(F2.avg("val"), 6).alias("m"))
+        .collect()
+    )
+    byc = {}
+    for r in means:
+        byc.setdefault(int(r.cluster), {})[int(r.pos)] = float(r.m)
+    c1 = [(c, [d[p] for p in range(len(d))]) for c, d in sorted(byc.items())]
+    i1 = inertia(_assign(e, c1), c1)
+    assert i1 <= i0 + 1e-6
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.io import load_table
+
+    got = {r.l_returnflag: r for r in QUERIES["ml_linreg_group"](spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, g in li.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(g.l_quantity, g.l_extendedprice, 1)
+        assert abs(got[flag].slope - slope) < 1e-4
+        assert abs(got[flag].intercept - intercept) < 1e-2
