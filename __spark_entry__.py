@@ -55,7 +55,7 @@ _PRIORITY = [
     # training, chunking, fuzzy R-S join, MG heavy hitters ---
     "tokenizer_bpe_merges", "doc_chunk_stride",
     "join_fuzzy_parts", "agg_heavy_hitters",
-    "ml_kmeans_assign", "ml_linreg_group",
+    "ml_kmeans_assign", "ml_linreg_group", "agg_exact_median",
     # --- new code this round: Photo-JPEG MP4 container, PII
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "join_fuzzy_parts",
     "ml_kmeans_assign",
     "ml_linreg_group",
+    "agg_exact_median",
 ]
 
 

@@ -263,3 +263,30 @@ def ml_linreg_group(spark, sf_dir):
         F.round(r2, 6).alias("r2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_exact_median — distributed selection (order statistic, no sort)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+WITH o AS (SELECT l_extendedprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM lineitem)
+SELECT v AS kth_value, n::BIGINT AS n, ((n + 1) // 2)::BIGINT AS k
+FROM o WHERE rn = (n + 1) // 2
+"""
+
+
+@register("agg_exact_median", _MEDIAN_SQL)
+def agg_exact_median(spark, sf_dir):
+    """EXACT lower median of l_extendedprice via two-phase distributed
+    selection (operators/sorts.exact_kth_smallest): min/max + bucket
+    histogram (map-side combined), driver picks the rank-k bucket
+    from the bounded histogram, second scan ranks only that bucket —
+    no global sort, no full-range shuffle. The oracle is the global
+    ORDER BY it avoids."""
+    from stockify_spark.operators.sorts import exact_kth_smallest
+
+    return exact_kth_smallest(_t(spark, sf_dir, "lineitem"), "l_extendedprice")

@@ -185,3 +185,16 @@ def test_linreg_matches_numpy(spark):
         slope, intercept = np.polyfit(g.l_quantity, g.l_extendedprice, 1)
         assert abs(got[flag].slope - slope) < 1e-4
         assert abs(got[flag].intercept - intercept) < 1e-2
+
+
+def test_exact_kth_smallest_various_k(spark):
+    from stockify_spark.operators.sorts import exact_kth_smallest
+    from stockify_spark.sources.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for k in (1, 2, n // 3, (n + 1) // 2, n - 1, n):
+        row = exact_kth_smallest(li, "l_extendedprice", k=k).collect()[0]
+        assert row.kth_value == vals[k - 1], k
+        assert row.n == n and row.k == k
