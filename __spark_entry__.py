@@ -56,6 +56,7 @@ _PRIORITY = [
     "tokenizer_bpe_merges", "doc_chunk_stride",
     "join_fuzzy_parts", "agg_heavy_hitters",
     "ml_kmeans_assign", "ml_linreg_group", "agg_exact_median",
+    "stream_tws_profile",
     # --- new code this round: Photo-JPEG MP4 container, PII
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",

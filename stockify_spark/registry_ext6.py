@@ -290,3 +290,26 @@ def agg_exact_median(spark, sf_dir):
     from stockify_spark.operators.sorts import exact_kth_smallest
 
     return exact_kth_smallest(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# stream_tws_profile — transformWithState per-user profile (batch face)
+# ---------------------------------------------------------------------------
+
+_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type)::BIGINT AS n_types,
+       ROUND(SUM(value), 6) AS sum_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_tws_profile", _TWS_SQL)
+def stream_tws_profile(spark, sf_dir):
+    """Batch face of the transformWithStateInPandas per-user profile
+    (streaming/tws.py — ValueState + MapState column families); the
+    streaming face converges to exactly this result where the TWS
+    protobuf protocol is available (tests/test_streaming.py)."""
+    from stockify_spark.streaming.tws import user_profile
+
+    return user_profile(_t(spark, sf_dir, "events"))

@@ -147,3 +147,57 @@ def test_parquet_sink_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path)
     n_second = spark.read.parquet(out).count()
     assert n_first == expected
     assert n_second == expected
+
+
+def test_tws_profile_converges_to_batch(spark, sf_dir):
+    """transformWithStateInPandas per-user profile (ValueState +
+    MapState column families, RocksDB provider) must equal the batch
+    groupBy once the stream drains.
+
+    The TWS state-server protocol speaks protobuf from the Python
+    worker; environments without the protobuf package (this
+    container) cannot run the streaming face, so the test skips there
+    — the batch face stays covered by the driver row."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from stockify_spark.streaming.tws import user_profile
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["sum_value"], r["max_value"])
+        for r in user_profile(events).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_profile(stream_events(spark, sf_dir), streaming=True)
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, max_by(n_events, n_events) AS n,"
+                " max_by(n_types, n_events) AS t,"
+                " max_by(sum_value, n_events) AS s,"
+                " max_by(max_value, n_events) AS m FROM t_tws GROUP BY user_id"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {r["user_id"]: (r["n"], r["t"], r["s"], r["m"]) for r in rows}
+    assert got == expected
+    assert expected
