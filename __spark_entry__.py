@@ -36,20 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50). Round-6 window
-# policy: the testdata was REGENERATED before round 5 (naive-micros
-# timestamps, Spark 4 infers TIMESTAMP_NTZ), so green evidence that
-# predates r05 is against data that no longer exists. Lead with the
-# queries newest-to-the-driver: the two MP4-container queries landed
-# this round, then window_range_frame (the one query that hard-ERRs
-# on NTZ without the round-6 loader fix — its only green row is r03,
-# pre-regeneration), then every query whose last green row is r02
-# (stalest evidence, 41 of them — includes all streaming, outer
-# joins, and most TPC-H), then the r03-green queries that read
-# event/order timestamps (the columns whose physical type changed).
-# The r03-green remainder follows for whatever window is left and
-# leads the r07 rotation; the r04/r05-fresh rows (basics + filters)
-# sit last.
+# may budget-cap how many it checks per round (~50). Round-6 window:
+# the 8 operators written this round lead (no driver evidence can
+# exist yet), followed by the 39 round-5-landed queries that have
+# never had a driver row (the r05 window was spent re-proving the
+# regenerated-data vintage). 8 + 39 = 47 fits the ~50 window with
+# three stale-evidence fillers; everything below the fold is ordered
+# stalest-evidence-first and seeds the r07 rotation. The testdata
+# regeneration before r05 (naive-micros timestamps → TIMESTAMP_NTZ)
+# is why pre-r05 green rows are considered stale: that evidence ran
+# against data that no longer exists.
 _PRIORITY = [
     # --- new code round 6 session 2 (registry_ext6): BPE tokenizer
     # training, chunking, fuzzy R-S join, MG heavy hitters ---
