@@ -355,3 +355,136 @@ def test_sessionize_partitions_events_and_respects_gap(spark, tmp_path_factory, 
         assert len(out) == 12  # every event its own session
     else:
         assert len(out) == 1
+
+
+# --- round-6 session-2 operators -------------------------------------------
+
+
+def _serial_bpe(word_counts: dict[str, int], steps: int):
+    """Reference serial BPE (Sennrich): list-of-symbols per word,
+    left-to-right non-overlapping merge application."""
+    words = {w: (list(w), c) for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, steps + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), cnt = best
+        merges.append((step, l, r, cnt))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    return merges
+
+
+@given(
+    data=st.dictionaries(
+        st.text(alphabet="ab", min_size=2, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_learn_matches_serial_reference(spark, data):
+    """Distributed BPE (wrapped-symbol literal replace) must equal the
+    serial list-of-symbols algorithm on adversarial tiny vocabularies —
+    including overlap-heavy words like 'aaaa' where left-to-right
+    non-overlapping application is what distinguishes correct BPE."""
+    from stockify_spark.functions.bpe import bpe_learn
+
+    words = spark.createDataFrame(
+        [(w, c) for w, c in data.items()], "word string, cnt long"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_cnt)
+        for r in sorted(bpe_learn(spark, words, steps=3).collect(), key=lambda r: r.step)
+    ]
+    assert got == _serial_bpe(data, 3)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    kfrac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_kth_smallest_on_random_multisets(spark, vals, kfrac):
+    """Bucket selection must agree with a plain sort on random data
+    with heavy duplicates (ties straddling bucket logic)."""
+    from stockify_spark.operators.sorts import exact_kth_smallest
+
+    k = max(1, min(len(vals), int(round(kfrac * len(vals))) or 1))
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double").repartition(4)
+    row = exact_kth_smallest(df, "x", k=k, n_buckets=7).collect()[0]
+    assert row.kth_value == sorted(vals)[k - 1]
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_random_zipf(spark, seed):
+    """MG-pruned exact heavy hitters == plain groupBy threshold on
+    Zipf-ish random tokens, any partitioning."""
+    import random
+
+    from stockify_spark.operators.aggregates import exact_heavy_hitters
+
+    rng = random.Random(seed)
+    toks = [f"w{min(int(rng.paretovariate(1.2)), 30)}" for _ in range(800)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string").repartition(8)
+    got = {(r.word, r.cnt) for r in exact_heavy_hitters(df, "tok", phi=0.05).collect()}
+    from collections import Counter
+
+    c = Counter(toks)
+    want = {(w, n) for w, n in c.items() if n >= 0.05 * len(toks)}
+    assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    thr=st.sampled_from([0.3, 0.5, 0.7]),
+)
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_set_join_random_sets(spark, seed, thr):
+    """R-S prefix-filter join recall/precision == brute force on random
+    small token sets across threshold settings."""
+    import random
+
+    from stockify_spark.llm.dedup import fuzzy_set_join
+
+    rng = random.Random(seed)
+    univ = [f"t{i}" for i in range(12)]
+
+    def mk(n, side):
+        return [
+            (side * 1000 + i, sorted(rng.sample(univ, rng.randint(1, 6))))
+            for i in range(n)
+        ]
+
+    L = spark.createDataFrame(mk(15, 1), "id long, toks array<string>")
+    R = spark.createDataFrame(mk(15, 2), "id long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_set_join(L, R, "id", "toks", threshold=thr).collect()
+    }
+    lv = {r.id: set(r.toks) for r in L.collect()}
+    rv = {r.id: set(r.toks) for r in R.collect()}
+    want = {
+        (a, b)
+        for a, sa in lv.items()
+        for b, sb in rv.items()
+        if len(sa & sb) / len(sa | sb) >= thr
+    }
+    assert got == want
