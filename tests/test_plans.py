@@ -236,3 +236,48 @@ def test_sim_topk_no_corpus_join_or_cross_product(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime-filter injection — the 100 TB join lever: a bloom
+    filter built from the FILTERED dimension side is pushed into the
+    fact-side scan, so rows that cannot join are dropped before the
+    shuffle. Spark's default thresholds require a >=10 GB application
+    side (the lever only pays at scale); the test lowers them to pin
+    that our load_table plans remain eligible for injection — no
+    barrier (collect/UDF/repartition) between scan and join breaks
+    the rewrite."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt.lower()
+        # and the result is still correct under the rewrite
+        rows = j.collect()
+        assert rows and rows[0]["count"] > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
