@@ -53,6 +53,8 @@ _PRIORITY = [
     "join_fuzzy_parts", "agg_heavy_hitters",
     "ml_kmeans_assign", "ml_linreg_group", "agg_exact_median",
     "stream_tws_profile",
+    # --- TPC-H completion over derived partsupp (registry_ext7) ---
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
     # --- new code this round: Photo-JPEG MP4 container, PII
     # redaction, distinctive terms ---
     "media_mp4_index", "media_container_mp4",

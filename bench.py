@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "ml_kmeans_assign",
     "ml_linreg_group",
     "agg_exact_median",
+    # TPC-H completion over the derived partsupp catalog
+    "tpch_q2",
+    "tpch_q9",
 ]
 
 

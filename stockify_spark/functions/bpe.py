@@ -48,10 +48,11 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
     Deterministic: ties broken by (count desc, lhs asc, rhs asc), so
     the learned merge table is exactly reproducible cross-engine.
     """
-    sdf = words.select(
+    base = words.select(
         F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
     ).persist()
-    sdf.count()
+    base.count()
+    sdf = base
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, steps + 1):
@@ -76,14 +77,17 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
             merges.append((step, best["l"], best["r"], int(best["c"])))
             pat = f",{best['l']},,{best['r']},"
             rep = f",{best['l']}{best['r']},"
-            nxt = sdf.select(
+            # chain the replace LAZILY on the persisted base: each
+            # step's pair count re-applies <= steps narrow string maps
+            # over cached blocks, which costs less than a per-step
+            # persist+count materialization job (one Spark job per
+            # step instead of two — ~2x fewer jobs for small step
+            # counts; for steps >> 10 switch back to checkpointing)
+            sdf = sdf.select(
                 F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
-            ).persist()
-            nxt.count()
-            sdf.unpersist()
-            sdf = nxt
+            )
     finally:
-        sdf.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_cnt long"
     )

@@ -1,0 +1,272 @@
+"""TPC-H completion: Q2 / Q9 / Q11 / Q16 / Q20 over a derived PARTSUPP.
+
+The driver's testdata has no partsupp table, which blocked these five
+queries (COVERAGE.md documented the gap). They are unblocked by a
+DETERMINISTIC reconstruction (sources/fixtures.derive_partsupp):
+distinct observed (l_partkey, l_suppkey) pairs + integer-hash
+availqty/supplycost — identical in Spark and in the oracle's CTE, so
+the differential check is exact. Query shapes follow the public
+TPC-H spec, with columns adapted to the driver schema (no p_mfgr /
+s_address / s_comment; Q16's excluded-supplier set uses negative
+account balances instead of comment scraping to preserve the NOT IN
+shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+from stockify_spark.sources.fixtures import derive_partsupp
+
+_PS_CTE = """WITH partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey*7 + ps_suppkey*13) % 9999 + 1)::BIGINT AS ps_availqty,
+         ((ps_partkey*31 + ps_suppkey*17) % 100000)::DOUBLE / 100.0 + 1.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part in a region
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = _PS_CTE + """,
+eu AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+),
+mc AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM eu GROUP BY ps_partkey)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand
+FROM part p
+JOIN eu e ON e.ps_partkey = p.p_partkey
+JOIN mc ON mc.ps_partkey = p.p_partkey AND e.ps_supplycost = mc.min_cost
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+"""
+
+
+@register("tpch_q2", _Q2_SQL)
+def tpch_q2(spark, sf_dir):
+    """Q2 (public TPC-H spec): cheapest EUROPE supplier for each
+    size-10..20 LARGE part. The region-restricted catalog aggregates to a
+    per-part min, re-joined on cost equality (exact: supplycost is an
+    integer-derived double). Dims broadcast; the only data-sized
+    shuffle is the partsupp distinct."""
+    ps = derive_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        part.join(eu, part.p_partkey == eu.ps_partkey)
+        .join(
+            mc,
+            (F.col("mc_partkey") == F.col("p_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = _PS_CTE + """
+SELECT n.n_name AS nation, YEAR(o.o_orderdate)::BIGINT AS o_year,
+       ROUND(SUM(l.l_extendedprice*(1-l.l_discount) - ps.ps_supplycost*l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q9", _Q9_SQL)
+def tpch_q9(spark, sf_dir):
+    """Q9: profit on red parts by supplier nation and order year —
+    the classic many-join star over the fact table. partsupp joins on
+    the composite key; part/supplier/nation broadcast; orders joins
+    on the fact's orderkey (AQE picks the strategy at real sizes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = derive_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(
+            ps,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == F.col("s_nationkey"))
+        .join(o, o.o_orderkey == li.l_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = _PS_CTE + """,
+nat AS (SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+        FROM partsupp ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        WHERE s.s_nationkey = 3),
+tot AS (SELECT SUM(v) AS t FROM nat)
+SELECT ps_partkey, ROUND(SUM(v), 2) AS value
+FROM nat, tot GROUP BY ps_partkey, t HAVING SUM(v) > 0.001 * t
+"""
+
+
+@register("tpch_q11", _Q11_SQL)
+def tpch_q11(spark, sf_dir):
+    """Q11: parts whose nation-3 stock value exceeds 0.1% of the
+    nation's total — a grouped aggregate gated on a global aggregate.
+    The global total is one scalar (broadcast by construction); no
+    second scan of partsupp at scale (the grouped table re-aggregates
+    map-side)."""
+    ps = derive_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    nat = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    grouped = nat.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    total = grouped.agg(F.sum("sv").alias("t"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("sv") > 0.001 * F.col("t"))
+        .select("ps_partkey", F.round("sv", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN exclusion)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = _PS_CTE + """
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.ps_suppkey)::BIGINT AS supplier_cnt
+FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'SMALL%'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 25, 45)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q16", _Q16_SQL)
+def tpch_q16(spark, sf_dir):
+    """Q16: distinct-supplier counts per (brand, type, size) slice,
+    excluding a supplier denylist — the spec's comment-scraped set is
+    adapted to negative account balances (the schema has no
+    s_comment) to preserve the NOT IN anti-join shape."""
+    ps = derive_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess stock of red parts
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = _PS_CTE + """,
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE '%red%'
+  LEFT JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty > 0.5 * COALESCE(sh.qty, 0)
+)
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+"""
+
+
+@register("tpch_q20", _Q20_SQL)
+def tpch_q20(spark, sf_dir):
+    """Q20: NATION_2 suppliers holding more than half a year's
+    shipments of any red part. The spec's correlated scalar subquery
+    is decorrelated into a pre-aggregated (partkey, suppkey) shipment
+    table left-joined to the catalog — the form Catalyst would
+    produce, written explicitly so the shuffle keys are visible."""
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ps = derive_partsupp(spark, sf_dir)
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    excess = (
+        ps.join(F.broadcast(red), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (shipped.l_partkey == ps.ps_partkey)
+            & (shipped.l_suppkey == ps.ps_suppkey),
+            "left",
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.coalesce(F.col("qty"), F.lit(0.0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "leftsemi")
+        .select("s_name", "s_suppkey")
+    )

@@ -64,3 +64,43 @@ def stocks_rand(spark: SparkSession, n: int = 100_000, seed: int = 42, num_parti
         u(100, 200, 4).alias("high"),
         u(100, 200, 5).alias("low"),
     )
+
+
+def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PARTSUPP reconstruction — unblocks TPC-H
+    Q2/Q9/Q11/Q16/Q20, which the driver's testdata omits.
+
+    The catalog is rebuilt from the OBSERVED supply relationships:
+    the distinct (l_partkey, l_suppkey) pairs of lineitem (the
+    driver's synthetic suppkeys are uniform, so the official TPC-H
+    suppkey formula would intersect them only by chance — measured
+    ~4%), with availqty/supplycost as pure integer-hash functions of
+    the key pair. Every value is exact integer arithmetic (the cost
+    division by 100 is the same double in any engine), so the DuckDB
+    oracle rebuilds the identical table from the same parquet.
+
+    Scale shape: one distinct over the (l_partkey, l_suppkey)
+    projection — a two-column shuffle, the same width as any
+    fact-table dedup — then pure map-side column derivations.
+    """
+    from stockify_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000).cast(
+                "double"
+            )
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )

@@ -198,3 +198,53 @@ def test_exact_kth_smallest_various_k(spark):
         row = exact_kth_smallest(li, "l_extendedprice", k=k).collect()[0]
         assert row.kth_value == vals[k - 1], k
         assert row.n == n and row.k == k
+
+
+def test_q2_rows_are_true_min_cost(spark):
+    """Every Q2 output row's supplier is genuinely the cheapest
+    EUROPE supplier for its part (semantic check independent of the
+    oracle's SQL formulation)."""
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.fixtures import derive_partsupp
+    from stockify_spark.sources.io import load_table
+
+    rows = QUERIES["tpch_q2"](spark, SF).collect()
+    assert rows
+    ps = derive_partsupp(spark, SF)
+    sup = load_table(spark, SF, "supplier")
+    nat = load_table(spark, SF, "nation")
+    reg = load_table(spark, SF, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name")
+        .collect()
+    )
+    best = {}
+    for r in eu:
+        best.setdefault(r.ps_partkey, []).append((r.ps_supplycost, r.s_name))
+    for r in rows:
+        min_cost = min(c for c, _ in best[r.p_partkey])
+        winners = {n for c, n in best[r.p_partkey] if c == min_cost}
+        assert r.s_name in winners
+
+
+def test_derived_partsupp_is_deterministic_and_dense(spark):
+    from pyspark.sql import functions as F2
+
+    from stockify_spark.sources.fixtures import derive_partsupp
+    from stockify_spark.sources.io import load_table
+
+    a = derive_partsupp(spark, SF)
+    b = derive_partsupp(spark, SF)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every lineitem (partkey, suppkey) pair has a catalog row
+    li = load_table(spark, SF, "lineitem").select(
+        F2.col("l_partkey").alias("ps_partkey"),
+        F2.col("l_suppkey").alias("ps_suppkey"),
+    )
+    assert li.join(a, ["ps_partkey", "ps_suppkey"], "left_anti").count() == 0
+    # attributes in range
+    assert a.filter((F2.col("ps_availqty") < 1) | (F2.col("ps_availqty") > 9999)).count() == 0
+    assert a.filter(F2.col("ps_supplycost") < 1.0).count() == 0
