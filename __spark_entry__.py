@@ -37,12 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). Round-6 window:
-# the 8 operators written this round lead (no driver evidence can
+# the 13 operators written this round lead (8 from registry_ext6 +
+# the 5 derived-partsupp TPC-H queries — no driver evidence can
 # exist yet), followed by the 39 round-5-landed queries that have
 # never had a driver row (the r05 window was spent re-proving the
-# regenerated-data vintage). 8 + 39 = 47 fits the ~50 window with
-# three stale-evidence fillers; everything below the fold is ordered
-# stalest-evidence-first and seeds the r07 rotation. The testdata
+# regenerated-data vintage). 13 + 39 = 52 slightly overflows a
+# 50-slot window, so the last ~2 of the round-5 set
+# (basket_pairs, skyline_partitioned_parity) wait for r07 — new
+# code outranks equally-unproven older code. Below the fold:
+# stalest-evidence-first, the r07 rotation seed. The testdata
 # regeneration before r05 (naive-micros timestamps → TIMESTAMP_NTZ)
 # is why pre-r05 green rows are considered stale: that evidence ran
 # against data that no longer exists.
