@@ -64,6 +64,12 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+        # both the output join and the min-cost aggregate read this —
+        # without the persist each branch re-derives the partsupp
+        # distinct from lineitem (the data-sized shuffle) a second
+        # time; at warehouse scale this persist is the materialized
+        # region-restricted catalog
+        .persist()
     )
     mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
