@@ -76,6 +76,9 @@ _PRIORITY = [
     "agg_robust_stats", "agg_benford", "profile_columns", "dq_checks",
     "events_markov", "window_rolling_norm", "merge_incremental_agg",
     "events_latency_bands", "basket_pairs", "skyline_partitioned_parity",
+    # --- session-2 small breadth (below the never-checked r05 set:
+    # trivially-shaped, lower risk than leaving analytics unproven) ---
+    "agg_group_median", "fn_bit_ops",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

@@ -276,3 +276,65 @@ def tpch_q20(spark, sf_dir):
         .join(excess, s.s_suppkey == excess.ps_suppkey, "leftsemi")
         .select("s_name", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_group_median — exact interpolated median per group
+# ---------------------------------------------------------------------------
+
+_GM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3_qty
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register("agg_group_median", _GM_SQL)
+def agg_group_median(spark, sf_dir):
+    """Exact per-group medians/quartiles: Spark's `percentile` and
+    DuckDB's `quantile_cont` both use the linearly-interpolated
+    (type-7) definition, so the comparison is value-exact after the
+    documented ROUND(6) float policy. One shuffle on the group key;
+    the sort happens within each group's partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("med_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q1_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q3_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_bit_ops — row-level bitwise expression coverage
+# ---------------------------------------------------------------------------
+
+_BIT_SQL = """
+SELECT o_orderkey,
+       (o_orderkey & 255)::BIGINT AS lo_byte,
+       (o_orderkey | 4096)::BIGINT AS with_flag,
+       xor(o_orderkey, o_custkey)::BIGINT AS key_xor,
+       (o_orderkey << 2)::BIGINT AS shifted_l,
+       (o_orderkey >> 3)::BIGINT AS shifted_r,
+       bit_count(o_orderkey)::BIGINT AS popcount
+FROM orders WHERE o_orderkey < 5000
+"""
+
+
+@register("fn_bit_ops", _BIT_SQL)
+def fn_bit_ops(spark, sf_dir):
+    """Row-level bitwise algebra (&, |, xor, shifts, popcount) — the
+    partition-key / flag-mask toolbox. Pure map-side expressions in
+    whole-stage codegen."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("key_xor"),
+        F.shiftleft(k, 2).cast("long").alias("shifted_l"),
+        F.shiftright(k, 3).cast("long").alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
