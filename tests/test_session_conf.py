@@ -47,3 +47,28 @@ def test_timestamp_literal_filters_survive_ntz_default(spark):
         assert QUERIES["window_range_frame"](spark, SF_SMOKE).count() == 1000
     finally:
         spark.conf.set("spark.sql.timestampType", prev)
+
+
+def test_all_queries_analyze_under_hostile_defaults(spark):
+    """Every registered query must at least ANALYZE under the driver's
+    possible hostile session defaults (NTZ timestamp type + case-
+    sensitive resolution). Analysis is where the BENCH_r05 class of
+    failure surfaces (type resolution), and it is cheap enough to
+    sweep the whole registry."""
+    from stockify_spark.registry import QUERIES
+
+    prev_t = spark.conf.get("spark.sql.timestampType")
+    prev_c = spark.conf.get("spark.sql.caseSensitive")
+    fails = []
+    try:
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        for name, fn in QUERIES.items():
+            try:
+                fn(spark, SF_SMOKE).schema
+            except Exception as ex:  # noqa: BLE001 - collecting all failures
+                fails.append((name, str(ex)[:120]))
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev_t)
+        spark.conf.set("spark.sql.caseSensitive", prev_c)
+    assert not fails, fails
