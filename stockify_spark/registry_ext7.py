@@ -338,3 +338,35 @@ def fn_bit_ops(spark, sf_dir):
         F.shiftright(k, 3).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_variant — Spark 4 VARIANT ingestion of semi-structured props
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k,
+       (json_extract(props, '$.k')::BIGINT % 7)::BIGINT AS k_mod,
+       CASE WHEN json_extract(props, '$.k')::BIGINT >= 50 THEN 'hi' ELSE 'lo' END AS band
+FROM events WHERE event_id < 5000
+"""
+
+
+@register("fn_variant", _VARIANT_SQL)
+def fn_variant(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    parse_json into a variant column once, then typed variant_get
+    path extraction — the open-format answer to schema-on-read JSON
+    (binary-encoded, no per-access re-parse, shredding-ready). The
+    oracle is DuckDB's JSON path extraction over the same strings;
+    `fn_json` keeps the classic get_json_object face."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod"),
+        F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("band"),
+    )
