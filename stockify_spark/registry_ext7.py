@@ -370,3 +370,49 @@ def fn_variant(spark, sf_dir):
         (k % 7).alias("k_mod"),
         F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# txlog_lifecycle — ACID table format end-to-end
+# ---------------------------------------------------------------------------
+
+_TXLOG_SQL = """
+SELECT (o_orderkey % 7)::BIGINT AS bucket, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1
+"""
+
+
+@register("txlog_lifecycle", _TXLOG_SQL)
+def txlog_lifecycle(spark, sf_dir):
+    """Full lifecycle of the log-structured ACID table format
+    (sources/txlog.py): create from the even-key half, append the odd
+    half, copy-on-write delete every 10th key, compact the small
+    files, then aggregate the final snapshot. The oracle states the
+    net effect declaratively over the source table — create+append
+    covered every order, the delete removed keys divisible by 10 —
+    so the whole commit-log replay (adds minus removes across four
+    versions) is hash-checked. The scratch table lives in the OS tmp
+    dir; its files must outlive this call because the returned plan
+    reads them lazily."""
+    import tempfile
+
+    from stockify_spark.sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="stockify_txlog_")
+    txlog.create(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    txlog.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+    txlog.compact(spark, path, target_partitions=2)
+    snap = txlog.snapshot(spark, path)
+    return snap.groupBy((F.col("o_orderkey") % 7).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -1,0 +1,165 @@
+"""Minimal ACID table format: parquet data files + JSON commit log.
+
+The lakehouse primitive the engine needs at 100 TB: concurrent
+appends, copy-on-write deletes, compaction, and time travel — all
+WITHOUT rewriting or even listing the whole table. The design is the
+public Delta-/Iceberg-style log-structured scheme (add/remove file
+actions, monotonically-versioned commits, optimistic concurrency via
+atomic create-exclusive on the next version's file); implementation
+is from scratch on stdlib + Spark.
+
+Layout:
+    <table>/data/<uuid>.parquet         immutable data files
+    <table>/_txlog/<%016d>.json         one JSON commit per version
+
+A commit is ``{"version": N, "actions": [{"add": {"path": p,
+"rows": n}} | {"remove": {"path": p}}]}``. The live file set at
+version V is adds minus removes over commits 0..V; a snapshot read
+is ``spark.read.parquet(*live_files)`` — file-level pruning for
+free, no directory listing of data/.
+
+Scale notes: the log is O(#commits) tiny JSON files read on the
+DRIVER (Delta does the same; checkpointing the log is the known
+extension once commits number in the millions). Data operations are
+full Spark jobs; per-FILE driver loops (delete's copy-on-write file
+rewrite selection) iterate over the file LIST, never rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txlog")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _commit_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:016d}.json")
+
+
+def _read_log(path: str, version: int | None = None) -> list[dict]:
+    """All commits up to ``version`` (inclusive), in order."""
+    commits = []
+    v = 0
+    while True:
+        p = _commit_path(path, v)
+        if not os.path.exists(p) or (version is not None and v > version):
+            break
+        with open(p) as f:
+            commits.append(json.load(f))
+        v += 1
+    return commits
+
+
+def current_version(path: str) -> int:
+    commits = _read_log(path)
+    if not commits:
+        raise FileNotFoundError(f"no txlog table at {path}")
+    return commits[-1]["version"]
+
+
+def live_files(path: str, version: int | None = None) -> list[str]:
+    files: list[str] = []
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "add" in a:
+                files.append(a["add"]["path"])
+            elif "remove" in a:
+                files.remove(a["remove"]["path"])
+    return files
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Write df's partitions as immutable files; return add actions."""
+    staging = os.path.join(_data_dir(path), f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(_data_dir(path), f"{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(staging, name), final)
+        adds.append({"add": {"path": final}})
+    # best-effort staging cleanup (only non-data markers remain)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return adds
+
+
+def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
+    """Atomic create-exclusive on the version file — the optimistic
+    concurrency point: two writers racing to version N, one wins,
+    the loser re-reads the log and retries at N+1."""
+    try:
+        fd = os.open(
+            _commit_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": version, "actions": actions}, f)
+    return True
+
+
+def _commit(path: str, actions: list[dict]) -> int:
+    while True:
+        commits = _read_log(path)
+        version = commits[-1]["version"] + 1 if commits else 0
+        if _try_commit(path, version, actions):
+            return version
+
+
+def create(df: DataFrame, path: str) -> int:
+    os.makedirs(_log_dir(path), exist_ok=True)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    return _commit(path, _write_data_files(df, path))
+
+
+def append(df: DataFrame, path: str) -> int:
+    return _commit(path, _write_data_files(df, path))
+
+
+def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the table as of ``version`` (default: latest) — time
+    travel is just replaying less of the log."""
+    files = live_files(path, version)
+    if not files:
+        raise FileNotFoundError(f"empty txlog table at {path}")
+    return spark.read.parquet(*files)
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> int:
+    """Copy-on-write delete: only files that actually contain
+    matching rows are rewritten; untouched files stay shared between
+    the old and new snapshots."""
+    actions: list[dict] = []
+    for f in live_files(path):
+        part = spark.read.parquet(f)
+        keep = part.filter(~predicate)
+        if keep.count() == part.count():
+            continue  # file untouched — shared with prior versions
+        actions.append({"remove": {"path": f}})
+        actions.extend(_write_data_files(keep, path))
+    if not actions:
+        return current_version(path)
+    return _commit(path, actions)
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
+    """Rewrite the live set as ``target_partitions`` files (small-file
+    compaction); readers of old versions still see the old files."""
+    files = live_files(path)
+    df = spark.read.parquet(*files).coalesce(target_partitions)
+    actions: list[dict] = [{"remove": {"path": f}} for f in files]
+    actions.extend(_write_data_files(df, path))
+    return _commit(path, actions)

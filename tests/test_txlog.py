@@ -1,0 +1,90 @@
+"""ACID txlog table format: snapshots, time travel, COW delete,
+compaction, optimistic concurrency."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stockify_spark.sources import txlog
+from stockify_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+
+
+def test_create_append_snapshot_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    first = o.filter(F.col("o_orderkey") % 2 == 0)
+    second = o.filter(F.col("o_orderkey") % 2 == 1)
+    v0 = txlog.create(first, path)
+    v1 = txlog.append(second, path)
+    assert (v0, v1) == (0, 1)
+    assert txlog.snapshot(spark, path).count() == o.count()
+    # time travel: version 0 sees only the first batch
+    assert txlog.snapshot(spark, path, version=0).count() == first.count()
+
+
+def test_snapshot_isolation_under_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(100), path)
+    reader = txlog.snapshot(spark, path)  # plan bound to v0's files
+    txlog.append(o.limit(50), path)
+    # the v0 reader's lazily-executed plan still reads exactly v0
+    assert reader.count() == 100
+    assert txlog.snapshot(spark, path).count() == 150
+
+
+def test_delete_where_is_copy_on_write(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(
+        o.filter(F.col("o_orderkey") < 500).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    before = set(txlog.live_files(path))
+    # range-localized predicate: only the file(s) holding low keys
+    # contain matches, so COW must leave the other files untouched
+    v = txlog.delete_where(spark, path, F.col("o_orderkey") < 50)
+    after = set(txlog.live_files(path))
+    # some files rewritten, but history is intact: the old version
+    # still returns the pre-delete rows
+    got = txlog.snapshot(spark, path).filter(F.col("o_orderkey") < 50).count()
+    assert got == 0
+    pre = txlog.snapshot(spark, path, version=v - 1).count()
+    assert pre > txlog.snapshot(spark, path).count()
+    # untouched files are SHARED between versions (true copy-on-write)
+    assert before & after
+    assert before != after
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(200).repartition(8), path)
+    rows_before = sorted(map(tuple, txlog.snapshot(spark, path).collect()))
+    v = txlog.compact(spark, path)
+    assert len(txlog.live_files(path)) == 1
+    assert sorted(map(tuple, txlog.snapshot(spark, path).collect())) == rows_before
+    # pre-compaction version still readable (old files not deleted)
+    assert txlog.snapshot(spark, path, version=v - 1).count() == 200
+
+
+def test_optimistic_concurrency_retries_past_conflict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(10), path)
+    # simulate a racing writer that claimed version 1
+    conflict = txlog._commit_path(path, 1)
+    with open(conflict, "w") as f:
+        f.write('{"version": 1, "actions": []}')
+    v = txlog.append(o.limit(5), path)
+    assert v == 2  # loser retried at the next version
+    assert txlog.snapshot(spark, path).count() == 15
+    assert os.path.exists(txlog._commit_path(path, 2))
