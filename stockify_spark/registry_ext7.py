@@ -416,3 +416,40 @@ def txlog_lifecycle(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_TT_SQL = """
+SELECT (o_orderkey % 5)::BIGINT AS bucket, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+@register("txlog_time_travel", _TT_SQL)
+def txlog_time_travel(spark, sf_dir):
+    """Time travel through the commit log: the same lifecycle as
+    txlog_lifecycle, but reading the PRE-delete version (v1) — the
+    snapshot must contain every order even though later commits
+    removed and compacted files. Proves old versions stay readable
+    and exact after destructive operations."""
+    import tempfile
+
+    from stockify_spark.sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="stockify_txlog_tt_")
+    txlog.create(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    txlog.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+    txlog.compact(spark, path, target_partitions=2)
+    snap = txlog.snapshot(spark, path, version=1)  # pre-delete world
+    return snap.groupBy((F.col("o_orderkey") % 5).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
