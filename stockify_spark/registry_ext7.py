@@ -453,3 +453,39 @@ def txlog_time_travel(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_CDF_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       'delete' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@register("txlog_cdf", _CDF_SQL)
+def txlog_cdf(spark, sf_dir):
+    """Change data feed of the COW-delete commit: the row-level
+    changes are computed from that commit's own file actions (added
+    minus removed rows cancel the copy-on-write survivors), so the
+    feed contains exactly the deleted rows — which is what the
+    declarative oracle states. Cost scales with the files the commit
+    touched, not with table size."""
+    import tempfile
+
+    from stockify_spark.sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="stockify_txlog_cdf_")
+    txlog.create(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    txlog.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    v_del = txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+    cdf = txlog.changes(spark, path, v_del)
+    return cdf.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_change_type"
+    )

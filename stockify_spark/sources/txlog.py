@@ -163,3 +163,46 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
     actions: list[dict] = [{"remove": {"path": f}} for f in files]
     actions.extend(_write_data_files(df, path))
     return _commit(path, actions)
+
+
+def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Row-level change data feed for one commit: what ``version``
+    inserted and deleted relative to ``version - 1``.
+
+    Computed from the commit's own file actions — NOT a full
+    snapshot diff: inserts are rows of added files minus rows of
+    removed files (copy-on-write rewrites re-add surviving rows, so
+    the multiset difference cancels them), deletes the reverse. A
+    pure append therefore yields only inserts; a compaction yields
+    an EMPTY feed (same rows on both sides); a COW delete yields
+    exactly the deleted rows. Cost is proportional to the files the
+    commit touched, never to table size.
+
+    Returns the table schema plus a ``_change_type`` column
+    ('insert' | 'delete').
+    """
+    from pyspark.sql import functions as F
+
+    commit = _read_log(path, version)[-1]
+    if commit["version"] != version:
+        raise ValueError(f"version {version} not found at {path}")
+    added = [a["add"]["path"] for a in commit["actions"] if "add" in a]
+    removed = [a["remove"]["path"] for a in commit["actions"] if "remove" in a]
+
+    def read(files: list[str]) -> DataFrame | None:
+        return spark.read.parquet(*files) if files else None
+
+    a_df, r_df = read(added), read(removed)
+    if a_df is None and r_df is None:
+        raise ValueError(f"commit {version} touched no files")
+    inserts = a_df.exceptAll(r_df) if (a_df is not None and r_df is not None) else a_df
+    deletes = r_df.exceptAll(a_df) if (a_df is not None and r_df is not None) else r_df
+    parts = []
+    if inserts is not None:
+        parts.append(inserts.withColumn("_change_type", F.lit("insert")))
+    if deletes is not None:
+        parts.append(deletes.withColumn("_change_type", F.lit("delete")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -88,3 +88,24 @@ def test_optimistic_concurrency_retries_past_conflict(spark, tmp_path):
     assert v == 2  # loser retried at the next version
     assert txlog.snapshot(spark, path).count() == 15
     assert os.path.exists(txlog._commit_path(path, 2))
+
+
+def test_change_data_feed_per_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") < 300).repartitionByRange(4, "o_orderkey"), path)
+    txlog.append(o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 400)), path)
+    v_del = txlog.delete_where(spark, path, F.col("o_orderkey") < 20)
+    v_cmp = txlog.compact(spark, path)
+    # append commit: inserts only, exactly the appended rows
+    cdf1 = txlog.changes(spark, path, 1)
+    assert cdf1.filter(F.col("_change_type") == "delete").count() == 0
+    assert cdf1.count() == o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 400)).count()
+    # COW delete commit: deletes only, exactly the matching rows
+    cdf2 = txlog.changes(spark, path, v_del)
+    assert cdf2.filter(F.col("_change_type") == "insert").count() == 0
+    assert sorted(r.o_orderkey for r in cdf2.collect()) == sorted(
+        r.o_orderkey for r in o.filter(F.col("o_orderkey") < 20).collect()
+    )
+    # compaction commit: same rows both sides -> empty feed
+    assert txlog.changes(spark, path, v_cmp).count() == 0
