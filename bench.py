@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     # TPC-H completion over the derived partsupp catalog
     "tpch_q2",
     "tpch_q9",
+    # ACID table format end-to-end (includes real write path)
+    "txlog_lifecycle",
 ]
 
 

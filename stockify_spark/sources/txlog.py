@@ -12,8 +12,8 @@ Layout:
     <table>/data/<uuid>.parquet         immutable data files
     <table>/_txlog/<%016d>.json         one JSON commit per version
 
-A commit is ``{"version": N, "actions": [{"add": {"path": p,
-"rows": n}} | {"remove": {"path": p}}]}``. The live file set at
+A commit is ``{"version": N, "actions": [{"add": {"path": p}} |
+{"remove": {"path": p}}]}``. The live file set at
 version V is adds minus removes over commits 0..V; a snapshot read
 is ``spark.read.parquet(*live_files)`` — file-level pruning for
 free, no directory listing of data/.
