@@ -131,11 +131,14 @@ def append(df: DataFrame, path: str) -> int:
 
 def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time
-    travel is just replaying less of the log."""
+    travel is just replaying less of the log. ``mergeSchema`` unions
+    the file schemas, so columns added by later appends read as NULL
+    on older files (additive schema evolution; parquet's footer
+    schema per immutable file is the source of truth)."""
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def delete_where(spark: SparkSession, path: str, predicate) -> int:
@@ -155,11 +158,27 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     return _commit(path, actions)
 
 
-def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    sort_by: str | None = None,
+) -> int:
     """Rewrite the live set as ``target_partitions`` files (small-file
-    compaction); readers of old versions still see the old files."""
+    compaction); readers of old versions still see the old files.
+    ``sort_by`` range-partitions and sorts the rewrite on that column
+    (the OPTIMIZE-with-clustering form): each output file then covers
+    a disjoint value range, so parquet footer min/max skips whole
+    files on range probes — the same physics as
+    sources/io.write_sorted_layout, applied through the log."""
     files = live_files(path)
-    df = spark.read.parquet(*files).coalesce(target_partitions)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if sort_by is not None:
+        df = df.repartitionByRange(target_partitions, sort_by).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        df = df.coalesce(target_partitions)
     actions: list[dict] = [{"remove": {"path": f}} for f in files]
     actions.extend(_write_data_files(df, path))
     return _commit(path, actions)

@@ -109,3 +109,40 @@ def test_change_data_feed_per_commit(spark, tmp_path):
     )
     # compaction commit: same rows both sides -> empty feed
     assert txlog.changes(spark, path, v_cmp).count() == 0
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(50), path)
+    evolved = o.limit(30).withColumn("discount_pct", F.lit(5).cast("long"))
+    txlog.append(evolved, path)
+    snap = txlog.snapshot(spark, path)
+    assert "discount_pct" in snap.columns
+    # old files read the new column as NULL; new rows carry it
+    assert snap.filter(F.col("discount_pct").isNull()).count() == 50
+    assert snap.filter(F.col("discount_pct") == 5).count() == 30
+    # time travel to v0 shows the original schema
+    assert "discount_pct" not in txlog.snapshot(spark, path, version=0).columns
+
+
+def test_sorted_compaction_clusters_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") < 1000).repartition(8), path)
+    txlog.compact(spark, path, target_partitions=4, sort_by="o_orderkey")
+    files = txlog.live_files(path)
+    assert len(files) == 4
+    # each file covers a disjoint o_orderkey range (footer-skippable)
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey"])
+        col = t.column("o_orderkey").to_pylist()
+        ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # data intact
+    assert txlog.snapshot(spark, path).count() == o.filter(F.col("o_orderkey") < 1000).count()
