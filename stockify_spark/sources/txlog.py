@@ -78,8 +78,40 @@ def live_files(path: str, version: int | None = None) -> list[str]:
     return files
 
 
+def _file_stats(fpath: str) -> dict:
+    """Per-file column min/max from the parquet footer (one local
+    metadata read at WRITE time — readers then prune from the log
+    alone, no footer fetches; at 100 TB on object storage that is
+    the difference between one log read and a GET per file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fpath)
+    schema = md.schema.to_arrow_schema()
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested columns: skip stats
+                continue
+            import datetime
+
+            mn, mx = st.min, st.max
+            if isinstance(mn, (bytes, datetime.date, datetime.datetime)):
+                continue  # keep the log JSON-serializable and simple
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {"min": mins, "max": maxs, "rows": md.num_rows}
+
+
 def _write_data_files(df: DataFrame, path: str) -> list[dict]:
-    """Write df's partitions as immutable files; return add actions."""
+    """Write df's partitions as immutable files; return add actions
+    carrying per-file column stats for log-level data skipping."""
     staging = os.path.join(_data_dir(path), f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     adds = []
@@ -88,7 +120,7 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
             continue
         final = os.path.join(_data_dir(path), f"{uuid.uuid4().hex}.parquet")
         os.rename(os.path.join(staging, name), final)
-        adds.append({"add": {"path": final}})
+        adds.append({"add": {"path": final, "stats": _file_stats(final)}})
     # best-effort staging cleanup (only non-data markers remain)
     for name in os.listdir(staging):
         os.remove(os.path.join(staging, name))
@@ -139,6 +171,46 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _live_adds(path: str, version: int | None = None) -> list[dict]:
+    adds: dict[str, dict] = {}
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+    return list(adds.values())
+
+
+def snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower,
+    upper,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot restricted to ``lower <= column <= upper``, pruning
+    files from the LOG's stored min/max before Spark ever lists them
+    — the Delta/Iceberg data-skipping read path. Files without stats
+    for the column are conservatively kept; the residual filter is
+    still applied, so the result is exact regardless of stats."""
+    from pyspark.sql import functions as F
+
+    keep = []
+    for a in _live_adds(path, version):
+        st = a.get("stats", {})
+        mn = st.get("min", {}).get(column)
+        mx = st.get("max", {}).get(column)
+        if mn is not None and mx is not None and (mx < lower or mn > upper):
+            continue  # provably disjoint — never opened
+        keep.append(a["path"])
+    if not keep:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
 
 
 def delete_where(spark: SparkSession, path: str, predicate) -> int:

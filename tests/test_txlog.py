@@ -146,3 +146,21 @@ def test_sorted_compaction_clusters_ranges(spark, tmp_path):
         assert hi1 <= lo2
     # data intact
     assert txlog.snapshot(spark, path).count() == o.filter(F.col("o_orderkey") < 1000).count()
+
+
+def test_log_level_file_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(
+        o.filter(F.col("o_orderkey") < 1000).repartitionByRange(4, "o_orderkey"), path
+    )
+    txlog.compact(spark, path, target_partitions=4, sort_by="o_orderkey")
+    # probe a narrow range: the pruned snapshot must read FEWER files
+    pruned = txlog.snapshot_pruned(spark, path, "o_orderkey", 0, 100)
+    n_input_files = len(pruned.inputFiles())
+    assert n_input_files < len(txlog.live_files(path))
+    # and be exactly correct
+    want = o.filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") <= 100)).count()
+    assert pruned.count() == want
+    # fully-disjoint probe: zero rows, no files
+    assert txlog.snapshot_pruned(spark, path, "o_orderkey", 10**9, 2 * 10**9).count() == 0
