@@ -489,3 +489,31 @@ def txlog_cdf(spark, sf_dir):
     return cdf.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_change_type"
     )
+
+
+_SKIP_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+"""
+
+
+@register("txlog_skipping", _SKIP_SQL)
+def txlog_skipping(spark, sf_dir):
+    """Data-skipping read path: orders land in a clustered txlog
+    table (compact with sort_by), then a range probe reads only the
+    files whose LOG-stored min/max overlap the range — zero footer
+    fetches for pruned files. The oracle is the plain range query;
+    the pruning is proven exact because the residual filter applies
+    regardless of stats."""
+    import tempfile
+
+    from stockify_spark.sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="stockify_txlog_skip_")
+    txlog.create(o, path)
+    txlog.compact(spark, path, target_partitions=8, sort_by="o_orderkey")
+    pruned = txlog.snapshot_pruned(spark, path, "o_orderkey", 100, 2000)
+    return pruned.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
