@@ -46,10 +46,45 @@ def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:016d}.json")
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"checkpoint.{version:016d}.json")
+
+
+def _latest_checkpoint(path: str, version: int | None = None) -> dict | None:
+    """Newest checkpoint at or below ``version`` (if any)."""
+    best = None
+    try:
+        names = os.listdir(_log_dir(path))
+    except FileNotFoundError:
+        return None
+    for name in names:
+        if not name.startswith("checkpoint."):
+            continue
+        v = int(name.split(".")[1])
+        if version is not None and v > version:
+            continue
+        if best is None or v > best[0]:
+            best = (v, name)
+    if best is None:
+        return None
+    with open(os.path.join(_log_dir(path), best[1])) as f:
+        return json.load(f)
+
+
 def _read_log(path: str, version: int | None = None) -> list[dict]:
-    """All commits up to ``version`` (inclusive), in order."""
+    """Commits up to ``version`` (inclusive), in order — starting from
+    the newest checkpoint at or below it, so replay cost is
+    O(commits since checkpoint), not O(table lifetime). The
+    checkpoint is returned as a synthetic first commit whose actions
+    are the checkpointed live-adds set."""
     commits = []
+    ckpt = _latest_checkpoint(path, version)
     v = 0
+    if ckpt is not None:
+        commits.append(
+            {"version": ckpt["version"], "actions": ckpt["actions"]}
+        )
+        v = ckpt["version"] + 1
     while True:
         p = _commit_path(path, v)
         if not os.path.exists(p) or (version is not None and v > version):
@@ -58,6 +93,23 @@ def _read_log(path: str, version: int | None = None) -> list[dict]:
             commits.append(json.load(f))
         v += 1
     return commits
+
+
+def checkpoint_log(path: str) -> int:
+    """Write a log checkpoint at the current version: the full
+    live-adds set (with stats) in one file. Subsequent reads replay
+    from here; all commit files are left in place so time travel to
+    pre-checkpoint versions still works (those reads ignore the
+    checkpoint because it is above their version)."""
+    commits = _read_log(path)
+    version = commits[-1]["version"]
+    adds = _live_adds(path)
+    ck = {"version": version, "actions": [{"add": a} for a in adds]}
+    tmp = _checkpoint_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.rename(tmp, _checkpoint_path(path, version))
+    return version
 
 
 def current_version(path: str) -> int:
@@ -274,9 +326,14 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    commit = _read_log(path, version)[-1]
-    if commit["version"] != version:
+    # read the commit FILE directly: _read_log may substitute a
+    # synthetic checkpoint commit at this version, whose actions are
+    # the full live set, not this commit's delta
+    cpath = _commit_path(path, version)
+    if not os.path.exists(cpath):
         raise ValueError(f"version {version} not found at {path}")
+    with open(cpath) as f:
+        commit = json.load(f)
     added = [a["add"]["path"] for a in commit["actions"] if "add" in a]
     removed = [a["remove"]["path"] for a in commit["actions"] if "remove" in a]
 

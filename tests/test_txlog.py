@@ -164,3 +164,30 @@ def test_log_level_file_pruning(spark, tmp_path):
     assert pruned.count() == want
     # fully-disjoint probe: zero rows, no files
     assert txlog.snapshot_pruned(spark, path, "o_orderkey", 10**9, 2 * 10**9).count() == 0
+
+
+def test_log_checkpoint_bounds_replay_and_keeps_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(100), path)
+    txlog.append(o.limit(60), path)
+    v_del = txlog.delete_where(spark, path, F.col("o_orderkey") < 10)
+    rows_now = sorted(map(tuple, txlog.snapshot(spark, path).collect()))
+    ckv = txlog.checkpoint_log(path)
+    assert ckv == v_del
+    # post-checkpoint reads are identical
+    assert sorted(map(tuple, txlog.snapshot(spark, path).collect())) == rows_now
+    # replay now starts at the checkpoint: one synthetic commit
+    assert txlog._read_log(path)[0]["version"] == ckv
+    # appends after the checkpoint compose with it
+    txlog.append(o.limit(5), path)
+    assert txlog.snapshot(spark, path).count() == len(rows_now) + 5
+    # time travel BELOW the checkpoint still replays the old commits
+    assert txlog.snapshot(spark, path, version=0).count() == 100
+    # CDF at the checkpointed version still reads the real commit
+    assert (
+        txlog.changes(spark, path, v_del)
+        .filter(F.col("_change_type") == "delete")
+        .count()
+        > 0
+    )
