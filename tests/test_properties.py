@@ -488,3 +488,64 @@ def test_fuzzy_set_join_random_sets(spark, seed, thr):
         if len(sa & sb) / len(sa | sb) >= thr
     }
     assert got == want
+
+
+def _serial_kmeans(vecs: dict[int, list[float]], k: int, updates: int):
+    """Independent serial Lloyd's matching the distributed spec:
+    seeds = first-k by id, sequential-fold sqrt distances, ties to
+    lowest cluster, ROUND(6) means at each boundary."""
+    import math
+
+    def dist(a, c):
+        acc = 0.0
+        for x, y in zip(a, c):
+            acc += (x - y) * (x - y)
+        return math.sqrt(acc)
+
+    cents = sorted((i, list(v)) for i, v in vecs.items() if i < k)
+
+    def assign():
+        out = {}
+        for i, v in vecs.items():
+            best = min(cents, key=lambda cv: (dist(v, cv[1]), cv[0]))
+            out[i] = best[0]
+        return out
+
+    for _ in range(updates):
+        a = assign()
+        by_c: dict[int, list[list[float]]] = {}
+        for i, c in a.items():
+            by_c.setdefault(c, []).append(vecs[i])
+        cents = sorted(
+            (
+                c,
+                [
+                    round(sum(v[d] for v in pts) / len(pts), 6)
+                    for d in range(len(pts[0]))
+                ],
+            )
+            for c, pts in by_c.items()
+        )
+    return assign()
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_matches_serial_reference(spark, seed):
+    """Distributed k-means == serial Lloyd's on random low-dim sets
+    with duplicate points (distance ties stress the cluster-id
+    tie-break)."""
+    import random
+
+    from stockify_spark.llm.clustering import kmeans_assign
+
+    rng = random.Random(seed)
+    n, d, k = 40, 3, 4
+    # integer-grid coordinates force exact distances and real ties
+    vecs = {i: [float(rng.randint(0, 4)) for _ in range(d)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=k, updates=2).collect()}
+    want = _serial_kmeans(vecs, k, 2)
+    assert got == want
