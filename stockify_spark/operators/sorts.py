@@ -57,22 +57,28 @@ def top_k_per_group(
 
 
 def exact_kth_smallest(
-    df: DataFrame, column: str, k: int | None = None, n_buckets: int = 4096
+    df: DataFrame,
+    column: str,
+    k: int | None = None,
+    n_buckets: int = 4096,
+    rank_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Exact k-th smallest value (default: lower median) WITHOUT a
-    global sort — the distributed selection algorithm.
+    global sort — the recursive distributed selection algorithm.
 
     Scale shape: a global ORDER BY at 100 TB is a full range-shuffle
-    of the dataset to find ONE value. Instead: (1) one min/max
-    aggregate, (2) one bucket-histogram aggregate (map-side combined,
-    ``n_buckets`` result rows), (3) the driver locates the bucket
-    containing rank k from the bounded histogram, (4) a second scan
-    filters to that one bucket (a pushed-down range predicate) and
-    ranks only its rows — expected n/n_buckets of the data, and the
-    recursion could re-bucket if a single bucket were still huge
-    (value-skew with duplicates caps at one bucket of identical
-    values, which step 4 answers directly). Two scans + a tiny sort
-    instead of a terabyte shuffle.
+    of the dataset to find ONE value. Instead, per level: (1) one
+    min/max+count aggregate, (2) one bucket-histogram aggregate
+    (map-side combined, ``n_buckets`` result rows), (3) the driver
+    locates the bucket containing rank k from the bounded histogram,
+    then (4) RECURSES into that bucket (expected n/n_buckets of the
+    data) until it is small enough (``rank_threshold``) to rank with
+    a single-partition window, or until its min == max — a run of
+    identical values, where the k-th value IS that value and no rank
+    pass is needed at all (the value-skew case that re-bucketing can
+    never shrink). Each level multiplies selectivity by ~n_buckets,
+    so 100 TB needs at most 2-3 levels before the final rank touches
+    only a sliver.
 
     Returns one row: (kth_value, n, k).
     """
@@ -81,38 +87,62 @@ def exact_kth_smallest(
         F.max(column).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    n = int(stats["n"])
     if k is None:
         k = (n + 1) // 2  # lower median
-    width = (hi - lo) / n_buckets or 1.0
-    bucket = F.least(
-        F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("long"),
-        F.lit(n_buckets - 1),
-    )
-    hist = sorted(
-        df.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect(),
-        key=lambda r: r["b"],
-    )  # bounded: <= n_buckets rows
-    cum = 0
-    target_b, before = 0, 0
-    for r in hist:
-        if cum + int(r["c"]) >= k:
-            target_b, before = int(r["b"]), cum
-            break
-        cum += int(r["c"])
-    # filter with the IDENTICAL bucket expression, not a re-derived
-    # [lo_edge, hi_edge) range: float rounding at a bucket boundary
-    # could otherwise assign a row to bucket b in the histogram but
-    # exclude it from the range filter, off-by-one-ing the rank
-    in_bucket = df.filter(bucket == F.lit(target_b))
-    w = Window.orderBy(F.col("v").asc())
-    return (
-        in_bucket.select(F.col(column).alias("v"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == k - before)
-        .select(
-            F.col("v").alias("kth_value"),
-            F.lit(n).cast("long").alias("n"),
-            F.lit(k).cast("long").alias("k"),
+
+    def result(value) -> DataFrame:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(float(value), n, k)], "kth_value double, n long, k long"
         )
-    )
+
+    level_df, level_k = df.select(F.col(column).alias("v")), k
+    lo, hi, level_n = float(stats["lo"]), float(stats["hi"]), n
+    while True:
+        if lo == hi:
+            # degenerate run of identical values: the answer directly
+            return result(lo)
+        if level_n <= rank_threshold:
+            w = Window.orderBy(F.col("v").asc())
+            return (
+                level_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == level_k)
+                .select(
+                    F.col("v").alias("kth_value"),
+                    F.lit(n).cast("long").alias("n"),
+                    F.lit(k).cast("long").alias("k"),
+                )
+            )
+        width = (hi - lo) / n_buckets or 1.0
+        bucket = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(n_buckets - 1),
+        )
+        hist = sorted(
+            level_df.groupBy(bucket.alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
+            .collect(),
+            key=lambda r: r["b"],
+        )  # bounded: <= n_buckets rows
+        cum = 0
+        target = None
+        for r in hist:
+            if cum + int(r["c"]) >= level_k:
+                target = r
+                break
+            cum += int(r["c"])
+        # filter with the IDENTICAL bucket expression, not a re-derived
+        # value range: float rounding at a bucket boundary could
+        # otherwise assign a row to bucket b in the histogram but
+        # exclude it from the range filter, off-by-one-ing the rank
+        level_df = level_df.filter(bucket == F.lit(int(target["b"])))
+        level_k -= cum
+        level_n = int(target["c"])
+        # the bucket's OWN min/max (from the histogram pass) tighten
+        # the next level's range — and detect all-identical buckets
+        lo, hi = float(target["bmin"]), float(target["bmax"])

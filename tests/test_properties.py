@@ -428,7 +428,9 @@ def test_exact_kth_smallest_on_random_multisets(spark, vals, kfrac):
 
     k = max(1, min(len(vals), int(round(kfrac * len(vals))) or 1))
     df = spark.createDataFrame([(float(v),) for v in vals], "x double").repartition(4)
-    row = exact_kth_smallest(df, "x", k=k, n_buckets=7).collect()[0]
+    # rank_threshold=2 forces multi-level recursion on nearly every
+    # input; duplicate-heavy draws exercise the min==max short-circuit
+    row = exact_kth_smallest(df, "x", k=k, n_buckets=7, rank_threshold=2).collect()[0]
     assert row.kth_value == sorted(vals)[k - 1]
 
 
