@@ -79,7 +79,7 @@ _PRIORITY = [
     # --- session-2 small breadth (below the never-checked r05 set:
     # trivially-shaped, lower risk than leaving analytics unproven) ---
     "agg_group_median", "fn_bit_ops", "fn_variant", "txlog_lifecycle",
-    "txlog_time_travel", "txlog_cdf", "txlog_skipping",
+    "txlog_time_travel", "txlog_cdf", "txlog_skipping", "sample_weighted",
     # --- hard-broken by the data regeneration until the r06 fix ---
     "window_range_frame",
     # --- last green r02: evidence two data-vintages old ---

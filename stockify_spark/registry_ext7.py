@@ -517,3 +517,47 @@ def txlog_skipping(spark, sf_dir):
     return pruned.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted — Efraimidis-Spirakis A-Res, deterministic source
+# ---------------------------------------------------------------------------
+
+_WS_SQL = """
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln((CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+            / 4503599627370497.0) / o_totalprice AS akey
+  FROM orders
+)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY akey DESC, o_orderkey) AS rn
+      FROM keyed)
+WHERE rn <= 32
+"""
+
+
+@register("sample_weighted", _WS_SQL)
+def sample_weighted(spark, sf_dir):
+    """Weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each row draws u in (0,1) and keeps key = ln(u)/w; the
+    top-k keys are the sample, with inclusion probability
+    proportional to weight. The uniform is a SEEDED md5-derived
+    value, so both engines draw identical u and the sample is
+    hash-exact — the same deterministic-randomness policy as the
+    MinHash family. One map-side key expression + a top-k (no global
+    sort: TakeOrdered merges per-partition heaps)."""
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4503599627370497.0  # 2^52 + 1 keeps u in (0, 1]
+    akey = F.ln(u) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_totalprice", akey.alias("akey"))
+        .orderBy(F.col("akey").desc(), "o_orderkey")
+        .limit(32)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
