@@ -248,3 +248,18 @@ def test_derived_partsupp_is_deterministic_and_dense(spark):
     # attributes in range
     assert a.filter((F2.col("ps_availqty") < 1) | (F2.col("ps_availqty") > 9999)).count() == 0
     assert a.filter(F2.col("ps_supplycost") < 1.0).count() == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-Res with weight = o_totalprice must over-represent expensive
+    orders: the sample's mean price exceeds the population mean."""
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.io import load_table
+
+    sample = QUERIES["sample_weighted"](spark, SF)
+    s_mean = sample.agg(F.avg("o_totalprice")).collect()[0][0]
+    p_mean = (
+        load_table(spark, SF, "orders").agg(F.avg("o_totalprice")).collect()[0][0]
+    )
+    assert s_mean > p_mean
+    assert sample.count() == 32
