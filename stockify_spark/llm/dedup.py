@@ -517,6 +517,13 @@ def simhash_near_dup_pairs(
     Verification uses built-in ``bit_count(xor)`` — pure JVM.
     """
     sig = simhash(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_text")
+    # The signature UDF feeds BOTH sides of the self-join below; without
+    # a materialization barrier Spark computes the tokenize+hash pass
+    # twice (self-joins duplicate the subtree — ReusedExchange only
+    # kicks in after an exchange, and the UDF runs before any).
+    # localCheckpoint is RDD-level, so ContextCleaner reclaims it when
+    # the plan is GC'd — no CacheManager pinning across invocations.
+    sig = sig.select("_id", "simhash").localCheckpoint()
 
     chunks = sig.select(
         "_id",
@@ -616,7 +623,17 @@ def simhash_near_dup_pairs_seeded(
             .otherwise(F.lit(0).cast("long"))
         )
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = accs.select("_id", sig_expr.alias("_sig"))
+    # One materialization barrier before the self-join: the signature
+    # aggregation (explode + md5 per token + 15-way packed sum) is the
+    # dominant cost of the whole query, and the band self-join's two
+    # sides would otherwise each recompute it from scratch (self-joins
+    # duplicate the logical subtree; ReusedExchange only dedups AFTER
+    # an exchange). localCheckpoint is eager and RDD-level — cleaned by
+    # ContextCleaner on GC, so repeated invocations don't pin cache
+    # entries the way DataFrame.persist would. Halves wall-clock at
+    # sf0.1; at cluster scale the checkpoint is (id, int64) per doc —
+    # ~16 bytes/row, trivially memory-resident.
+    sig = accs.select("_id", sig_expr.alias("_sig")).localCheckpoint()
 
     chunks = sig.select(
         "_id",
@@ -837,10 +854,15 @@ def fuzzy_set_join(
     """
     L = left.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tk"))
     R = right.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tk"))
+    # localCheckpoint, not persist: the union feeds three subtrees
+    # (inverted index + both verification sides). persist() would pin a
+    # CacheManager entry per invocation with no unpersist hook (the
+    # caller holds a lazy plan over it); the RDD-level checkpoint is
+    # reclaimed by ContextCleaner once the plan is GC'd.
     both = (
         L.withColumn("_side", F.lit(0))
         .unionByName(R.withColumn("_side", F.lit(1)))
-        .persist()
+        .localCheckpoint()
     )
     inv = both.select(
         "_side", "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("tok")

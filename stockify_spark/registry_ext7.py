@@ -17,12 +17,23 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stockify_spark.registry import register, _t
-from stockify_spark.sources.fixtures import derive_partsupp
+from stockify_spark.sources.fixtures import (
+    PS_COST_MOD,
+    PS_COST_MUL_PART,
+    PS_COST_MUL_SUPP,
+    PS_QTY_MOD,
+    PS_QTY_MUL_PART,
+    PS_QTY_MUL_SUPP,
+    derive_partsupp,
+    ps_supplycost_expr,
+)
 
-_PS_CTE = """WITH partsupp AS (
+# The oracle CTE interpolates the SAME constants the Spark-side
+# expressions use (sources/fixtures.py) — one definition, two engines.
+_PS_CTE = f"""WITH partsupp AS (
   SELECT ps_partkey, ps_suppkey,
-         ((ps_partkey*7 + ps_suppkey*13) % 9999 + 1)::BIGINT AS ps_availqty,
-         ((ps_partkey*31 + ps_suppkey*17) % 100000)::DOUBLE / 100.0 + 1.0 AS ps_supplycost
+         ((ps_partkey*{PS_QTY_MUL_PART} + ps_suppkey*{PS_QTY_MUL_SUPP}) % {PS_QTY_MOD} + 1)::BIGINT AS ps_availqty,
+         ((ps_partkey*{PS_COST_MUL_PART} + ps_suppkey*{PS_COST_MUL_SUPP}) % {PS_COST_MOD})::DOUBLE / 100.0 + 1.0 AS ps_supplycost
   FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
 )"""
 
@@ -65,11 +76,14 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
         # both the output join and the min-cost aggregate read this —
-        # without the persist each branch re-derives the partsupp
+        # without a barrier each branch re-derives the partsupp
         # distinct from lineitem (the data-sized shuffle) a second
-        # time; at warehouse scale this persist is the materialized
-        # region-restricted catalog
-        .persist()
+        # time; at warehouse scale this is the materialized
+        # region-restricted catalog. localCheckpoint, not persist:
+        # the caller never gets an unpersist hook, and RDD-level
+        # checkpoints are reclaimed by ContextCleaner on GC instead
+        # of pinning a CacheManager entry per invocation.
+        .localCheckpoint()
     )
     mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
@@ -108,21 +122,29 @@ GROUP BY 1, 2
 @register("tpch_q9", _Q9_SQL)
 def tpch_q9(spark, sf_dir):
     """Q9: profit on red parts by supplier nation and order year —
-    the classic many-join star over the fact table. partsupp joins on
-    the composite key; part/supplier/nation broadcast; orders joins
+    the classic many-join star over the fact table.
+
+    The partsupp join is INLINED: the derived catalog's supplycost is
+    a pure integer-hash function of (partkey, suppkey), and its key
+    domain is exactly lineitem's distinct pairs — so joining the fact
+    back to it on the composite key attaches f(l_partkey, l_suppkey)
+    with multiplicity 1. Computing the function directly on the fact
+    row is algebraically identical and deletes a second lineitem
+    scan, the distinct shuffle, and a composite-key shuffle join —
+    the generated-column pushdown any optimizer with catalog
+    knowledge would make. Q2/Q11/Q16/Q20 keep the real derived
+    relation (they aggregate at pair granularity, where the distinct
+    is load-bearing). part/supplier/nation broadcast; orders joins
     on the fact's orderkey (AQE picks the strategy at real sizes)."""
-    li = _t(spark, sf_dir, "lineitem")
-    ps = derive_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ps_supplycost", ps_supplycost_expr("l_partkey", "l_suppkey")
+    )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     joined = (
-        li.join(
-            ps,
-            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
-        )
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == F.col("s_nationkey"))
         .join(o, o.o_orderkey == li.l_orderkey)

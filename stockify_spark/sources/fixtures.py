@@ -66,6 +66,36 @@ def stocks_rand(spark: SparkSession, n: int = 100_000, seed: int = 42, num_parti
     )
 
 
+# Derived-partsupp hash constants — the SINGLE definition. The DuckDB
+# oracle CTE (registry_ext7._PS_CTE) interpolates these same values,
+# so the Spark expressions and the oracle SQL cannot drift apart
+# silently (an edit here changes both sides together).
+PS_QTY_MUL_PART, PS_QTY_MUL_SUPP, PS_QTY_MOD = 7, 13, 9999
+PS_COST_MUL_PART, PS_COST_MUL_SUPP, PS_COST_MOD = 31, 17, 100000
+
+
+def ps_availqty_expr(partkey, suppkey):
+    """availqty = ((pk*7 + sk*13) % 9999 + 1) as a Column."""
+    return (
+        (F.col(partkey) * PS_QTY_MUL_PART + F.col(suppkey) * PS_QTY_MUL_SUPP)
+        % PS_QTY_MOD
+        + 1
+    ).cast("long")
+
+
+def ps_supplycost_expr(partkey, suppkey):
+    """supplycost = ((pk*31 + sk*17) % 100000)/100 + 1 as a Column
+    (exact: the division by 100 of an integer < 100000 is the same
+    double in any engine)."""
+    return (
+        ((F.col(partkey) * PS_COST_MUL_PART + F.col(suppkey) * PS_COST_MUL_SUPP) % PS_COST_MOD).cast(
+            "double"
+        )
+        / 100.0
+        + 1.0
+    )
+
+
 def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PARTSUPP reconstruction — unblocks TPC-H
     Q2/Q9/Q11/Q16/Q20, which the driver's testdata omits.
@@ -93,14 +123,6 @@ def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "ps_partkey",
         "ps_suppkey",
-        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1)
-        .cast("long")
-        .alias("ps_availqty"),
-        (
-            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000).cast(
-                "double"
-            )
-            / 100.0
-            + 1.0
-        ).alias("ps_supplycost"),
+        ps_availqty_expr("ps_partkey", "ps_suppkey").alias("ps_availqty"),
+        ps_supplycost_expr("ps_partkey", "ps_suppkey").alias("ps_supplycost"),
     )
