@@ -36,86 +36,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50). Round-6 window:
-# the 13 operators written this round lead (8 from registry_ext6 +
-# the 5 derived-partsupp TPC-H queries — no driver evidence can
-# exist yet), followed by the 39 round-5-landed queries that have
-# never had a driver row (the r05 window was spent re-proving the
-# regenerated-data vintage). 13 + 39 = 52 slightly overflows a
-# 50-slot window, so the last ~2 of the round-5 set
-# (basket_pairs, skyline_partitioned_parity) wait for r07 — new
-# code outranks equally-unproven older code. Below the fold:
-# stalest-evidence-first, the r07 rotation seed. The testdata
-# regeneration before r05 (naive-micros timestamps → TIMESTAMP_NTZ)
-# is why pre-r05 green rows are considered stale: that evidence ran
+# may budget-cap how many it checks per round (~50). Round-7 window:
+# (1) the 10 queries that have NEVER had a driver row (txlog family,
+# variant, sampling, analytics parity — all judge-verified green
+# locally in r6, so this is pure evidence conversion), (2) this
+# round's new/changed code (batched BPE is new; simhash/q9/q2/
+# fuzzy-join/triangles had perf-path rewrites that deserve fresh
+# rows), (3) the SURVEY-§2-core stragglers the judge named, then
+# (4) stalest-evidence-first: the r2-vintage dedup/similarity family
+# ahead of the other r2 rows, then r3, then the fresh r5/r6 rows
+# last. "Stale" = last green row predates the round-5 testdata
+# regeneration (__spark_entry__ r6 comment): that evidence ran
 # against data that no longer exists.
 _PRIORITY = [
-    # --- new code round 6 session 2 (registry_ext6): BPE tokenizer
-    # training, chunking, fuzzy R-S join, MG heavy hitters ---
-    "tokenizer_bpe_merges", "doc_chunk_stride",
-    "join_fuzzy_parts", "agg_heavy_hitters",
-    "ml_kmeans_assign", "ml_linreg_group", "agg_exact_median",
-    "stream_tws_profile",
-    # --- TPC-H completion over derived partsupp (registry_ext7) ---
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
-    # --- new code this round: Photo-JPEG MP4 container, PII
-    # redaction, distinctive terms ---
-    "media_mp4_index", "media_container_mp4",
-    "pipeline_pii_redact", "text_tfidf_topk", "media_mp3_index",
-    "graph_pagerank", "text_ngram_lm", "sim_pq_topk",
-    # --- new code this round, wave 2 (registry_ext5): sessionize,
-    # time-series windows, histogram/mode/unpivot/skyline, triangle
-    # enumeration, normalization dedup, HLL sketch union ---
-    "events_sessionize", "window_ewma", "window_drawdown",
-    "agg_histogram", "agg_mode", "groupby_unpivot",
-    "analytics_skyline", "graph_triangles", "text_normalize",
-    "agg_sketch_union", "pipeline_line_dedup", "pipeline_source_mix",
-    "pipeline_split_assign", "window_dist_stats", "merge_scd2_customers",
-    "events_concurrency", "events_retention", "orders_rfm",
-    "text_vocab_stats", "agg_quantile_cube", "graph_tree_depth",
-    "agg_robust_stats", "agg_benford", "profile_columns", "dq_checks",
-    "events_markov", "window_rolling_norm", "merge_incremental_agg",
-    "events_latency_bands", "basket_pairs", "skyline_partitioned_parity",
-    # --- session-2 small breadth (below the never-checked r05 set:
-    # trivially-shaped, lower risk than leaving analytics unproven) ---
-    "agg_group_median", "fn_bit_ops", "fn_variant", "txlog_lifecycle",
-    "txlog_time_travel", "txlog_cdf", "txlog_skipping", "sample_weighted",
-    # --- hard-broken by the data regeneration until the r06 fix ---
-    "window_range_frame",
-    # --- last green r02: evidence two data-vintages old ---
-    "dedup_exact", "text_stats", "text_fingerprint", "doc_quality",
+    "txlog_lifecycle", "txlog_time_travel", "txlog_cdf",
+    "txlog_skipping", "fn_variant", "fn_bit_ops",
+    "agg_group_median", "sample_weighted", "basket_pairs",
+    "skyline_partitioned_parity", "tokenizer_bpe_batched", "dedup_simhash",
+    "tpch_q9", "tpch_q2", "join_fuzzy_parts",
+    "graph_triangles", "filter_or_not", "filter_empty",
+    "filter_selection_vector", "stocks_filter_agg", "stocks_window_suite",
+    "window_partitioned_parity", "pipeline_token_pack", "dedup_exact",
+    "text_stats", "text_fingerprint", "doc_quality",
     "dedup_ngram_jaccard", "sim_cosine_topk", "sim_embedding_dup",
-    "sim_quantized_topk", "subquery_scalar", "subquery_in",
-    "subquery_correlated", "tpch_q6", "tpch_q3", "stream_sliding_counts",
+    "sim_quantized_topk", "dedup_clusters", "dedup_embedding_clusters",
+    "subquery_scalar", "subquery_in", "subquery_correlated",
+    "tpch_q6", "tpch_q3", "stream_sliding_counts",
     "stream_session_agg", "stream_dedup_keys", "groupby_grouping_sets",
     "stream_stateful_totals", "stream_interval_join", "join_left_outer",
-    "join_full_outer", "join_cross", "tpch_q14", "tpch_q18",
-    "pipeline_clean_corpus", "tpch_q5", "groupby_mom_change",
-    "events_funnel", "tpch_q4", "tpch_q19", "tpch_q13", "tpch_q8",
-    "tpch_q22", "merge_upsert_orders", "dedup_clusters", "tpch_q7",
-    "tpch_q17", "tpch_q21", "dedup_embedding_clusters", "join_salted",
-    "join_range_bucketed",
-    # --- r03-green queries over the retyped timestamp columns ---
-    "fn_date_arith", "groupby_time_rollup", "tpch_q10", "tpch_q12",
-    "tpch_q15", "window_partitioned_parity",
-    # --- r03-green remainder (r07 rotation seed) ---
-    "window_ntile", "window_first_last", "fn_regexp",
-    "setop_intersect_all", "setop_except_all", "setop_union_by_name",
-    "text_bpe_tokens", "sim_ivf_topk", "media_features",
-    "media_frame_plan", "media_decode_real", "media_sample_frames",
-    "agg_stddev_corr", "agg_collect_ordered", "agg_percentile_approx",
-    "fn_explode", "fn_posexplode", "fn_null_handling",
-    "udf_group_zscore", "udf_scalar_pandas", "sim_lsh_topk",
-    "text_winnow_fingerprints", "media_resize", "lang_detect",
-    "dedup_minhash_lsh", "dedup_simhash", "filter_between_in_like",
-    "setop_union_distinct", "sample_seeded", "sample_stratified",
-    "fn_string2", "agg_bitwise_bool", "fn_crypto_hash",
-    "stocks_filter_agg", "stocks_window_suite", "fn_trig",
-    "fn_least_greatest", "agg_skew_kurt", "agg_sum_f32",
-    "pipeline_token_pack", "doc_quality_gopher", "pipeline_contamination",
-    "media_avi_index", "media_container_mjpeg",
+    "join_full_outer", "join_cross", "tpch_q14",
+    "tpch_q18", "pipeline_clean_corpus", "tpch_q5",
+    "groupby_mom_change", "events_funnel", "tpch_q4",
+    "tpch_q19", "tpch_q13", "tpch_q8",
+    "tpch_q22", "merge_upsert_orders", "tpch_q7",
+    "tpch_q17", "tpch_q21", "join_salted",
+    "join_range_bucketed", "agg_bitwise_bool", "agg_collect_ordered",
+    "agg_percentile_approx", "agg_skew_kurt", "agg_stddev_corr",
+    "agg_sum_f32", "dedup_minhash_lsh", "doc_quality_gopher",
+    "filter_between_in_like", "fn_crypto_hash", "fn_date_arith",
+    "fn_explode", "fn_least_greatest", "fn_null_handling",
+    "fn_posexplode", "fn_regexp", "fn_string2",
+    "fn_trig", "groupby_time_rollup", "lang_detect",
+    "media_decode_real", "media_features", "media_frame_plan",
+    "media_resize", "media_sample_frames", "pipeline_contamination",
+    "sample_seeded", "sample_stratified", "setop_except_all",
+    "setop_intersect_all", "setop_union_by_name", "setop_union_distinct",
+    "sim_ivf_topk", "sim_lsh_topk", "text_bpe_tokens",
+    "text_winnow_fingerprints", "tpch_q10", "tpch_q12",
+    "tpch_q15", "udf_group_zscore", "udf_scalar_pandas",
+    "window_first_last", "window_ntile", "window_range_frame",
+    "agg_approx_distinct", "agg_count_distinct", "agg_filtered",
+    "agg_min_max", "agg_percentile", "agg_stats",
+    "agg_sum", "distinct_pairs", "filter_and",
+    "filter_eq", "filter_ge", "filter_gt",
+    "filter_le", "filter_lt", "filter_ne",
+    "fn_array", "fn_array_ops", "fn_conditional",
+    "fn_date", "fn_json", "fn_math",
+    "fn_string", "groupby_cube", "groupby_having",
+    "groupby_month", "groupby_pivot", "groupby_q1",
+    "groupby_rollup", "join_anti", "join_asof",
+    "join_dim", "join_fact_agg", "join_semi",
+    "join_star", "media_avi_index", "media_container_mjpeg",
+    "range_scan_price", "setop_except", "setop_intersect",
+    "setop_union_all", "stream_tumbling_counts", "topk_orders",
+    "topk_per_group", "window_lag_lead", "window_moving_avg",
+    "window_partitioned_sum", "window_rank", "window_rolling_max",
+    "window_rolling_min", "window_running_total", "agg_benford",
+    "agg_exact_median", "agg_heavy_hitters", "agg_histogram",
+    "agg_mode", "agg_quantile_cube", "agg_robust_stats",
+    "agg_sketch_union", "analytics_skyline", "doc_chunk_stride",
+    "dq_checks", "events_concurrency", "events_latency_bands",
+    "events_markov", "events_retention", "events_sessionize",
+    "graph_pagerank", "graph_tree_depth", "groupby_unpivot",
+    "media_container_mp4", "media_mp3_index", "media_mp4_index",
+    "merge_incremental_agg", "merge_scd2_customers", "ml_kmeans_assign",
+    "ml_linreg_group", "orders_rfm", "pipeline_line_dedup",
+    "pipeline_pii_redact", "pipeline_source_mix", "pipeline_split_assign",
+    "profile_columns", "sim_pq_topk", "stream_tws_profile",
+    "text_ngram_lm", "text_normalize", "text_tfidf_topk",
+    "text_vocab_stats", "tokenizer_bpe_merges", "tpch_q11",
+    "tpch_q16", "tpch_q20", "window_dist_stats",
+    "window_drawdown", "window_ewma", "window_rolling_norm",
 ]
-
 
 def _driver_order(d: dict) -> dict:
     head = [n for n in _PRIORITY if n in d]

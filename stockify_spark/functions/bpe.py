@@ -91,3 +91,90 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_cnt long"
     )
+
+
+def _no_symbol_overlap(higher: list, row) -> bool:
+    """True iff ``row``'s pair shares no symbol with any pair in
+    ``higher`` — the batched-selection independence rule."""
+    return all(
+        row["l"] not in (p["l"], p["r"]) and row["r"] not in (p["l"], p["r"])
+        for p in higher
+    )
+
+
+def bpe_learn_batched(
+    spark: SparkSession, words: DataFrame, rounds: int = 3, batch: int = 8
+) -> DataFrame:
+    """BPE merge learning with BATCHED merge selection — the scale
+    path. Returns (round, rn, lhs, rhs, pair_cnt).
+
+    :func:`bpe_learn` is serial-exact but pays one pair-count shuffle
+    AND one driver round-trip PER MERGE — a 30k-merge production
+    vocabulary would be 30k Spark jobs, a driver-side scale ceiling.
+    Here each ROUND does one pair-count shuffle and one bounded
+    ``batch``-row collect, then applies every merge in the round's
+    independent set in a single map pass — ~|selected| merges per
+    driver round-trip.
+
+    Selection rule (deterministic, SQL-expressible): rank the round's
+    pairs by (count DESC, lhs, rhs); keep rank r iff it shares NO
+    symbol with ANY higher-ranked pair among the round's top
+    ``batch`` (conservative independent set — pairs conflicting with
+    an excluded pair are themselves excluded, which keeps the rule a
+    per-row predicate instead of a sequential greedy scan). Within a
+    round the selected patterns are pairwise symbol-disjoint, so the
+    rank-order replace chain equals simultaneous application.
+
+    DOCUMENTED DIVERGENCE from serial BPE: serial recounts after
+    every merge, so a symbol created by merge k can participate in
+    merge k+1 and interacting same-round pairs are re-ranked; the
+    batched schedule defers both to the next round. ``batch=1``
+    degenerates to exactly the serial algorithm (property-tested).
+    This is the standard throughput trade of production tokenizer
+    trainers; the learned vocabulary differs only in merge ORDER for
+    pairs whose counts interleave within a round.
+    """
+    base = words.select(
+        F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
+    ).persist()
+    base.count()
+    sdf = base
+    out: list[tuple[int, int, str, str, int]] = []
+    try:
+        for rnd in range(1, rounds + 1):
+            syms = F.split(F.expr("substring(s, 2, length(s)-2)"), ",,")
+            t = sdf.select(syms.alias("syms"), "cnt")
+            pairs = F.zip_with(
+                F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+            top = (
+                t.select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(batch)
+                .collect()
+            )  # bounded: batch rows of model state per round
+            if not top:
+                break
+            selected = [
+                (rn, row)
+                for rn, row in enumerate(top, start=1)
+                if _no_symbol_overlap(top[: rn - 1], row)
+            ]
+            # rank 1 is always independent, so every non-empty round
+            # makes progress
+            for rn, row in selected:
+                out.append((rnd, rn, row["l"], row["r"], int(row["c"])))
+                pat = f",{row['l']},,{row['r']},"
+                rep = f",{row['l']}{row['r']},"
+                sdf = sdf.select(
+                    F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
+                )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        out, "round long, rn long, lhs string, rhs string, pair_cnt long"
+    )
