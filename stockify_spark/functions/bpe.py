@@ -48,10 +48,12 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
     Deterministic: ties broken by (count desc, lhs asc, rhs asc), so
     the learned merge table is exactly reproducible cross-engine.
     """
+    # lazy persist: the first step's pair-count job materializes the
+    # cache as a side effect — a separate count() would spend a whole
+    # extra job just to warm it
     base = words.select(
         F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
     ).persist()
-    base.count()
     sdf = base
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -134,10 +136,11 @@ def bpe_learn_batched(
     trainers; the learned vocabulary differs only in merge ORDER for
     pairs whose counts interleave within a round.
     """
+    # lazy persist (see bpe_learn): the round-1 top-k job warms the
+    # cache, no separate count() job
     base = words.select(
         F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
     ).persist()
-    base.count()
     sdf = base
     out: list[tuple[int, int, str, str, int]] = []
     try:

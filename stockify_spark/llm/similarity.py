@@ -923,8 +923,16 @@ def pq_topk(
 
     from pyspark.sql import types as T
 
-    sub_dim_df = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = sub_dim_df["d"]
+    # ONE bounded model-state collect serves the dimension probe, the
+    # codebook, and the query set (three separate jobs previously —
+    # each paid a full scan-job floor for <= n_codes rows)
+    model_rows = sorted(
+        corpus.filter(F.col(id_col) < max(n_codes, n_queries))
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    dim = len(model_rows[0][1])
     sub_dim = dim // n_sub
 
     def _quantize_np(m: np.ndarray) -> np.ndarray:
@@ -932,10 +940,7 @@ def pq_topk(
         return np.floor(m * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
 
     # bounded model: quantized subvectors of the first n_codes vectors
-    rows = sorted(
-        corpus.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
-    )
+    rows = [r for r in model_rows if r[0] < n_codes]
     q8 = _quantize_np(np.array([r[1] for r in rows], dtype=np.float64))
     cb_mats = [q8[:, m * sub_dim : (m + 1) * sub_dim].copy() for m in range(n_sub)]
 
@@ -958,10 +963,7 @@ def pq_topk(
     # bounded query set: precompute each query's ADC lookup table
     # (dot of its exact quantized subvector with every codebook
     # entry) — n_sub × n_codes ints per query, carried as columns
-    qrows = sorted(
-        corpus.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
-    )
+    qrows = [r for r in model_rows if r[0] < n_queries]
     qq8 = _quantize_np(np.array([r[1] for r in qrows], dtype=np.float64))
     q_data = []
     for qi, r in enumerate(qrows):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from stockify_spark.registry import register, _t
@@ -77,29 +78,22 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
-        # both the output join and the min-cost aggregate read this —
-        # without a barrier each branch re-derives the partsupp
-        # distinct from lineitem (the data-sized shuffle) a second
-        # time; at warehouse scale this is the materialized
-        # region-restricted catalog. localCheckpoint, not persist:
-        # the caller never gets an unpersist hook, and RDD-level
-        # checkpoints are reclaimed by ContextCleaner on GC instead
-        # of pinning a CacheManager entry per invocation.
-        .localCheckpoint()
     )
-    mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
+    # per-part minimum as a WINDOW over the single eu pass instead of
+    # a groupBy + self-join back: the catalog is referenced once, so
+    # no materialization barrier (persist/checkpoint) is needed at
+    # all, and the only data-sized exchanges are the partsupp
+    # distinct and the ps_partkey window shuffle
+    w = W.partitionBy("ps_partkey")
+    cheapest = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
     )
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
     return (
-        part.join(eu, part.p_partkey == eu.ps_partkey)
-        .join(
-            mc,
-            (F.col("mc_partkey") == F.col("p_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        F.broadcast(part)
+        .join(cheapest, part.p_partkey == cheapest.ps_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
     )
 
