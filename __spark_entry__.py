@@ -52,7 +52,8 @@ _PRIORITY = [
     "txlog_lifecycle", "txlog_time_travel", "txlog_cdf",
     "txlog_skipping", "fn_variant", "fn_bit_ops",
     "agg_group_median", "sample_weighted", "basket_pairs",
-    "skyline_partitioned_parity", "tokenizer_bpe_batched", "dedup_simhash",
+    "skyline_partitioned_parity", "tokenizer_bpe_batched", "txlog_merge",
+    "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",
     "filter_selection_vector", "stocks_filter_agg", "stocks_window_suite",

@@ -37,6 +37,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (SURVEY §2 + §7.6).
 BENCH_QUERIES = [
+    # F1/B1a — the reference's PRIMARY experiment (volume >= k,
+    # stockify.cu:226-246): the single most reference-faithful query
+    "filter_ge",
     "filter_and",
     "agg_stats",
     "groupby_q1",
@@ -104,6 +107,18 @@ BENCH_QUERIES = [
     "tpch_q9",
     # round-7: batched BPE merge selection (the scale path)
     "tokenizer_bpe_batched",
+    # round-7 family-gap fill — operator families implemented since
+    # round 2/3 but never benched: train/test contamination scan,
+    # language ID, duplicate CLUSTERING (the step after pair
+    # detection; its recursive-CTE oracle is one of the deliberately
+    # brute-force ones, like all-pairs jaccard), and distributional
+    # window stats. These also rebalance the suite toward queries
+    # with substantive oracle cost — the r6 composition overweighted
+    # iterative ops whose oracles measure closed-form work.
+    "pipeline_contamination",
+    "lang_detect",
+    "dedup_clusters",
+    "window_dist_stats",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

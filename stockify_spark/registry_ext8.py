@@ -1,5 +1,5 @@
 """Round-7 wave: batched BPE merge selection (tokenizer-training
-scale path).
+scale path) and txlog MERGE upsert.
 
 Each query has an exact DuckDB oracle (driver contract,
 __spark_entry__.py). Reference attribution: the reference engine
@@ -8,6 +8,8 @@ training-data-pipeline coverage mandated by SURVEY §2 (LLM ops).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from stockify_spark.functions.bpe import bpe_learn_batched, word_frequencies
 from stockify_spark.registry import register, _t
@@ -79,3 +81,49 @@ def tokenizer_bpe_batched(spark, sf_dir):
     function and pinned by tests/test_ext6.py property tests."""
     words = word_frequencies(_t(spark, sf_dir, "documents"))
     return bpe_learn_batched(spark, words, rounds=_BPE_ROUNDS, batch=_BPE_BATCH)
+
+
+# ---------------------------------------------------------------------------
+# txlog_merge — Delta-style MERGE (upsert) through the commit log
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+"""
+
+
+@register("txlog_merge", _MERGE_SQL)
+def txlog_merge(spark, sf_dir):
+    """MERGE upsert through the ACID log (sources/txlog.merge_upsert):
+    the table starts as the keys not divisible by 3; the source is
+    every even key with price bumped by 1000 — so even keys UPDATE
+    (or INSERT if divisible by 6) and odd non-%3 keys pass through
+    untouched. Touched-file discovery is one provenance-column
+    semi-join; only files containing matched keys are rewritten. The
+    oracle states the merged end state declaratively over the source
+    table, so the whole upsert path (COW rewrite + source append +
+    commit replay) is hash-checked. Scratch table deterministic per
+    sf_dir (same reuse policy as the lifecycle table)."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        src = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+        )
+        txlog.merge_upsert(spark, path, src, ["o_orderkey"])
+
+    path = _scratch_table(sf_dir, "merge", build)
+    snap = txlog.snapshot(spark, path)
+    return snap.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

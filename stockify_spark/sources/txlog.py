@@ -324,6 +324,56 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     return _commit(path, actions)
 
 
+def merge_upsert(
+    spark: SparkSession, path: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """Delta-style MERGE: WHEN MATCHED UPDATE (all columns) + WHEN NOT
+    MATCHED INSERT, as one atomic commit.
+
+    Touched-file discovery is ONE distributed job, not a per-file
+    loop: the snapshot is scanned with its provenance column
+    (``input_file_name``), semi-joined against the (broadcast) source
+    keys, and the distinct file list collected — bounded by file
+    count, never row count. Only files that actually contain matched
+    keys are rewritten (their non-matched rows survive via an
+    anti-join); every other file stays shared with prior versions.
+    The source rows (updates' new values + inserts) land as new
+    files. The change feed of the commit is then exactly: deletes =
+    old values of updated rows, inserts = source rows — the
+    add/remove multiset difference cancels the copy-on-write
+    survivors, same as delete_where.
+    """
+    from pyspark.sql import functions as F
+
+    rels = _live_rel(path)
+    src = source.localCheckpoint()  # read twice: key probe + data write
+    snap = spark.read.option("mergeSchema", "true").parquet(
+        *[_abs(path, r) for r in rels]
+    )
+    hit = (
+        snap.withColumn("_file", F.input_file_name())
+        .join(F.broadcast(src.select(*key_cols)), key_cols, "leftsemi")
+        .select("_file")
+        .distinct()
+        .collect()
+    )  # bounded: one row per touched FILE
+    # normalize file:// URIs back to the canonical relative form
+    touched = set()
+    for r in hit:
+        p = r["_file"]
+        p = p[len("file://"):] if p.startswith("file://") else p
+        touched.add(os.path.relpath(p, path))
+    actions: list[dict] = []
+    if touched:
+        keep = spark.read.option("mergeSchema", "true").parquet(
+            *[_abs(path, t) for t in sorted(touched)]
+        ).join(F.broadcast(src.select(*key_cols)), key_cols, "leftanti")
+        actions.extend({"remove": {"path": t}} for t in sorted(touched))
+        actions.extend(_write_data_files(keep, path))
+    actions.extend(_write_data_files(src.select(*snap.columns), path))
+    return _commit(path, actions)
+
+
 def compact(
     spark: SparkSession,
     path: str,

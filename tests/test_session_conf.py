@@ -72,3 +72,48 @@ def test_all_queries_analyze_under_hostile_defaults(spark):
         spark.conf.set("spark.sql.timestampType", prev_t)
         spark.conf.set("spark.sql.caseSensitive", prev_c)
     assert not fails, fails
+
+
+def test_representative_queries_execute_under_hostile_tz(spark):
+    """A driver session may carry a non-UTC timezone; load_table
+    re-pins UTC (the oracle comparison basis), so results must be
+    IDENTICAL to a UTC run — not just analyzable."""
+    from stockify_spark.registry import QUERIES
+
+    names = ["tpch_q6", "groupby_time_rollup", "events_sessionize", "window_range_frame"]
+    baseline = {n: QUERIES[n](spark, SF_SMOKE).count() for n in names}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for n in names:
+            assert QUERIES[n](spark, SF_SMOKE).count() == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_representative_queries_execute_under_ansi_mode(spark):
+    """ANSI mode turns silent overflow/invalid-cast/bad-index into
+    runtime errors, which only surface at EXECUTION — sweep a
+    representative subset end-to-end (timestamp arithmetic, integer
+    hash math, element_at indexing, division) under
+    spark.sql.ansi.enabled=true."""
+    from stockify_spark.registry import QUERIES
+
+    names = [
+        "tpch_q6", "agg_stats", "fn_math", "window_range_frame",
+        "sample_weighted", "dedup_simhash", "sim_pq_topk",
+        "events_sessionize", "fn_null_handling", "doc_chunk_stride",
+        "tokenizer_bpe_batched", "agg_exact_median",
+    ]
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    fails = []
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        for n in names:
+            try:
+                QUERIES[n](spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+            except Exception as ex:  # noqa: BLE001 - collecting all failures
+                fails.append((n, str(ex)[:160]))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert not fails, fails

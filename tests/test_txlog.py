@@ -231,3 +231,50 @@ def test_relative_log_paths_survive_table_rename(spark, tmp_path):
     assert txlog.changes(spark, moved, 1).count() == 40
     for f in txlog.live_files(moved):
         assert os.path.isabs(f) and f.startswith(moved)
+
+
+def test_merge_upsert_updates_inserts_and_shares_files(spark, tmp_path):
+    """MERGE: matched keys take the source's values, unmatched source
+    keys insert, untouched rows survive — and files without matches
+    are NOT rewritten (stay shared with the pre-merge version)."""
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(
+        o.filter(F.col("o_orderkey") < 600).repartitionByRange(4, "o_orderkey"), path
+    )
+    files_before = set(txlog.live_files(path))
+    # source: updates for keys < 100, inserts for 10000..10049
+    src = (
+        o.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", (F.col("o_totalprice") * 0 + 7.5).alias("o_totalprice"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 50).select(
+                (F.col("o_orderkey") + 10000).alias("o_orderkey"),
+                (F.col("o_totalprice") * 0 + 1.25).alias("o_totalprice"),
+            )
+        )
+    )
+    v = txlog.merge_upsert(spark, path, src, ["o_orderkey"])
+    snap = txlog.snapshot(spark, path)
+    n_base = o.filter(F.col("o_orderkey") < 600).count()
+    n_src_new = o.filter(F.col("o_orderkey") < 50).count()
+    assert snap.count() == n_base + n_src_new
+    # updated rows carry the source value
+    assert (
+        snap.filter((F.col("o_orderkey") < 100) & (F.col("o_totalprice") != 7.5)).count()
+        == 0
+    )
+    assert snap.filter(F.col("o_orderkey") >= 10000).count() == n_src_new
+    # low-key files were rewritten, high-key files shared untouched
+    files_after = set(txlog.live_files(path))
+    assert files_before & files_after, "expected untouched files to stay shared"
+    assert files_before != files_after
+    # change feed: deletes are the OLD values of updated rows only
+    cdf = txlog.changes(spark, path, v)
+    dels = cdf.filter(F.col("_change_type") == "delete")
+    assert dels.count() == o.filter(F.col("o_orderkey") < 100).count()
+    assert dels.filter(F.col("o_orderkey") >= 100).count() == 0
+    ins = cdf.filter(F.col("_change_type") == "insert")
+    assert ins.count() == src.count()
+    # pre-merge snapshot still readable (time travel across the merge)
+    assert txlog.snapshot(spark, path, version=0).count() == n_base
