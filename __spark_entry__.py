@@ -53,6 +53,7 @@ _PRIORITY = [
     "txlog_skipping", "fn_variant", "fn_bit_ops",
     "agg_group_median", "sample_weighted", "basket_pairs",
     "skyline_partitioned_parity", "tokenizer_bpe_batched", "txlog_merge",
+    "text_perplexity", "ml_knn_classify", "sample_weighted_group",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "lang_detect",
     "dedup_clusters",
     "window_dist_stats",
+    # round-7 new operator: LM perplexity scoring (CCNet-style)
+    "text_perplexity",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

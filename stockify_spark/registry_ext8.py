@@ -127,3 +127,188 @@ def txlog_merge(spark, sf_dir):
     return snap.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity — LM-based document quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_PPL_SQL = """
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents),
+tri AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok
+        WHERE len(ts) >= 3)),
+tcnt AS (SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3),
+bcnt AS (SELECT w1, w2, COUNT(*) AS cn FROM tri GROUP BY 1, 2),
+v AS (SELECT COUNT(DISTINCT w3) AS vsz FROM tri),
+scored AS (
+  SELECT t.doc_id, ln((c.n + 1.0) / (b.cn + v.vsz)) AS logp
+  FROM tri t
+  JOIN tcnt c ON c.w1 = t.w1 AND c.w2 = t.w2 AND c.w3 = t.w3
+  JOIN bcnt b ON b.w1 = t.w1 AND b.w2 = t.w2
+  CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+       ROUND(exp(-AVG(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_perplexity", _PPL_SQL)
+def text_perplexity(spark, sf_dir):
+    """Per-document perplexity under an add-one-smoothed trigram LM
+    trained on the corpus itself — the CCNet-style LM quality filter
+    (low perplexity = fluent/common text, high = noise), the scoring
+    half that text_ngram_lm's count tables feed.
+
+    Scale shape: the trigram stream is materialized once
+    (localCheckpoint — it feeds the trigram counts, the context
+    counts, the vocab scalar, AND the per-instance scoring join);
+    count tables shuffle as compact (words, count) rows and join back
+    on their keys (AQE broadcasts them while they fit); the document
+    score is one groupBy(doc_id) average. Cross-engine float policy:
+    ln/exp drift is ~ulp-scale while the ROUND is 4dp — the
+    pagerank margin argument (DESIGN.md float policy)."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 3)
+    tri = tok.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 2),
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 2, F.size("ts") - 2),
+                    F.slice(F.col("ts"), 3, F.size("ts") - 2),
+                ),
+                lambda a, b: F.struct(
+                    a.alias("w1"), b["0"].alias("w2"), b["1"].alias("w3")
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3").localCheckpoint()
+    tcnt = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n"))
+    bcnt = tri.groupBy(
+        F.col("w1").alias("b1"), F.col("w2").alias("b2")
+    ).agg(F.count(F.lit(1)).alias("cn"))
+    v = tri.agg(F.countDistinct("w3").alias("vsz"))
+    scored = (
+        tri.join(tcnt, ["w1", "w2", "w3"])
+        .join(bcnt, (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.ln((F.col("n") + 1.0) / (F.col("cn") + F.col("vsz"))).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_knn_classify — embedding-space k-NN label prediction
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20),
+nn AS (SELECT qid, label,
+       ROW_NUMBER() OVER (PARTITION BY qid
+         ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) AS rnk
+       FROM q CROSS JOIN c),
+votes AS (SELECT qid, label, COUNT(*)::BIGINT AS votes
+          FROM nn WHERE rnk <= 5 GROUP BY 1, 2)
+SELECT qid AS query_id, label AS pred_label, votes
+FROM (SELECT qid, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS r
+      FROM votes)
+WHERE r = 1
+"""
+
+
+@register("ml_knn_classify", _KNN_SQL)
+def ml_knn_classify(spark, sf_dir):
+    """k-NN label prediction over the embedding table: each query
+    vector (vec_id < 20) takes the majority label of its 5 nearest
+    labeled neighbors (vec_id >= 20) by exact cosine — the standard
+    embedding-quality probe (label recovery) run over a corpus.
+
+    Scale shape: neighbor search is cosine_topk_batched's map-side
+    partial top-k (every corpus batch emits <= k rows per query; the
+    window ranks Q*k*batches rows, never the cross product); the vote
+    is a (query, label) count + one deterministic argmax window
+    (votes DESC, label ASC — bit-free integer ordering). Scores stay
+    bit-identical to the oracle's list_cosine_similarity loop via the
+    dimension-sequential accumulation."""
+    from stockify_spark.llm.similarity import cosine_topk_batched
+    from pyspark.sql import Window as W2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    nn = cosine_topk_batched(corpus, queries, k=5, exclude_self=False)
+    votes = (
+        nn.join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W2.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_group — per-group A-Res weighted sampling
+# ---------------------------------------------------------------------------
+
+_WSG_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+            / 4503599627370497.0) / n_chars AS akey
+  FROM documents
+)
+SELECT source, doc_id, n_chars
+FROM (SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY akey DESC, doc_id) AS rn
+      FROM keyed)
+WHERE rn <= 8
+"""
+
+
+@register("sample_weighted_group", _WSG_SQL)
+def sample_weighted_group(spark, sf_dir):
+    """Per-GROUP weighted sample without replacement: 8 documents per
+    source, inclusion probability proportional to n_chars —
+    Efraimidis-Spirakis A-Res keys (same seeded md5 uniform as the
+    global sample_weighted) ranked inside each source partition.
+    This is the partition-friendly form a stratified 100 TB corpus
+    draw uses: one window per group (per-partition heaps, no global
+    sort), keys computed map-side, hash-exact cross-engine."""
+    from pyspark.sql import Window as W2
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4503599627370497.0
+    akey = F.ln(u) / F.col("n_chars")
+    w = W2.partitionBy("source").orderBy(F.col("akey").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", akey.alias("akey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("source", "doc_id", "n_chars")
+    )
