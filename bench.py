@@ -179,6 +179,19 @@ def _oracle_once(con, sql: str) -> float | None:
         timer.cancel()
 
 
+def time_query(fn, spark, sf_dir: str, iters: int = 3) -> float:
+    """Spark-only timing (1 warm + ``iters`` medians) — used by
+    tools/scaling_probe.py, which compares Spark against itself
+    across scale factors and needs no oracle leg."""
+    _force(fn(spark, sf_dir))
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
 def time_pair(fn, spark, con, sql: str | None, iters: int = 3):
     """Interleaved A/B timing of one query: warm both sides, then
     alternate spark/oracle so transient machine load lands on both
