@@ -312,3 +312,87 @@ def sample_weighted_group(spark, sf_dir):
         .filter(F.col("rn") <= 8)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_vwap — volume-weighted average price, the stock-native window
+# ---------------------------------------------------------------------------
+
+_VWAP_SQL = """
+SELECT event_id, user_id, value,
+       ROUND(SUM(value * (event_id % 100 + 1)) OVER w
+             / SUM(event_id % 100 + 1) OVER w, 6) AS vwap
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_vwap", _VWAP_SQL)
+def window_vwap(spark, sf_dir):
+    """Rolling 10-row VWAP per series — the stock-chart native the
+    reference's domain implies (its W1 moving average is the
+    unweighted special case, stockify.cu:513-537). Weight is a
+    deterministic integer surrogate volume (event_id % 100 + 1) so
+    the weighted sums are integer-scaled and cross-engine exact
+    before the single display ROUND. One window pass, one shuffle on
+    user_id, O(frame) running state."""
+    from pyspark.sql import Window as W2
+
+    t = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    vol = F.col("event_id") % 100 + 1
+    w = W2.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(-9, 0)
+    return t.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(
+            F.sum(F.col("value") * vol).over(w) / F.sum(vol).over(w), 6
+        ).alias("vwap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — staleness-bounded as-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_SQL = """
+SELECT p.event_id, p.user_id, p.value,
+       CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 600000 THEN c.value END AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("join_asof_tolerance", _ASOF_TOL_SQL)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound: each purchase takes the
+    latest prior click per user ONLY if it is at most 10 minutes old
+    — the trade-quote alignment form where stale quotes must not
+    leak. Same union + carry-forward window as asof_join (one shuffle
+    per side, no range cross-product); the right timestamp rides
+    along as a carried column and the tolerance is a map-side CASE
+    after the fill."""
+    from stockify_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.unix_millis("ts").alias("c_ms")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", time_col="ts",
+        right_value_cols=["value", "c_ms"],
+    )
+    tol_ok = F.unix_millis("ts") - F.col("asof_c_ms") <= 600000
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(tol_ok, F.col("asof_value")).alias("asof_value"),
+    )
