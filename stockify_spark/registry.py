@@ -55,9 +55,20 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, sql: str | None = None):
-    """Decorator: add a query (and optionally its DuckDB oracle)."""
+    """Decorator: add a query (and optionally its DuckDB oracle).
+
+    Duplicate names are an error: a re-registration would silently
+    SHADOW the earlier query (the dict keeps one entry), dropping an
+    operator from the driver contract with no local signal — caught
+    live in round 7 when a new pivot query reused an existing name.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"query name {name!r} is already registered "
+                f"(by {QUERIES[name].__module__}); pick a distinct name"
+            )
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
