@@ -396,30 +396,55 @@ def fn_variant(spark, sf_dir):
 
 
 def _scratch_table(sf_dir: str, tag: str, build) -> str:
-    """Deterministic scratch txlog table keyed on (tag, sf_dir),
-    built once and REUSED by later invocations — repeated driver
-    verification and bench iterations previously mkdtemp'd a fresh
-    parquet copy of orders per call and never cleaned up (unbounded
-    /tmp growth; the dirs can't be deleted eagerly because the
-    returned plan reads them lazily). The build lands in a unique
-    staging dir and is os.rename'd into place, so a concurrent
-    builder of the same table can't observe a half-built lifecycle:
-    one rename wins, the loser's staging copy is discarded."""
+    """Deterministic scratch txlog table keyed on (tag, sf_dir,
+    source fingerprint), built once and REUSED by later invocations —
+    repeated driver verification and bench iterations previously
+    mkdtemp'd a fresh parquet copy of orders per call and never
+    cleaned up (unbounded /tmp growth; the dirs can't be deleted
+    eagerly because the returned plan reads them lazily).
+
+    The key includes a FINGERPRINT of the source parquet (size +
+    mtime of orders.parquet): the driver has regenerated
+    /root/testdata in place across rounds, and a cache keyed on the
+    path alone would keep serving tables built from data that no
+    longer exists while the oracle reads the new parquet — every
+    txlog query would hash-mismatch with no local signal. A new
+    vintage gets a new directory; stale vintages and orphaned
+    staging dirs of the same (tag, sf) are swept on the way.
+
+    The build lands in a unique staging dir and is os.rename'd into
+    place, so a concurrent builder of the same table can't observe a
+    half-built lifecycle: one rename wins, the loser's staging copy
+    is discarded."""
+    import glob as _glob
     import shutil
     import tempfile
     import uuid as _uuid
 
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    path = os.path.join(tempfile.gettempdir(), f"stockify_txlog_{tag}_{key}")
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size:x}.{st.st_mtime_ns:x}"
+    base = os.path.join(tempfile.gettempdir(), f"stockify_txlog_{tag}_{key}")
+    path = f"{base}_{fp}"
     if os.path.exists(os.path.join(path, "_COMPLETE")):
         return path
-    staging = path + "." + _uuid.uuid4().hex
-    build(staging)
-    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
-        f.write("ok")
+    # sweep stale vintages (and their crashed builders' staging
+    # dirs); never touch the CURRENT fingerprint's namespace — a
+    # concurrent builder of the same vintage may be mid-write there
+    for old in _glob.glob(base + "_*"):
+        if not old.startswith(path):
+            shutil.rmtree(old, ignore_errors=True)
+    staging = path + ".staging." + _uuid.uuid4().hex
     try:
-        os.rename(staging, path)
-    except OSError:  # lost the race — another process built it
+        build(staging)
+        with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, path)
+        except OSError:  # lost the race — another process built it
+            pass
+    finally:
         shutil.rmtree(staging, ignore_errors=True)
     return path
 

@@ -373,26 +373,37 @@ def join_asof_tolerance(spark, sf_dir):
     latest prior click per user ONLY if it is at most 10 minutes old
     — the trade-quote alignment form where stale quotes must not
     leak. Same union + carry-forward window as asof_join (one shuffle
-    per side, no range cross-product); the right timestamp rides
-    along as a carried column and the tolerance is a map-side CASE
-    after the fill."""
+    per side, no range cross-product). The right row's (value, ts)
+    ride as ONE carried struct so they fill atomically — independent
+    per-column last(ignorenulls) fills would pair an older row's
+    non-null value with the newest row's timestamp whenever the
+    newest value is NULL (the match must be the latest ROW, exactly
+    like the oracle's ASOF JOIN). Clicks are pre-deduped per
+    (user, ts) to the max struct so equal-timestamp rows carry a
+    deterministic winner in both engines' window orders. Tolerance
+    is a map-side CASE after the fill."""
     from stockify_spark.operators.joins import asof_join
 
     events = _t(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value", F.unix_millis("ts").alias("c_ms")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.struct(F.unix_millis("ts").alias("c_ms"), F.col("value").alias("v"))
+            ).alias("q")
+        )
     )
     out = asof_join(
-        purchases, clicks, key="user_id", time_col="ts",
-        right_value_cols=["value", "c_ms"],
+        purchases, clicks, key="user_id", time_col="ts", right_value_cols=["q"]
     )
-    tol_ok = F.unix_millis("ts") - F.col("asof_c_ms") <= 600000
+    tol_ok = F.unix_millis("ts") - F.col("asof_q.c_ms") <= 600000
     return out.select(
         "event_id",
         "user_id",
         "value",
-        F.when(tol_ok, F.col("asof_value")).alias("asof_value"),
+        F.when(tol_ok, F.col("asof_q.v")).alias("asof_value"),
     )

@@ -345,6 +345,8 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    from urllib.parse import unquote, urlparse
+
     rels = _live_rel(path)
     src = source.localCheckpoint()  # read twice: key probe + data write
     snap = spark.read.option("mergeSchema", "true").parquet(
@@ -357,12 +359,16 @@ def merge_upsert(
         .distinct()
         .collect()
     )  # bounded: one row per touched FILE
-    # normalize file:// URIs back to the canonical relative form
+    # Map provenance URIs back to the LOG-FORM path of the live set
+    # (never os.path.relpath against the table root: remove actions
+    # must string-match their adds, which may be legacy ABSOLUTE
+    # paths, and input_file_name() percent-encodes special chars).
+    rel_by_abs = {os.path.realpath(_abs(path, r)): r for r in rels}
     touched = set()
     for r in hit:
-        p = r["_file"]
-        p = p[len("file://"):] if p.startswith("file://") else p
-        touched.add(os.path.relpath(p, path))
+        u = urlparse(r["_file"])
+        p = os.path.realpath(unquote(u.path) if u.scheme else r["_file"])
+        touched.add(rel_by_abs[p])  # unknown file = corrupt log; fail loud
     actions: list[dict] = []
     if touched:
         keep = spark.read.option("mergeSchema", "true").parquet(

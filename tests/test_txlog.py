@@ -278,3 +278,29 @@ def test_merge_upsert_updates_inserts_and_shares_files(spark, tmp_path):
     assert ins.count() == src.count()
     # pre-merge snapshot still readable (time travel across the merge)
     assert txlog.snapshot(spark, path, version=0).count() == n_base
+
+
+def test_merge_upsert_on_legacy_absolute_path_table(spark, tmp_path):
+    """Tables written by pre-relative-log code store ABSOLUTE paths
+    in their adds (still readable via the _abs passthrough); merge's
+    remove actions must use the same log form or every merge dies in
+    CommitConflict (remove paths would never match the adds)."""
+    import json
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(80).repartitionByRange(2, "o_orderkey"), path)
+    cp = txlog._commit_path(path, 0)
+    with open(cp) as f:
+        c = json.load(f)
+    for a in c["actions"]:
+        a["add"]["path"] = txlog._abs(path, a["add"]["path"])
+    with open(cp, "w") as f:
+        json.dump(c, f)
+    src = o.filter(F.col("o_orderkey") < 10).select(
+        "o_orderkey", (F.col("o_totalprice") * 0 + 3.5).alias("o_totalprice")
+    )
+    txlog.merge_upsert(spark, path, src, ["o_orderkey"])
+    snap = txlog.snapshot(spark, path)
+    assert snap.count() == 80
+    assert snap.filter((F.col("o_orderkey") < 10) & (F.col("o_totalprice") != 3.5)).count() == 0
