@@ -54,7 +54,7 @@ _PRIORITY = [
     "agg_group_median", "sample_weighted", "basket_pairs",
     "skyline_partitioned_parity", "tokenizer_bpe_batched", "txlog_merge",
     "text_perplexity", "ml_knn_classify", "sample_weighted_group",
-    "window_vwap", "join_asof_tolerance",
+    "window_vwap", "join_asof_tolerance", "stream_txlog_upsert",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

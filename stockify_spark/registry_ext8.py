@@ -407,3 +407,47 @@ def join_asof_tolerance(spark, sf_dir):
         "value",
         F.when(tol_ok, F.col("asof_q.v")).alias("asof_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_txlog_upsert — CDC maintenance of the ACID table (batch face)
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 35 = 0 THEN 3333.0
+                  WHEN o_orderkey % 7 = 0 THEN 2222.0
+                  WHEN o_orderkey % 5 = 0 THEN 1111.0
+                  ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders
+"""
+
+
+@register("stream_txlog_upsert", _CDC_SQL)
+def stream_txlog_upsert(spark, sf_dir):
+    """Incremental CDC maintenance of the ACID table: three change
+    batches merge-upsert sequentially into a txlog table (keys %5 →
+    1111, then %7 → 2222, then %35 → 3333), one atomic commit per
+    batch — the foreachBatch sink pattern a streaming pipeline uses
+    to keep a lakehouse table current (the STREAMING face runs the
+    same merge_upsert under writeStream.foreachBatch in
+    tests/test_streaming.py). The oracle is the last-writer-wins end
+    state; hash-matching it proves the whole multi-commit replay.
+    Per-batch cost is touched-files only, never table size."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(o.repartitionByRange(4, "o_orderkey"), path)
+        for mod, price in ((5, 1111.0), (7, 2222.0), (35, 3333.0)):
+            batch = o.filter(F.col("o_orderkey") % mod == 0).select(
+                "o_orderkey", F.lit(price).alias("o_totalprice")
+            )
+            txlog.merge_upsert(spark, path, batch, ["o_orderkey"])
+
+    path = _scratch_table(sf_dir, "cdc", build)
+    snap = txlog.snapshot(spark, path)
+    return snap.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

@@ -201,3 +201,63 @@ def test_tws_profile_converges_to_batch(spark, sf_dir):
     got = {r["user_id"]: (r["n"], r["t"], r["s"], r["m"]) for r in rows}
     assert got == expected
     assert expected
+
+
+def test_foreachbatch_cdc_upserts_into_txlog_table(spark, tmp_path):
+    """The lakehouse CDC pattern: a stream of change batches
+    maintained into the ACID table via writeStream.foreachBatch →
+    txlog.merge_upsert. Each micro-batch lands as one atomic commit;
+    the final snapshot equals last-writer-wins over the batches, and
+    time travel still sees every intermediate state."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources import txlog
+
+    table = str(tmp_path / "table")
+    src_dir = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    txlog.create(base.repartitionByRange(4, "k"), table)
+
+    # two change files -> two micro-batches (maxFilesPerTrigger=1)
+    b1 = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(10.0).alias("v"))
+    b2 = spark.range(25, 75).select(
+        (F.col("id") + 200).alias("k"), F.lit(20.0).alias("v")
+    ).unionByName(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(30.0).alias("v"))
+    )
+    b1.coalesce(1).write.parquet(src_dir + "/b=1")
+    b2.coalesce(1).write.parquet(src_dir + "/b=2")
+
+    v0 = txlog.current_version(table)
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/b=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: txlog.merge_upsert(spark, table, batch, ["k"])
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # one commit per non-empty micro-batch
+    assert txlog.current_version(table) == v0 + 2
+    snap = {r.k: r.v for r in txlog.snapshot(spark, table).collect()}
+    assert len(snap) == 250  # 200 base + 50 inserts (k in 225..274)
+    # last writer wins regardless of batch order within a key
+    assert all(snap[k] == 30.0 for k in range(0, 10))
+    assert all(snap[k] == 10.0 for k in range(10, 50))
+    assert all(snap[k] == 1.0 for k in range(50, 200))
+    assert all(snap[k] == 20.0 for k in range(225, 275))
+    # intermediate state is still time-travelable
+    assert len(txlog.snapshot(spark, table, version=v0).collect()) == 200
