@@ -55,6 +55,13 @@ _PRIORITY = [
     "skyline_partitioned_parity", "tokenizer_bpe_batched", "txlog_merge",
     "text_perplexity", "ml_knn_classify", "sample_weighted_group",
     "window_vwap", "join_asof_tolerance", "stream_txlog_upsert",
+    # round-7 wave 2 (registry_ext9): indicator windows, entropy,
+    # skew census, Bloom pruning, resample+ffill, windowed top-k,
+    # BFS, vacuum — all new code, all need first driver rows
+    "window_bollinger", "window_rsi", "window_acf",
+    "agg_entropy", "dq_key_skew", "join_bloom_prune",
+    "window_resample", "stream_topk_windowed", "graph_bfs",
+    "txlog_vacuum",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

@@ -99,15 +99,35 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
 
 def lang_id(col: str | Column, default: str = "unknown") -> Column:
     """Argmax language over the stopword profiles; ``default`` when no
-    profile matches at all. Deterministic tie-break: profile order."""
-    scores = lang_scores(col)
-    best_lang = F.lit(default)
-    best_score = F.lit(0)
-    for lang, score in scores.items():
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    profile matches at all. Deterministic tie-break: profile order
+    (earlier profile wins an equal score — encoded as max over
+    (score, -profile_index) structs).
+
+    The token array is bound ONCE through a ``transform`` lambda
+    variable: the naive when-chain argmax embeds the tokenizer
+    expression O(profiles²) times post-CollapseProject (each score
+    appears in every comparison AND every carry), which made this the
+    most expensive text query in the round-6 bench — the regexp
+    split, not the argmax, was the cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    langs = list(LANG_PROFILES.items())
+
+    def best_of(t: Column) -> Column:
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.size(F.filter(t, _isin_pred(sw))).alias("s"),
+                        F.lit(-i).alias("ni"),
+                        F.lit(lang).alias("l"),
+                    )
+                    for i, (lang, sw) in enumerate(langs)
+                ]
+            )
+        )
+
+    best = F.transform(F.array(tokens(c)), best_of)[0]
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
 
 
 def winnow_fingerprints(

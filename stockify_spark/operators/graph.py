@@ -216,3 +216,46 @@ def tree_depth(edges: DataFrame, root, node: str = "node", parent: str = "parent
         if remaining == 0:
             break
     return ptr.select(F.col("_n").alias("node"), F.col("_d").cast("long").alias("depth"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node: str = "node",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS hop distance; returns (node, hops) for every
+    node reachable from ``sources`` within ``max_hops`` edges
+    (directed — symmetrize ``edges`` first for undirected graphs).
+
+    The frontier formulation: each round joins only the NEWLY
+    reached nodes against the edge list, anti-joins the visited set,
+    and unions the survivors in at distance h — so total work is
+    O(sum of frontier degrees), the textbook level-synchronous BFS
+    a cluster runs (Pregel's shape), not a recursive CTE's
+    all-paths enumeration, which multiplies by path count and
+    explodes on cyclic graphs. The visited set is
+    ``localCheckpoint``ed per round (lineage truncation, same
+    policy as :func:`pagerank`); the per-round empty-frontier check
+    is one bounded count on the shrinking frontier.
+    """
+    e = edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+    dist = sources.select(F.col(node).alias("_n"), F.lit(0).alias("_h")).distinct()
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["_n"] == e["_es"])
+            .select(F.col("_ed").alias("_n"))
+            .distinct()
+            .join(dist.select("_n"), "_n", "left_anti")
+            .withColumn("_h", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.select(F.col("_n").alias("node"), F.col("_h").cast("long").alias("hops"))

@@ -452,3 +452,44 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Physically delete data files no retained version references —
+    the Delta/Iceberg VACUUM. ``keep_last`` versions (counting back
+    from the current one) stay fully readable; time travel below the
+    retention window is no longer guaranteed after a vacuum.
+
+    Only files the LOG records as removed are candidates: a file the
+    log has never seen is either an in-flight writer's staging output
+    or foreign data, and deleting it would race the commit protocol
+    (Delta solves the same problem with a modification-time horizon;
+    the log-derived candidate set needs no clock at all). The live
+    set of every retained version is untouched by construction, so
+    vacuum never needs a table lock: it reads the log once, driver-
+    side, and unlinks — O(files removed), never O(table).
+
+    Returns the table-relative paths actually deleted, sorted.
+    """
+    current = current_version(path)
+    cutoff = max(current - keep_last + 1, 0)
+    added_at: dict[str, int] = {}
+    removed_at: dict[str, int] = {}
+    for c in _read_log(path):
+        for a in c["actions"]:
+            if "add" in a:
+                added_at.setdefault(a["add"]["path"], c["version"])
+                removed_at.pop(a["add"]["path"], None)
+            elif "remove" in a:
+                removed_at[a["remove"]["path"]] = c["version"]
+    deleted = []
+    for rel, rv in removed_at.items():
+        # referenced by some retained version v in [cutoff, current]
+        # iff added_at <= v < removed_at for that v
+        if rv > cutoff:
+            continue
+        fpath = _abs(path, rel)
+        if os.path.exists(fpath):
+            os.remove(fpath)
+            deleted.append(rel)
+    return sorted(deleted)

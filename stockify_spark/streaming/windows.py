@@ -65,6 +65,44 @@ def tumbling_counts(
     )
 
 
+def windowed_topk(
+    events: DataFrame,
+    window: str = "1 hour",
+    k: int = 3,
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Top-``k`` event types per tumbling window (the trending-items
+    readout). Batch: windowed count + per-window rank. Streaming:
+    returns the windowed AGGREGATE under a watermark — append-mode
+    streaming cannot emit a retractable rank, so the rank is applied
+    per trigger in ``foreachBatch`` via :func:`rank_topk` (the
+    aggregate is the streaming state, the rank is the readout);
+    tests/test_streaming.py drives that face."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    agg = (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return agg if streaming else rank_topk(agg, k)
+
+
+def rank_topk(agg: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k readout of a (window_start, event_type, n)
+    aggregate; deterministic tie-break on event_type."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",
