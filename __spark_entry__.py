@@ -61,7 +61,8 @@ _PRIORITY = [
     "window_bollinger", "window_rsi", "window_acf",
     "agg_entropy", "dq_key_skew", "join_bloom_prune",
     "window_resample", "stream_topk_windowed", "graph_bfs",
-    "txlog_vacuum",
+    "txlog_vacuum", "agg_gini", "sim_maxsim",
+    "text_collocations",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

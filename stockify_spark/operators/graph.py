@@ -256,6 +256,10 @@ def bfs_hops(
         )
         if nxt.count() == 0:
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        # plain union, no checkpoint: dist is a flat union of
+        # already-checkpointed frontiers, so re-evaluating it reads
+        # cached blocks — checkpointing it too paid one extra job
+        # per round for nothing
+        dist = dist.unionAll(nxt)
         frontier = nxt
     return dist.select(F.col("_n").alias("node"), F.col("_h").cast("long").alias("hops"))

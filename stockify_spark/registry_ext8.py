@@ -190,11 +190,16 @@ def text_perplexity(spark, sf_dir):
             )
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2", "g.w3").localCheckpoint()
+    # ONE aggregation over the data-sized trigram stream; the context
+    # counts and the vocab scalar are rollups of the (much smaller)
+    # trigram-count table — counts are exact integers, so
+    # SUM-of-counts == direct COUNT and COUNT(DISTINCT w3 of tcnt) ==
+    # COUNT(DISTINCT w3 of tri), saving two full-stream shuffles
     tcnt = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n"))
-    bcnt = tri.groupBy(
+    bcnt = tcnt.groupBy(
         F.col("w1").alias("b1"), F.col("w2").alias("b2")
-    ).agg(F.count(F.lit(1)).alias("cn"))
-    v = tri.agg(F.countDistinct("w3").alias("vsz"))
+    ).agg(F.sum("n").alias("cn"))
+    v = tcnt.agg(F.countDistinct("w3").alias("vsz"))
     scored = (
         tri.join(tcnt, ["w1", "w2", "w3"])
         .join(bcnt, (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")))
