@@ -63,6 +63,14 @@ _PRIORITY = [
     "window_resample", "stream_topk_windowed", "graph_bfs",
     "txlog_vacuum", "agg_gini", "sim_maxsim",
     "text_collocations",
+    # round-7 wave 3 (registry_ext10): hypothesis tests, attribution,
+    # banded typo/geo joins, CMS, CUSUM, seasonal decomposition,
+    # inverted index, Pareto bands, array lambdas — new code, first
+    # driver rows
+    "stats_chi2", "stats_ttest", "events_attribution",
+    "join_typo_names", "agg_cms_sketch", "window_cusum",
+    "window_seasonal", "text_inverted_index", "geo_range_join",
+    "orders_pareto", "fn_lambda",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

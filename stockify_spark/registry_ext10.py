@@ -1,0 +1,703 @@
+"""Round-7 wave 3: statistical hypothesis tests (chi-square
+independence, Welch's t), marketing attribution, typo-tolerant name
+joining (pigeonhole-banded edit distance), a Count-Min sketch with
+cross-engine-reproducible hashing, CUSUM changepoint scoring,
+seasonal decomposition (STL-lite), an inverted text index, a
+haversine range join via latitude banding, Pareto/ABC revenue
+classification, and higher-order array lambdas.
+
+Each query has an exact DuckDB oracle (driver contract,
+__spark_entry__.py). Reference attribution: the reference engine
+(stockify.cu) stops at filters/aggregates/windows (stockify.cu:
+89-193, 513-634); this module extends the warehouse + training-data
+pipeline surface mandated by SURVEY §2.6/§7.6 with the analytics a
+stock/event platform runs downstream of those primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2 — chi-square test of independence (priority × status)
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH obs AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                    CAST(COUNT(*) AS DOUBLE) AS n
+             FROM orders GROUP BY 1, 2),
+rm AS (SELECT pri, SUM(n) AS rn FROM obs GROUP BY 1),
+cm AS (SELECT st, SUM(n) AS cn FROM obs GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT ROUND(SUM((n - rn * cn / t) * (n - rn * cn / t) / (rn * cn / t)), 6) AS chi2,
+       CAST((COUNT(DISTINCT pri) - 1) * (COUNT(DISTINCT st) - 1) AS INT) AS dof
+FROM obs JOIN rm USING (pri) JOIN cm USING (st) CROSS JOIN tot
+"""
+
+
+@register("stats_chi2", _CHI2_SQL)
+def stats_chi2(spark, sf_dir):
+    """Pearson chi-square independence test over the priority×status
+    contingency table. One groupBy over the fact table builds the
+    observed counts; marginals and the grand total are rollups of
+    that tiny (|pri|·|st| rows) table, broadcast back — the fact
+    table is scanned ONCE and everything after the first shuffle is
+    kilobytes regardless of scale. The statistic sums ~15 doubles, so
+    cross-engine accumulation drift is ~1e-12 against a 5e-7
+    rounding boundary."""
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    rm = obs.groupBy("pri").agg(F.sum("n").alias("rn"))
+    cm = obs.groupBy("st").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    e = F.col("rn") * F.col("cn") / F.col("t")
+    return (
+        obs.join(F.broadcast(rm), "pri")
+        .join(F.broadcast(cm), "st")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 6).alias("chi2"),
+            (
+                (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+            ).cast("int").alias("dof"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ttest — Welch's unequal-variance t-test (click vs view value)
+# ---------------------------------------------------------------------------
+
+_TTEST_SQL = """
+WITH s AS (SELECT
+  AVG(CASE WHEN event_type = 'click' THEN value END) AS m1,
+  AVG(CASE WHEN event_type = 'view' THEN value END) AS m2,
+  VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v1,
+  VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS v2,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n1,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n2
+ FROM events)
+SELECT ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_welch
+FROM s
+"""
+
+
+@register("stats_ttest", _TTEST_SQL)
+def stats_ttest(spark, sf_dir):
+    """Welch two-sample t on event values, click vs view, as ONE
+    conditional-aggregation pass — no per-group subqueries, no second
+    scan: means/variances/counts for both samples come out of a
+    single partial→final aggregate, the same shape at 100 TB. The
+    Welch–Satterthwaite df is rounded to 2 (it sums thousands of
+    squared terms through VAR_SAMP, whose cross-engine accumulation
+    drift is ~1e-9 relative — 6 decimals of a ~4e3 value would sit
+    inside the noise)."""
+    ev = _t(spark, sf_dir, "events")
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    s = ev.agg(
+        F.avg(click).alias("m1"),
+        F.avg(view).alias("m2"),
+        F.var_samp(click).alias("v1"),
+        F.var_samp(view).alias("v2"),
+        F.count(click).cast("double").alias("n1"),
+        F.count(view).cast("double").alias("n2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return s.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch channel attribution for purchases
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events)
+SELECT COALESCE(channel, '(none)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       ROUND(SUM(value), 6) AS revenue
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("events_attribution", _ATTR_SQL)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING non-purchase event of the same user (the
+    marketing question behind every funnel dashboard). One ordered
+    window per user carries the last non-null channel forward —
+    last(ignorenulls) over [-inf, -1) — then a small groupBy rolls
+    credited purchases and revenue per channel. A user's history is
+    one partition of the window shuffle; no self-join, no explode —
+    the naive formulation (join each purchase against all its
+    predecessors) is quadratic per user, this is O(n log n) in the
+    partition sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_millis("ts").alias("ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 6).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_typo_names — edit-distance-1 name pairs via pigeonhole banding
+# ---------------------------------------------------------------------------
+
+_TYPO_SQL = """
+SELECT a.s_name AS name_a, b.s_name AS name_b
+FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@register("join_typo_names", _TYPO_SQL)
+def join_typo_names(spark, sf_dir):
+    """All supplier-name pairs within Levenshtein distance 1, WITHOUT
+    the all-pairs cross join the oracle runs: two equal-length
+    strings at distance ≤1 differ by exactly one substitution, so by
+    pigeonhole they agree EXACTLY on the first or the second half.
+    Banding key = (length, half_index, half_text): candidates come
+    from two equi-join buckets, then one exact levenshtein() verify —
+    the same band→verify shape as the MinHash/SimHash dedup family
+    (llm/dedup.py), linear-ish in names per bucket instead of O(n²).
+    Length is part of the band key, which makes the pigeonhole sound
+    (unequal-length pairs never meet; for a corpus with mixed lengths
+    the distance-1 insert/delete case would add a deletion-
+    neighborhood key — documented boundary, not needed for a
+    fixed-format key column). A pair can match on BOTH halves only if
+    the strings are identical, which `name_a < name_b` excludes — so
+    candidates are already unique and no dedup shuffle is spent."""
+    sup = _t(spark, sf_dir, "supplier").select("s_name")
+    mid = F.floor(F.length("s_name") / 2).cast("int")
+    bands = sup.select(
+        "s_name",
+        F.length("s_name").alias("ln"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half_idx"),
+                    F.col("s_name").substr(F.lit(1), mid).alias("half"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half_idx"),
+                    F.col("s_name").substr(mid + 1, F.length("s_name")).alias("half"),
+                ),
+            )
+        ).alias("b"),
+    ).select("s_name", "ln", "b.half_idx", "b.half")
+    a = bands.select(
+        F.col("s_name").alias("name_a"), "ln", "half_idx", "half"
+    )
+    b = bands.select(
+        F.col("s_name").alias("name_b"), "ln", "half_idx", "half"
+    )
+    cand = a.join(b, ["ln", "half_idx", "half"]).filter(
+        F.col("name_a") < F.col("name_b")
+    )
+    return cand.filter(
+        F.levenshtein("name_a", "name_b") <= 1
+    ).select("name_a", "name_b")
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_sketch — Count-Min sketch cells (depth 4 × width 64)
+# ---------------------------------------------------------------------------
+
+_CMS_SQL = """
+WITH ks AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1),
+seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed)
+SELECT CAST(seed AS INT) AS row_idx,
+       CAST(CAST(CONCAT('0x', substr(md5(CONCAT(CAST(seed AS VARCHAR), '|',
+            CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS cell_n
+FROM ks CROSS JOIN seeds
+GROUP BY 1, 2
+"""
+
+
+@register("agg_cms_sketch", _CMS_SQL)
+def agg_cms_sketch(spark, sf_dir):
+    """Count-Min sketch of the per-customer order stream: depth 4 ×
+    width 64, hash row r of key k = md5(r|k) — the seeded-md5 uniform
+    already used by the weighted sampler (registry_ext7), so Spark
+    and DuckDB compute bit-identical buckets. Build order matters at
+    scale: keys are counted FIRST (one data-sized shuffle with
+    map-side partial aggregation), then the 4 hash rows explode off
+    the compact key-count table and collapse onto ≤256 cells — the
+    explode multiplies distinct keys, never raw rows. Sketch cells
+    are plain (row, bucket, count) tuples, so two sketches union+sum
+    into one (mergeability is the point of CMS: per-partition /
+    per-day sketches combine associatively; point estimate for key k
+    = MIN over rows of its 4 cells, biased high, never low)."""
+    ks = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seeded = ks.select(
+        "o_custkey",
+        "n",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit("|"),
+                        F.col("o_custkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    return (
+        seeded.select(
+            F.col("seed").cast("int").alias("row_idx"),
+            bucket.cast("int").alias("bucket"),
+            "n",
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_cusum — CUSUM changepoint score per event series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, value, epoch_ms(ts) AS ms,
+         AVG(value) OVER (PARTITION BY user_id) AS mu
+  FROM events),
+c AS (
+  SELECT event_id, user_id,
+         SUM(value - mu) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM b),
+m AS (SELECT user_id, MAX(ABS(cusum)) AS cp FROM c GROUP BY 1)
+SELECT c.user_id, ROUND(m.cp, 6) AS cp_score,
+       CAST(MIN(c.event_id) AS BIGINT) AS cp_event
+FROM c JOIN m ON c.user_id = m.user_id AND ABS(c.cusum) = m.cp
+GROUP BY c.user_id, m.cp
+"""
+
+
+@register("window_cusum", _CUSUM_SQL)
+def window_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per user series: running sum of
+    deviations from the series mean; the score is max|CUSUM| and the
+    changepoint is the earliest row attaining it. Page's classic
+    statistic, all in windows: full-frame AVG for the mean, ordered
+    prefix SUM for the path — one shuffle on user_id, both windows
+    share the same partitioning so Catalyst plans a single exchange.
+    The argmax is recovered relationally (join rows back against the
+    per-series max with MIN(event_id) as the deterministic
+    tie-break) rather than with max_by, whose tie choice is
+    plan-dependent. The ordered prefix sum is accumulation-order-
+    FIXED, so both engines produce bit-identical paths given the
+    same mean; the mean itself is an unordered reduce with ~1e-12
+    cross-engine drift — far below both the 5e-7 rounding boundary
+    and any plausible gap between distinct path maxima."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    wp = Window.partitionBy("user_id")
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.withColumn("mu", F.avg("value").over(wp)).withColumn(
+        "cusum", F.sum(F.col("value") - F.col("mu")).over(wo)
+    )
+    m = c.groupBy("user_id").agg(F.max(F.abs(F.col("cusum"))).alias("cp"))
+    return (
+        c.join(m, "user_id")
+        .filter(F.abs(F.col("cusum")) == F.col("cp"))
+        .groupBy("user_id", "cp")
+        .agg(F.min("event_id").alias("cp_event"))
+        .select(
+            "user_id",
+            F.round("cp", 6).alias("cp_score"),
+            F.col("cp_event").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_seasonal — STL-lite decomposition of daily revenue
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1),
+tr AS (
+  SELECT d, rev,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(rev) OVER w END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+se AS (
+  SELECT CAST(EXTRACT(dow FROM d) + 1 AS INT) AS dow,
+         AVG(rev - trend) AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+SELECT tr.d, tr.rev,
+       ROUND(tr.trend, 6) AS trend,
+       ROUND(se.seasonal, 6) AS seasonal,
+       ROUND(tr.rev - tr.trend - se.seasonal, 6) AS resid
+FROM tr JOIN se ON CAST(EXTRACT(dow FROM tr.d) + 1 AS INT) = se.dow
+WHERE tr.trend IS NOT NULL
+"""
+
+
+@register("window_seasonal", _SEASONAL_SQL)
+def window_seasonal(spark, sf_dir):
+    """Classical seasonal decomposition of daily revenue (the
+    additive STL-lite every forecasting pipeline starts from):
+    trend = centered 7-row moving average (NULL at the edges where
+    the frame is short — a one-sided average would bias the trend),
+    seasonal = mean detrended value per day-of-week, residual = the
+    rest. The daily rollup is the only data-sized shuffle; trend is
+    one ordered window over ~years-of-days rows, and the seasonal
+    index is a 7-row broadcast joined back. Day-of-week is pinned to
+    Spark's 1=Sunday convention (DuckDB's EXTRACT(dow) is 0=Sunday —
+    reconciled in the oracle, not the engine). Daily totals are
+    rounded BEFORE the decomposition so both engines detrend the
+    same series rather than two ulp-divergent ones."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("rev").over(w)),
+    ).filter(F.col("trend").isNotNull())
+    se = (
+        tr.groupBy(F.dayofweek("d").alias("dow"))
+        .agg(F.avg(F.col("rev") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        tr.join(F.broadcast(se), F.dayofweek(tr["d"]) == se["dow"])
+        .select(
+            "d",
+            "rev",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("rev") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "resid"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index — token → document posting lists
+# ---------------------------------------------------------------------------
+
+_INVIDX_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '')
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',') AS postings
+FROM toks GROUP BY 1
+"""
+
+
+@register("text_inverted_index", _INVIDX_SQL)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index construction: token → document frequency +
+    the first 50 postings (sorted doc_ids, scalarized to CSV because
+    the driver's pandas hash cannot digest list cells). The shape IS
+    the search-engine build job: explode to (doc, token), distinct
+    to presence, one groupBy per token. Both shuffles are on
+    bounded-skew keys (stopword-ish tokens concentrate, which is why
+    the postings are capped — an uncapped collect_list on a 100 TB
+    corpus would OOM the hot token's reducer; the cap bounds every
+    group's state, and df still counts the full set). Tokenization
+    matches functions/text.py: lower → trim → split on whitespace
+    runs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo_range_join — haversine radius join via latitude banding
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic coordinates derived from the keys (the
+# star-schema tables carry no geography; both engines compute the
+# same doubles from the same integers).
+_LAT = "(({k} * 7919) % 18000) / 100.0 - 90.0"
+_LON = "(({k} * 104729) % 36000) / 100.0 - 180.0"
+_GEO_R_KM = 300.0
+_GEO_BAND_DEG = 3.0  # 3° of latitude ≈ 333 km > R: ±1 band suffices
+
+_GEO_SQL = f"""
+WITH c AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat,
+                  {_LON.format(k='c_custkey')} AS lon
+           FROM customer),
+s AS (SELECT s_suppkey, {_LAT.format(k='s_suppkey')} AS lat,
+             {_LON.format(k='s_suppkey')} AS lon
+      FROM supplier)
+SELECT c_custkey, s_suppkey,
+       ROUND(2 * 6371.0 * asin(sqrt(
+         sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+         + cos(radians(c.lat)) * cos(radians(s.lat))
+           * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+       )), 4) AS dist_km
+FROM c CROSS JOIN s
+WHERE 2 * 6371.0 * asin(sqrt(
+         sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+         + cos(radians(c.lat)) * cos(radians(s.lat))
+           * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+       )) <= {_GEO_R_KM}
+"""
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * 6371.0 * F.asin(F.sqrt(a))
+
+
+@register("geo_range_join", _GEO_SQL)
+def geo_range_join(spark, sf_dir):
+    """Spatial range join: customer–supplier pairs within 300 km
+    (haversine), WITHOUT the cross join the oracle runs. Points are
+    bucketed into 3° latitude bands (333 km — strictly wider than
+    the radius, so a match is always in the same or an adjacent
+    band); each supplier is replicated into its band ±1 and the join
+    is a plain equi-join on band id, then the exact haversine
+    predicate verifies. Candidate volume drops from |C|·|S| to
+    ~|C|·|S|·(3·band/180) — 60× here, and the same at any scale
+    because band membership is data-independent. Latitude-only
+    banding sidesteps the longitude-convergence problem (a fixed
+    lon×lat grid's cells narrow toward the poles, breaking the
+    adjacency argument); a production variant would sub-split bands
+    by longitude with a cos(lat)-aware width — same plan shape.
+    Coordinates are key-derived synthetics (the schema has no
+    geography); integer-exact modular arithmetic, identical doubles
+    on both engines."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0).alias("c_lat"),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias("c_lon"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7919) % 18000) / 100.0 - 90.0).alias("s_lat"),
+        (((F.col("s_suppkey") * 104729) % 36000) / 100.0 - 180.0).alias("s_lon"),
+    )
+    band = lambda lat: F.floor(lat / _GEO_BAND_DEG).cast("long")  # noqa: E731
+    c_banded = cust.withColumn("band", band(F.col("c_lat")))
+    s_banded = sup.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                band(F.col("s_lat")) - 1,
+                band(F.col("s_lat")),
+                band(F.col("s_lat")) + 1,
+            )
+        ),
+    )
+    dist = _haversine_km(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
+    return (
+        c_banded.join(s_banded, "band")
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= _GEO_R_KM)
+        .select("c_custkey", "s_suppkey", F.round("dist_km", 4).alias("dist_km"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_pareto — ABC revenue classification (Pareto bands)
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH cust AS (SELECT o_custkey, SUM(o_totalprice) AS rev
+              FROM orders GROUP BY 1),
+r AS (SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS crev,
+             SUM(rev) OVER () AS tot
+      FROM cust)
+SELECT CASE WHEN crev / tot <= 0.5 THEN 'A'
+            WHEN crev / tot <= 0.8 THEN 'B'
+            ELSE 'C' END AS cls,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       ROUND(SUM(rev), 2) AS revenue
+FROM r GROUP BY 1
+"""
+
+
+@register("orders_pareto", _PARETO_SQL)
+def orders_pareto(spark, sf_dir):
+    """ABC / Pareto classification: rank customers by revenue,
+    cumulative-share bands at 50% / 80%, report count + revenue per
+    band. The per-customer rollup is the data-sized shuffle; the
+    cumulative share is a global ordered prefix sum over the
+    CUSTOMER table — the documented single-partition parity shape
+    (PLAN_AUDIT.md): correct here because the prefix input is
+    already reduced to one row per customer, and the recursable
+    two-phase prefix scan (pipeline_token_pack) is the swap-in when
+    even the reduced table outgrows one task. Ties on revenue are
+    broken by custkey so the running order — and therefore the band
+    assignment — is engine-independent."""
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wo = (
+        Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    r = cust.withColumn("crev", F.sum("rev").over(wo)).withColumn(
+        "tot", F.sum("rev").over(wall)
+    )
+    share = F.col("crev") / F.col("tot")
+    return (
+        r.withColumn(
+            "cls",
+            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_lambda — higher-order array functions over embeddings
+# ---------------------------------------------------------------------------
+
+_LAMBDA_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       ROUND(list_sum(list_transform(embedding,
+             x -> LEAST(GREATEST(CAST(x AS DOUBLE), -0.1), 0.1))), 6) AS clipped_sum,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin
+FROM embeddings
+"""
+
+
+@register("fn_lambda", _LAMBDA_SQL)
+def fn_lambda(spark, sf_dir):
+    """Higher-order (lambda) array functions — the JVM-side way to
+    compute over array<float> columns without any Python: transform
+    + aggregate for the L2 norm, filter + size for sign counts,
+    transform-clamp + aggregate for clipped sums, array_max/min
+    untouched. Everything runs inside whole-stage codegen; at 100 TB
+    this is the difference between a map-only scan and shipping
+    every vector through Arrow into a UDF. Elements are cast
+    float→double BEFORE arithmetic on both engines, so the fold is
+    the same left-to-right double accumulation bit-for-bit (the
+    float32 product path would round differently per engine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dsq = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double") * x.cast("double"),
+    )
+    clip = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(F.greatest(x.cast("double"), F.lit(-0.1)), F.lit(0.1)),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(fold(dsq)), 6).alias("l2"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(fold(clip), 6).alias("clipped_sum"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+    )

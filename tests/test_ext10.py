@@ -1,0 +1,189 @@
+"""Round-7 wave 3 behavioral tests: banded-join completeness
+(typo pairs, geo radius pairs) against in-engine brute force, the
+Count-Min sketch's never-underestimate + mass-conservation
+guarantees, seasonal-decomposition reconstruction, last-touch
+attribution on a hand-built sequence, and CUSUM on a known
+changepoint. The differential oracle gate (tools/check_oracle.py)
+covers value-exactness; these pin the properties the oracles can't
+state — above all that the BANDED plans find exactly the pairs the
+quadratic definition does."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _events_dir(spark, rows):
+    """Write a hand-built events table where a registry query expects
+    a scale-factor directory."""
+    d = tempfile.mkdtemp(prefix="ext10_events_")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_typo_banding_equals_bruteforce(spark):
+    """The pigeonhole half-band join must return EXACTLY the pairs an
+    all-pairs levenshtein<=1 scan returns (on the real fixed-length
+    name corpus, where the equal-length argument is airtight)."""
+    banded = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["join_typo_names"](spark, SF01).collect()
+    }
+    sup = spark.read.parquet(f"{SF01}/supplier.parquet").select("s_name")
+    a = sup.select(F.col("s_name").alias("na"))
+    b = sup.select(F.col("s_name").alias("nb"))
+    brute = {
+        (r.na, r.nb)
+        for r in a.crossJoin(b)
+        .filter((F.col("na") < F.col("nb")) & (F.levenshtein("na", "nb") <= 1))
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_cms_never_underestimates_and_conserves_mass(spark):
+    """Count-Min hard guarantees: (a) the point estimate min over the
+    4 hash rows is >= the true count for EVERY key; (b) each hash row
+    partitions the stream, so its cells sum to the total row count."""
+    cells = {
+        (r.row_idx, r.bucket): r.cell_n
+        for r in QUERIES["agg_cms_sketch"](spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    total = orders.count()
+    for row_idx in range(4):
+        assert sum(v for (r, _), v in cells.items() if r == row_idx) == total
+    truth = {
+        r.o_custkey: r.n
+        for r in orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probe = orders.select("o_custkey").distinct().select(
+        "o_custkey",
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(str(i)), F.lit("|"), F.col("o_custkey").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 64
+            ).alias(f"b{i}")
+            for i in range(4)
+        ],
+    )
+    for r in probe.collect():
+        est = min(cells[(i, r[f"b{i}"])] for i in range(4))
+        assert est >= truth[r.o_custkey]
+
+
+def test_geo_banding_equals_bruteforce(spark):
+    """Latitude banding (band width > radius, ±1 neighbor) must not
+    lose any pair the exact cross-join haversine filter admits."""
+    from stockify_spark.registry_ext10 import _haversine_km, _GEO_R_KM
+
+    got = {
+        (r.c_custkey, r.s_suppkey)
+        for r in QUERIES["geo_range_join"](spark, SF).collect()
+    }
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 18000) / 100.0 - 90.0).alias("c_lat"),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias("c_lon"),
+    )
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7919) % 18000) / 100.0 - 90.0).alias("s_lat"),
+        (((F.col("s_suppkey") * 104729) % 36000) / 100.0 - 180.0).alias("s_lon"),
+    )
+    dist = _haversine_km(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
+    brute = {
+        (r.c_custkey, r.s_suppkey)
+        for r in cust.crossJoin(sup).filter(dist <= _GEO_R_KM).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_seasonal_components_reconstruct(spark):
+    """Additive decomposition: rev == trend + seasonal + resid (to
+    the published rounding) on every emitted row."""
+    rows = QUERIES["window_seasonal"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rev - (r.trend + r.seasonal + r.resid)) < 2e-6
+
+
+def test_attribution_hand_sequence(spark):
+    """view → click → purchase credits 'click'; a purchase with no
+    prior non-purchase event lands in '(none)'; later purchases
+    re-credit the latest preceding channel, not the first."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0 + 0 * s, 7, "view", 0.0, ""),
+        (2, t0 + 1 * s, 7, "click", 0.0, ""),
+        (3, t0 + 2 * s, 7, "purchase", 10.0, ""),
+        (4, t0 + 3 * s, 7, "signup", 0.0, ""),
+        (5, t0 + 4 * s, 7, "purchase", 5.0, ""),
+        (6, t0 + 0 * s, 8, "purchase", 2.0, ""),
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r.channel: (r.purchases, r.revenue)
+        for r in QUERIES["events_attribution"](spark, d).collect()
+    }
+    assert got == {"click": (1, 10.0), "signup": (1, 5.0), "(none)": (1, 2.0)}
+
+
+def test_cusum_flags_the_level_shift(spark):
+    """A series that jumps from 0 to 10 half-way has max |CUSUM| at
+    the last pre-shift row; a constant series scores exactly 0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    shifted = [
+        (i, t0 + i * s, 1, "view", 0.0 if i < 5 else 10.0, "") for i in range(10)
+    ]
+    flat = [(100 + i, t0 + i * s, 2, "view", 3.0, "") for i in range(6)]
+    d = _events_dir(spark, shifted + flat)
+    got = {r.user_id: (r.cp_score, r.cp_event) for r in QUERIES["window_cusum"](spark, d).collect()}
+    # mean is 5; pre-shift rows each add -5, so |CUSUM| peaks at 25
+    # on the last pre-shift row (event_id 4)
+    assert got[1] == (25.0, 4)
+    assert got[2][0] == 0.0
+
+
+def test_pareto_classes_partition_the_customers(spark):
+    rows = QUERIES["orders_pareto"](spark, SF01).collect()
+    by_cls = {r.cls: r for r in rows}
+    assert set(by_cls) == {"A", "B", "C"}
+    n_customers = (
+        spark.read.parquet(f"{SF01}/orders.parquet").select("o_custkey").distinct().count()
+    )
+    assert sum(r.customers for r in rows) == n_customers
+    # bands are taken in descending revenue order, so mean revenue
+    # per customer must fall monotonically A > B > C (the synthetic
+    # revenue is too uniform for the textbook 80/20 head-count skew,
+    # so THAT is not asserted)
+    avg = {c: by_cls[c].revenue / by_cls[c].customers for c in "ABC"}
+    assert avg["A"] > avg["B"] > avg["C"]
