@@ -71,6 +71,7 @@ _PRIORITY = [
     "join_typo_names", "agg_cms_sketch", "window_cusum",
     "window_seasonal", "text_inverted_index", "geo_range_join",
     "orders_pareto", "fn_lambda",
+    "window_rolling_median", "events_top_paths", "stats_ks",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

@@ -701,3 +701,174 @@ def fn_lambda(spark, sf_dir):
         F.array_max("embedding").cast("double").alias("vmax"),
         F.array_min("embedding").cast("double").alias("vmin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_median — EXACT rolling median (15-row frame)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_SQL = """
+SELECT event_id, user_id,
+       MEDIAN(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS med
+FROM events
+"""
+
+
+@register("window_rolling_median", _ROLLMED_SQL)
+def window_rolling_median(spark, sf_dir):
+    """EXACT rolling median over a 15-row frame — the robust
+    centerline percentile_approx can't give you. Spark has no
+    native windowed median, so the frame is materialized as a
+    sorted array (collect_list over the window, array_sort) and the
+    middle element(s) read out: odd frames take the center, even
+    frames average the two centers — the same quantile_cont(0.5)
+    interpolation DuckDB's windowed MEDIAN performs, so values match
+    without rounding (one identical IEEE add+divide). The frame is
+    BOUNDED (15 rows), so per-row state is constant and the window
+    stays one shuffle + one sort per series at any scale; an
+    UNBOUNDED frame with this trick would OOM — that variant is what
+    the recursive selection operator (operators/sorts.py,
+    agg_exact_median) exists for."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    odd = F.element_at(a, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(a, (n / 2).cast("int"))
+        + F.element_at(a, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common 8-step event sequences
+# ---------------------------------------------------------------------------
+
+_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+  FROM (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events)
+  WHERE rn <= 8 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS users
+FROM seq GROUP BY 1
+ORDER BY users DESC, path LIMIT 20
+"""
+
+
+@register("events_top_paths", _PATHS_SQL)
+def events_top_paths(spark, sf_dir):
+    """Top-20 opening event sequences (first 8 events per user,
+    rendered 'view>click>…') — the product-analytics path query.
+    Row-number window truncates each user's history FIRST, so the
+    per-user state that flows into the sequence build is bounded (8
+    structs) no matter how long the raw history is; the sequence is
+    assembled orderless-shuffle-safe by sorting (ms, event_id,
+    event_type) structs inside the aggregate rather than assuming
+    any arrival order. Ranking ties at the cut line break on the
+    path string itself, keeping the LIMIT deterministic across
+    engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ms", "event_id")
+    )
+    seq = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") <= 8)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ms", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.col("users").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ks — two-sample Kolmogorov–Smirnov statistic (click vs view)
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH s AS (SELECT value,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('click', 'view')),
+v AS (SELECT value, CAST(SUM(g1) AS DOUBLE) AS n1, CAST(SUM(g2) AS DOUBLE) AS n2
+      FROM s GROUP BY value),
+c AS (SELECT SUM(n1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(n2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c2,
+             SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2
+      FROM v)
+SELECT ROUND(MAX(ABS(c1 / t1 - c2 / t2)), 6) AS ks_d
+FROM c
+"""
+
+
+@register("stats_ks", _KS_SQL)
+def stats_ks(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D: the max ECDF gap between the
+    click and view value distributions. Values are grouped to
+    DISTINCT points first (so ties contribute to both ECDFs at the
+    same step — evaluating mid-tie would overstate D), then one
+    ordered prefix sum walks the merged support. The prefix counts
+    are INTEGER-exact (sums of 0/1 cast after grouping), so the only
+    float ops are one division and one subtraction per distinct
+    value — bit-identical across engines, no accumulation drift.
+    The global ordered window is the documented single-partition
+    parity shape (PLAN_AUDIT.md): correct because the input has
+    been reduced to distinct values; the recursable two-phase
+    prefix scan (pipeline_token_pack) is the swap-in at scales
+    where even the distinct support outgrows one task."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    wo = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = v.select(
+        F.sum("n1").over(wo).alias("c1"),
+        F.sum("n2").over(wo).alias("c2"),
+        F.sum("n1").over(wall).alias("t1"),
+        F.sum("n2").over(wall).alias("t2"),
+    )
+    return c.agg(
+        F.round(
+            F.max(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))), 6
+        ).alias("ks_d")
+    )

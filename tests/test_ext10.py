@@ -187,3 +187,40 @@ def test_pareto_classes_partition_the_customers(spark):
     # so THAT is not asserted)
     avg = {c: by_cls[c].revenue / by_cls[c].customers for c in "ABC"}
     assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_rolling_median_matches_pandas(spark):
+    """Exact windowed median must equal pandas' rolling(15, min_periods=1)
+    median per series (same interpolation for even frames)."""
+    got = (
+        QUERIES["window_rolling_median"](spark, SF)
+        .toPandas()
+        .set_index("event_id")["med"]
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ms"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ms", "event_id"])
+    exp = (
+        ev.groupby("user_id")["value"]
+        .rolling(15, min_periods=1)
+        .median()
+        .reset_index(drop=True)
+    )
+    exp.index = ev["event_id"].values
+    for eid in ev["event_id"].values:
+        assert abs(got[eid] - exp[eid]) < 1e-12
+
+
+def test_ks_disjoint_supports_give_d_of_one(spark):
+    """If every click value is below every view value, the ECDF gap
+    must reach exactly 1.0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [(i, t0 + i * s, 1, "click", float(i), "") for i in range(10)] + [
+        (100 + i, t0 + i * s, 2, "view", 100.0 + i, "") for i in range(10)
+    ]
+    d = _events_dir(spark, rows)
+    (r,) = QUERIES["stats_ks"](spark, d).collect()
+    assert r.ks_d == 1.0
