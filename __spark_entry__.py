@@ -72,6 +72,7 @@ _PRIORITY = [
     "window_seasonal", "text_inverted_index", "geo_range_join",
     "orders_pareto", "fn_lambda",
     "window_rolling_median", "events_top_paths", "stats_ks",
+    "media_phash_dedup",
     "dedup_simhash",
     "tpch_q9", "tpch_q2", "join_fuzzy_parts",
     "graph_triangles", "filter_or_not", "filter_empty",

@@ -872,3 +872,34 @@ def stats_ks(spark, sf_dir):
             F.max(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))), 6
         ).alias("ks_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# media_phash_dedup — perceptual-hash image near-dup pairs
+# ---------------------------------------------------------------------------
+
+_PHASH_N_BASE = 24
+_PHASH_SQL = (
+    "SELECT CAST(r AS BIGINT) AS id_a, CAST(r + 1000 AS BIGINT) AS id_b,"
+    " CAST(0 AS INT) AS hamming"
+    f" FROM range({_PHASH_N_BASE}) t(r)"
+)
+
+
+@register("media_phash_dedup", _PHASH_SQL)
+def media_phash_dedup(spark, sf_dir):
+    """Image near-duplicate detection: REAL PNG decode → 32×32 DCT →
+    63-bit pHash (DC excluded) → 4-band pigeonhole Hamming join
+    (llm/phash.py). Closed-form oracle, media-family pattern
+    (media_decode_real precedent): each fixture image i has a +10
+    uniform-brightness variant at i+1000, and because the DCT of a
+    constant image is pure DC — which the hash drops — the variant's
+    hash is IDENTICAL by linearity, so the expected pair set is
+    exactly {(i, i+1000, 0)}; unrelated seeded-random images sit
+    22-44 bits apart (test_ext10 pins both facts). The oracle states
+    the construction, not a rerun of the decoder — correctness-only
+    in the bench ratio, like the rest of the media family."""
+    from stockify_spark.llm.phash import phash_dup_pairs, synthetic_phash_media
+
+    media = synthetic_phash_media(spark, n_base=_PHASH_N_BASE)
+    return phash_dup_pairs(media)

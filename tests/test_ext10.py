@@ -224,3 +224,36 @@ def test_ks_disjoint_supports_give_d_of_one(spark):
     d = _events_dir(spark, rows)
     (r,) = QUERIES["stats_ks"](spark, d).collect()
     assert r.ks_d == 1.0
+
+
+def test_phash_separation_and_decode_path(spark):
+    """pHash contract on the frozen fixture: brightness variants are
+    Hamming-0 THROUGH the real encode→decode round trip, unrelated
+    images stay far outside the threshold, and the banded join finds
+    exactly the constructed pairs."""
+    from stockify_spark.llm.phash import (
+        PHASH_THRESHOLD,
+        phash_hashes,
+        phash_dup_pairs,
+        synthetic_phash_media,
+    )
+
+    media = synthetic_phash_media(spark, n_base=8)
+    hs = {r.media_id: r.phash for r in phash_hashes(media).collect()}
+    for i in range(8):
+        assert hs[i] == hs[i + 1000]
+    base = [hs[i] for i in range(8)]
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert bin(base[i] ^ base[j]).count("1") > 3 * PHASH_THRESHOLD
+    pairs = {(r.id_a, r.id_b) for r in phash_dup_pairs(media).collect()}
+    assert pairs == {(i, i + 1000) for i in range(8)}
+
+
+def test_phash_threshold_needs_enough_bands():
+    import pytest
+
+    from stockify_spark.llm.phash import phash_dup_pairs
+
+    with pytest.raises(ValueError):
+        phash_dup_pairs(None, threshold=4)
