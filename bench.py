@@ -121,6 +121,14 @@ BENCH_QUERIES = [
     "window_dist_stats",
     # round-7 new operator: LM perplexity scoring (CCNet-style)
     "text_perplexity",
+    # round-7 wave 3 family representatives: spatial range join
+    # (banded vs the oracle's cross join — Spark should WIN this
+    # one), string-similarity join (FastSS deletion neighborhoods
+    # vs all-pairs levenshtein), and inverted-index construction
+    # (both engines do real aggregation work)
+    "geo_range_join",
+    "join_typo_names",
+    "text_inverted_index",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

@@ -197,46 +197,48 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 @register("join_typo_names", _TYPO_SQL)
 def join_typo_names(spark, sf_dir):
     """All supplier-name pairs within Levenshtein distance 1, WITHOUT
-    the all-pairs cross join the oracle runs: two equal-length
-    strings at distance ≤1 differ by exactly one substitution, so by
-    pigeonhole they agree EXACTLY on the first or the second half.
-    Banding key = (length, half_index, half_text): candidates come
-    from two equi-join buckets, then one exact levenshtein() verify —
-    the same band→verify shape as the MinHash/SimHash dedup family
-    (llm/dedup.py), linear-ish in names per bucket instead of O(n²).
-    Length is part of the band key, which makes the pigeonhole sound
-    (unequal-length pairs never meet; for a corpus with mixed lengths
-    the distance-1 insert/delete case would add a deletion-
-    neighborhood key — documented boundary, not needed for a
-    fixed-format key column). A pair can match on BOTH halves only if
-    the strings are identical, which `name_a < name_b` excludes — so
-    candidates are already unique and no dedup shuffle is spent."""
+    the all-pairs cross join the oracle runs — FastSS deletion-
+    neighborhood banding: each name emits itself plus every
+    one-character-deleted variant as band keys. Any two strings
+    within edit distance 1 share a key (substitution at position p →
+    both deletion variants at p coincide; insert/delete → the
+    shorter string IS a deletion variant of the longer; equality →
+    the identity key), so an equi-join on the key set has perfect
+    recall, then one exact levenshtein() verifies. The first cut of
+    this operator banded on string HALVES — degenerate on exactly
+    this kind of corpus, where every name shares the long constant
+    prefix ('Supplier#…'): the prefix half put ALL names in one
+    bucket and the 'band' join silently became the all-pairs join it
+    was supposed to avoid. Deletion keys don't have that failure
+    mode: a bucket collects only names identical everywhere but one
+    position, so bucket width is bounded by the alphabet at that
+    position (~10 here), independent of shared prefixes. Cost is a
+    (L+1)× key explode — the classic FastSS space-for-candidates
+    trade, linear in corpus size. A pair sharing several keys
+    (names agreeing after multiple deletions) would duplicate, so
+    candidates dedup in the same groupBy that feeds the verify."""
     sup = _t(spark, sf_dir, "supplier").select("s_name")
-    mid = F.floor(F.length("s_name") / 2).cast("int")
-    bands = sup.select(
-        "s_name",
-        F.length("s_name").alias("ln"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("half_idx"),
-                    F.col("s_name").substr(F.lit(1), mid).alias("half"),
+    # keys: the name itself (slot -1) + each single-deletion variant
+    keys = F.array_union(
+        F.array(F.col("s_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("s_name")),
+            lambda p: F.concat(
+                F.col("s_name").substr(F.lit(1), p - 1),
+                F.col("s_name").substr(
+                    p + 1, F.length("s_name")
                 ),
-                F.struct(
-                    F.lit(1).alias("half_idx"),
-                    F.col("s_name").substr(mid + 1, F.length("s_name")).alias("half"),
-                ),
-            )
-        ).alias("b"),
-    ).select("s_name", "ln", "b.half_idx", "b.half")
-    a = bands.select(
-        F.col("s_name").alias("name_a"), "ln", "half_idx", "half"
+            ),
+        ),
     )
-    b = bands.select(
-        F.col("s_name").alias("name_b"), "ln", "half_idx", "half"
-    )
-    cand = a.join(b, ["ln", "half_idx", "half"]).filter(
-        F.col("name_a") < F.col("name_b")
+    bands = sup.select("s_name", F.explode(keys).alias("k"))
+    a = bands.select(F.col("s_name").alias("name_a"), "k")
+    b = bands.select(F.col("s_name").alias("name_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("_nkeys"))
     )
     return cand.filter(
         F.levenshtein("name_a", "name_b") <= 1
@@ -467,32 +469,30 @@ def text_inverted_index(spark, sf_dir):
     """Inverted index construction: token → document frequency +
     the first 50 postings (sorted doc_ids, scalarized to CSV because
     the driver's pandas hash cannot digest list cells). The shape IS
-    the search-engine build job: explode to (doc, token), distinct
-    to presence, one groupBy per token. Both shuffles are on
-    bounded-skew keys (stopword-ish tokens concentrate, which is why
-    the postings are capped — an uncapped collect_list on a 100 TB
-    corpus would OOM the hot token's reducer; the cap bounds every
-    group's state, and df still counts the full set). Tokenization
-    matches functions/text.py: lower → trim → split on whitespace
-    runs."""
+    the search-engine build job: explode to (doc, token), ONE
+    groupBy per token with collect_set doing the per-document dedup
+    inside the aggregation state (a separate distinct() would be a
+    second data-sized shuffle for nothing — the set dedups on the
+    map side too, so duplicate (doc, tok) pairs collapse before the
+    wire). df counts the full set; the rendered postings are capped
+    at 50 because an uncapped posting string for a stopword-grade
+    token on a 100 TB corpus is itself the OOM (the full set must
+    exist to count df exactly — the all-exact contract here; a
+    production index would spill postings columnar rather than
+    render them). Tokenization matches functions/text.py: lower →
+    trim → split on whitespace runs."""
     docs = _t(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    posting_set = F.sort_array(F.collect_set("doc_id"))
     return toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df"),
+        F.size(posting_set).cast("long").alias("df"),
         F.array_join(
-            F.transform(
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50),
-                lambda x: x.cast("string"),
-            ),
+            F.transform(F.slice(posting_set, 1, 50), lambda x: x.cast("string")),
             ",",
         ).alias("postings"),
     )
