@@ -903,3 +903,307 @@ def media_phash_dedup(spark, sf_dir):
 
     media = synthetic_phash_media(spark, n_base=_PHASH_N_BASE)
     return phash_dup_pairs(media)
+
+
+# ---------------------------------------------------------------------------
+# stream_outer_join — left-outer stream-stream interval join (batch face)
+# ---------------------------------------------------------------------------
+
+_SOJ_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+"""
+
+
+@register("stream_outer_join", _SOJ_SQL)
+def stream_outer_join(spark, sf_dir):
+    """Batch face of the LEFT OUTER stream-stream interval join
+    (streaming/windows.purchases_with_recent_clicks(how='left_outer')):
+    purchases keep their row with a NULL click_id when no click
+    preceded them within 30 minutes. The streaming face has the
+    same bounded state as the inner join — the outer semantics only
+    change WHEN a null row may emit (after the watermark passes the
+    purchase's join window, since until then a match could still
+    arrive); tests/test_streaming.py pins that emission contract.
+    The unmatched-row timing problem is exactly why outer stream
+    joins REQUIRE watermarks while inner ones merely benefit."""
+    from stockify_spark.streaming.windows import purchases_with_recent_clicks
+
+    return purchases_with_recent_clicks(
+        _t(spark, sf_dir, "events"), how="left_outer"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_psi — population stability index (distribution drift)
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH b AS (SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS INT), 9) AS bucket,
+                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                       THEN 'ref' ELSE 'cur' END AS period
+           FROM orders),
+c AS (SELECT bucket,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS DOUBLE) AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS DOUBLE) AS n_cur
+      FROM b GROUP BY 1),
+t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+             CAST(COUNT(*) AS DOUBLE) AS nb FROM c)
+SELECT ROUND(SUM(((n_ref + 1) / (t_ref + nb) - (n_cur + 1) / (t_cur + nb))
+             * ln(((n_ref + 1) / (t_ref + nb))
+                  / ((n_cur + 1) / (t_cur + nb)))), 6) AS psi,
+       CAST(MAX(nb) AS INT) AS n_buckets
+FROM c CROSS JOIN t
+"""
+
+
+@register("stats_psi", _PSI_SQL)
+def stats_psi(spark, sf_dir):
+    """Population Stability Index between pre- and post-1998 order
+    totals — the drift metric every model-monitoring pipeline
+    computes between a reference window and production traffic.
+    Fixed-width buckets (data-independent edges, so the bucketing
+    needs no quantile pass and two DIFFERENT datasets bucket
+    identically — the property that makes PSI mergeable across
+    days); add-one smoothing keeps empty buckets finite without a
+    data-dependent epsilon. One data-sized groupBy; the PSI itself
+    sums ≤10 doubles over the broadcast bucket table."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 60000).cast("int"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("double")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("double")
+        .alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).cast("double").alias("nb"),
+    )
+    p = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("nb"))
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("nb"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.max("nb").cast("int").alias("n_buckets"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# basket_rules — association rules (confidence + lift) over baskets
+# ---------------------------------------------------------------------------
+
+_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM items),
+isup AS (SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS s FROM items GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS DOUBLE) AS s_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT part_a, part_b, CAST(s_ab AS BIGINT) AS support,
+       ROUND(s_ab / sa.s, 6) AS conf_a_to_b,
+       ROUND(s_ab / sb.s, 6) AS conf_b_to_a,
+       ROUND(s_ab * n_baskets / (sa.s * sb.s), 6) AS lift
+FROM pairs JOIN isup sa ON sa.l_partkey = part_a
+           JOIN isup sb ON sb.l_partkey = part_b
+           CROSS JOIN n
+"""
+
+
+@register("basket_rules", _RULES_SQL)
+def basket_rules(spark, sf_dir):
+    """Association rules on top of basket_pairs' candidate step:
+    pair support (≥3) joined against single-item supports for
+    confidence both ways and lift. The pair self-join is keyed on
+    the basket id (bounded by basket size squared, the Apriori
+    guard documented on basket_pairs); item supports are a
+    |parts|-row table broadcast to the pair stream, so the rule
+    metrics add NO data-sized shuffle beyond the two support
+    counts. Ratios are single IEEE divisions per output row —
+    engine-exact before the display rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    isup = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("s_ab").cast("long").alias("support"),
+            F.round(F.col("s_ab") / F.col("sa"), 6).alias("conf_a_to_b"),
+            F.round(F.col("s_ab") / F.col("sb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("s_ab") * F.col("n_baskets") / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_map_ops — map-typed column functions
+# ---------------------------------------------------------------------------
+
+_MAP_SQL = """
+WITH w AS (SELECT p_partkey,
+                  list_distinct(string_split(p_name, ' ')) AS words
+           FROM part)
+SELECT p_partkey,
+       CAST(len(words) AS INT) AS n_keys,
+       array_to_string(list_sort(words), '|') AS keys_sorted,
+       CAST(list_sum(list_transform(words, x -> length(x) * 2)) AS BIGINT)
+         AS vals_sum_doubled,
+       CAST(CASE WHEN list_contains(words, 'widget') THEN 6 END AS INT)
+         AS widget_len
+FROM w
+"""
+
+
+@register("fn_map_ops", _MAP_SQL)
+def fn_map_ops(spark, sf_dir):
+    """Map-typed column surface: map_from_arrays → transform_values
+    → map_keys / element_at / size, scalarized for the differential
+    hash (map cells, like array cells, don't survive the driver's
+    pandas canonicalization — and map ITERATION order is engine-
+    private, so only order-insensitive renderings are comparable:
+    sorted key string, value sum, point lookup). Keys pass through
+    array_distinct first — Spark's mapKeyDedupPolicy defaults to
+    EXCEPTION, and a name with a repeated word would otherwise kill
+    the task. The oracle mirrors the semantics with plain lists
+    (DuckDB's MAP element-access conventions have shifted across
+    versions; lists state the same contract without that
+    dependency)."""
+    part = _t(spark, sf_dir, "part")
+    words = F.array_distinct(F.split("p_name", " "))
+    m = F.map_from_arrays(words, F.transform(words, lambda w: F.length(w)))
+    m2 = F.transform_values(m, lambda k, v: v * 2)
+    return part.select(
+        "p_partkey",
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(m2), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("vals_sum_doubled"),
+        F.element_at(m, F.lit("widget")).cast("int").alias("widget_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — bounded-round k-core peel on the residue graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 10
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    base = """
+WITH li AS (SELECT CAST(l_orderkey % 400 AS BIGINT) AS ra,
+                   CAST(l_partkey % 400 AS BIGINT) AS rb FROM lineitem),
+e AS (SELECT DISTINCT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b
+      FROM li WHERE ra <> rb
+        AND CAST(CONCAT('0x', substr(md5(CONCAT(CAST(LEAST(ra, rb) AS VARCHAR),
+            ':', CAST(GREATEST(ra, rb) AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 8),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+n0 AS (SELECT DISTINCT a AS node FROM sym)"""
+    for r in range(1, rounds + 1):
+        base += f""",
+n{r} AS (SELECT s.a AS node FROM sym s
+         JOIN n{r-1} x ON s.a = x.node JOIN n{r-1} y ON s.b = y.node
+         GROUP BY s.a HAVING COUNT(*) >= {k})"""
+    return base + f"\nSELECT node FROM n{rounds}"
+
+
+@register("graph_kcore", _kcore_sql())
+def graph_kcore(spark, sf_dir):
+    """k-core membership (k=8) by degree peeling on the md5-thinned
+    residue graph (the graph_triangles fixture family): repeatedly
+    drop nodes whose degree within the surviving set is < k. Both
+    engines run EXACTLY 10 peel rounds — a bounded-round contract
+    rather than while-changed, because an unrolled fixpoint isn't
+    expressible in the oracle's CTE chain and, more importantly,
+    bounded rounds is how you'd checkpoint the peel at scale anyway
+    (each round is one shuffle; a 100 TB peel runs rounds until a
+    round removes nothing and the count check is a cheap
+    side-output). On the test graphs the peel converges well before
+    round 10 (pinned in tests/test_ext10.py), so the bounded result
+    IS the k-core. The edge table is localCheckpointed once and
+    reused by all rounds — the pagerank lineage discipline
+    (operators/graph.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 400).cast("long").alias("ra"),
+        (F.col("l_partkey") % 400).cast("long").alias("rb"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.least("ra", "rb").cast("string"),
+                        F.lit(":"),
+                        F.greatest("ra", "rb").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    e = (
+        li.filter((F.col("ra") != F.col("rb")) & (coin < 8))
+        .select(F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        nodes = (
+            sym.join(nodes.withColumnRenamed("node", "a"), "a")
+            .join(nodes.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= _KCORE_K)
+            .select(F.col("a").alias("node"))
+        )
+    return nodes

@@ -157,6 +157,7 @@ def purchases_with_recent_clicks(
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
     streaming: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's clicks from the preceding ``max_lag``.
@@ -166,7 +167,19 @@ def purchases_with_recent_clicks(
     state for either side is reclaimable past the watermark — the
     canonical bounded-state stream-stream join. Batch: the identical
     join for the oracle.
+
+    ``how='left_outer'`` keeps click-less purchases (click_id NULL).
+    Streaming semantics differ from inner ONLY in emission timing:
+    matched pairs still emit as soon as both sides arrive, but a
+    NULL row can only emit once the watermark has passed the
+    purchase's join window — before that, a matching click could
+    still arrive. Purchases newer than the final watermark therefore
+    never surface their NULL row in a drained stream; the batch face
+    is the limit the stream converges to as the watermark advances
+    past everything (pinned in tests/test_streaming.py).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -185,6 +198,6 @@ def purchases_with_recent_clicks(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
     )
-    return purchases.join(clicks, cond).select(
+    return purchases.join(clicks, cond, how).select(
         "purchase_id", F.col("p_user").alias("user_id"), "click_id"
     )
