@@ -285,6 +285,35 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
                 spark, tx_path, "l_extendedprice", hi[0], hi[1]
             ).inputFiles()
         )
+        # E2b replay cost: metadata-only cost of reconstructing the
+        # live-file set from the commit log. Grow the log with small
+        # appends, time a full-log replay, then checkpoint and time
+        # the replay-from-checkpoint — the number that says what a
+        # long-lived table pays per read WITHOUT checkpoints, and what
+        # the checkpoint buys. Driver-side file IO only (no Spark
+        # jobs), so median-of-5 keeps it honest at ms scale.
+        one = li.limit(50)
+        for _ in range(24):
+            txlog.append(one, tx_path)
+        n_commits_full = len(
+            [
+                f
+                for f in os.listdir(os.path.join(tx_path, "_txlog"))
+                if f.endswith(".json") and not f.startswith("checkpoint.")
+            ]
+        )
+
+        def time_replay() -> float:
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                txlog.live_files(tx_path)
+                samples.append(time.perf_counter() - t0)
+            return statistics.median(samples)
+
+        t_replay_full = time_replay()
+        ck_version = txlog.checkpoint_log(tx_path)
+        t_replay_ckpt = time_replay()
         return {
             "layout_unsorted_sec": round(t_unsorted, 4),
             "layout_sorted_sec": round(t_sorted, 4),
@@ -294,6 +323,13 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
             "txlog_skipping_speedup": round(t_tx_full / t_tx_skip, 3) if t_tx_skip else 0.0,
             "txlog_files_read": n_read,
             "txlog_files_live": n_live,
+            "txlog_replay_commits": n_commits_full,
+            "txlog_replay_full_sec": round(t_replay_full, 4),
+            "txlog_replay_ckpt_sec": round(t_replay_ckpt, 4),
+            "txlog_replay_speedup": (
+                round(t_replay_full / t_replay_ckpt, 3) if t_replay_ckpt else 0.0
+            ),
+            "txlog_ckpt_version": ck_version,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -55,6 +55,11 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
         F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
     ).persist()
     sdf = base
+    # the frame sdf was derived from; its cache may only be dropped
+    # AFTER a job has materialized sdf's own cache (else dropping it
+    # forces the whole replace chain to recompute from source — the
+    # O(steps^2) string-pass trap a lazily-chained replace falls into)
+    releasable: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, steps + 1):
@@ -73,23 +78,33 @@ def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFram
                 .agg(F.sum("cnt").alias("c"))
             )
             top = pair_counts.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+            # ^ this job just materialized sdf's persisted blocks, so
+            # the predecessor's cache is now dead weight — release it
+            if releasable is not None:
+                releasable.unpersist()
+                releasable = None
             if not top:
                 break
             best = top[0]
             merges.append((step, best["l"], best["r"], int(best["c"])))
             pat = f",{best['l']},,{best['r']},"
             rep = f",{best['l']}{best['r']},"
-            # chain the replace LAZILY on the persisted base: each
-            # step's pair count re-applies <= steps narrow string maps
-            # over cached blocks, which costs less than a per-step
-            # persist+count materialization job (one Spark job per
-            # step instead of two — ~2x fewer jobs for small step
-            # counts; for steps >> 10 switch back to checkpointing)
-            sdf = sdf.select(
+            # persist each step's replaced frame (lazily — the next
+            # step's pair-count job warms it while reading the
+            # predecessor's cache, so per-step cost stays ONE narrow
+            # replace over cached blocks + one shuffle, independent
+            # of step number; keeping at most two step caches live)
+            nxt = sdf.select(
                 F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
-            )
+            ).persist()
+            releasable = sdf
+            sdf = nxt
     finally:
         base.unpersist()
+        if releasable is not None and releasable is not base:
+            releasable.unpersist()
+        if sdf is not base:
+            sdf.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_cnt long"
     )
@@ -142,6 +157,7 @@ def bpe_learn_batched(
         F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
     ).persist()
     sdf = base
+    releasable: DataFrame | None = None  # see bpe_learn: drop only after successor job
     out: list[tuple[int, int, str, str, int]] = []
     try:
         for rnd in range(1, rounds + 1):
@@ -160,6 +176,11 @@ def bpe_learn_batched(
                 .limit(batch)
                 .collect()
             )  # bounded: batch rows of model state per round
+            # the top-k job materialized sdf's cache — predecessor
+            # round's cache is now droppable
+            if releasable is not None:
+                releasable.unpersist()
+                releasable = None
             if not top:
                 break
             selected = [
@@ -169,15 +190,26 @@ def bpe_learn_batched(
             ]
             # rank 1 is always independent, so every non-empty round
             # makes progress
+            nxt = sdf
             for rn, row in selected:
                 out.append((rnd, rn, row["l"], row["r"], int(row["c"])))
                 pat = f",{row['l']},,{row['r']},"
                 rep = f",{row['l']}{row['r']},"
-                sdf = sdf.select(
+                nxt = nxt.select(
                     F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
                 )
+            # one persist per ROUND (the round's <= batch replaces are
+            # a single fused map stage): next round's top-k reads this
+            # cache instead of re-running every prior round's chain
+            nxt = nxt.persist()
+            releasable = sdf
+            sdf = nxt
     finally:
         base.unpersist()
+        if releasable is not None and releasable is not base:
+            releasable.unpersist()
+        if sdf is not base:
+            sdf.unpersist()
     return spark.createDataFrame(
         out, "round long, rn long, lhs string, rhs string, pair_cnt long"
     )

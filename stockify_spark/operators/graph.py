@@ -127,16 +127,22 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         eager=True
     )
     m = e.count()  # metadata-cheap on the already-checkpointed blocks
-    target = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, m // 50_000))
+    target = max(
+        1, min(edges.sparkSession.sparkContext.defaultParallelism, m // 100_000)
+    )
     if target < e.rdd.getNumPartitions():
-        # right-size partitions to ~50k edges each so the dozen
+        # right-size partitions to ~100k edges each so the dozen
         # downstream stages schedule work-bearing tasks instead of
-        # shuffle.partitions near-empty ones — but never collapse a
-        # sizeable graph to ONE task: the O(m^1.5) wedge join below a
-        # fixed cutoff would run serially on one core (the cliff a
-        # 1M-edge threshold had). Large graphs keep the full
-        # hash-partitioned shape and the O(m^1.5) bound carries the
-        # scale story.
+        # shuffle.partitions near-empty ones. A graph under 200k edges
+        # runs as ONE task — at that size the wedge join finishes in
+        # well under a second and per-task scheduling overhead
+        # dominates any parallel speedup (measured: the r7 50k target
+        # gave a sub-200k-edge sf0.1 residue graph 2-6 near-empty
+        # partitions and doubled wall time). But never collapse a
+        # SIZEABLE graph to one task: m >= 200k always keeps >= 2
+        # partitions and scales up to defaultParallelism, so the
+        # O(m^1.5) wedge bound carries the scale story, not a serial
+        # cliff (the trap a fixed 1M-edge threshold had).
         e = e.coalesce(target)
     deg = (
         e.select(F.col("_a").alias("_v"))

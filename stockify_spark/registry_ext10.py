@@ -596,7 +596,7 @@ def geo_range_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PARETO_SQL = """
-WITH cust AS (SELECT o_custkey, SUM(o_totalprice) AS rev
+WITH cust AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS rev
               FROM orders GROUP BY 1),
 r AS (SELECT o_custkey, rev,
              SUM(rev) OVER (ORDER BY rev DESC, o_custkey
@@ -624,11 +624,16 @@ def orders_pareto(spark, sf_dir):
     two-phase prefix scan (pipeline_token_pack) is the swap-in when
     even the reduced table outgrows one task. Ties on revenue are
     broken by custkey so the running order — and therefore the band
-    assignment — is engine-independent."""
+    assignment — is engine-independent. Per-customer revenue is
+    rounded to 6dp BEFORE the prefix sum and share comparison (the
+    window_seasonal discipline): the per-customer SUM is an unordered
+    double accumulation, so without the round cross-engine ulp drift
+    could reorder near-tied customers or flip a boundary row's band —
+    the custkey tie-break fixes order ties, not value drift."""
     cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
     )
     wo = (
         Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
@@ -680,7 +685,12 @@ def fn_lambda(spark, sf_dir):
     every vector through Arrow into a UDF. Elements are cast
     float→double BEFORE arithmetic on both engines, so the fold is
     the same left-to-right double accumulation bit-for-bit (the
-    float32 product path would round differently per engine)."""
+    float32 product path would round differently per engine). The
+    fold mirrors DuckDB list_sum's edge semantics so the contract is
+    data-independent, not a fixture accident: NULL elements are
+    skipped (a bare acc+x fold would poison the sum to NULL) and an
+    empty / all-NULL array yields NULL (a 0.0 seed alone would
+    yield 0.0)."""
     emb = _t(spark, sf_dir, "embeddings")
     dsq = F.transform(
         F.col("embedding"),
@@ -690,9 +700,13 @@ def fn_lambda(spark, sf_dir):
         F.col("embedding"),
         lambda x: F.least(F.greatest(x.cast("double"), F.lit(-0.1)), F.lit(0.1)),
     )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda acc, x: acc + x
-    )
+
+    def fold(arr):
+        nn = F.filter(arr, lambda x: x.isNotNull())
+        return F.when(
+            F.size(nn) > 0,
+            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x),
+        )
     return emb.select(
         "vec_id",
         F.round(F.sqrt(fold(dsq)), 6).alias("l2"),
@@ -709,8 +723,10 @@ def fn_lambda(spark, sf_dir):
 
 _ROLLMED_SQL = """
 SELECT event_id, user_id,
-       MEDIAN(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-                           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS med
+       ROUND(MEDIAN(value) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id
+                                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+             6) AS med
 FROM events
 """
 
@@ -722,9 +738,11 @@ def window_rolling_median(spark, sf_dir):
     native windowed median, so the frame is materialized as a
     sorted array (collect_list over the window, array_sort) and the
     middle element(s) read out: odd frames take the center, even
-    frames average the two centers — the same quantile_cont(0.5)
-    interpolation DuckDB's windowed MEDIAN performs, so values match
-    without rounding (one identical IEEE add+divide). The frame is
+    frames average the two centers (a+b)/2. DuckDB's windowed MEDIAN
+    interpolates even frames as lo + 0.5*(hi-lo), which can differ
+    from (a+b)/2 by an ulp, so both faces round to 6dp — the display
+    precision every sibling operator uses — rather than betting the
+    exact-hash contract on two formulas agreeing bitwise. The frame is
     BOUNDED (15 rows), so per-row state is constant and the window
     stays one shuffle + one sort per series at any scale; an
     UNBOUNDED frame with this trick would OOM — that variant is what
@@ -748,7 +766,7 @@ def window_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.when(n % 2 == 1, odd).otherwise(even).alias("med"),
+        F.round(F.when(n % 2 == 1, odd).otherwise(even), 6).alias("med"),
     )
 
 
@@ -821,7 +839,8 @@ _KS_SQL = """
 WITH s AS (SELECT value,
                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
-           FROM events WHERE event_type IN ('click', 'view')),
+           FROM events WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL),
 v AS (SELECT value, CAST(SUM(g1) AS DOUBLE) AS n1, CAST(SUM(g2) AS DOUBLE) AS n2
       FROM s GROUP BY value),
 c AS (SELECT SUM(n1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
@@ -847,9 +866,15 @@ def stats_ks(spark, sf_dir):
     parity shape (PLAN_AUDIT.md): correct because the input has
     been reduced to distinct values; the recursable two-phase
     prefix scan (pipeline_token_pack) is the swap-in at scales
-    where even the distinct support outgrows one task."""
+    where even the distinct support outgrows one task. NULL values
+    are filtered on BOTH faces: Spark's Window.orderBy sorts NULLS
+    FIRST while DuckDB's ORDER BY defaults NULLS LAST, so a NULL
+    event value would join the ECDF walk at opposite ends and shift
+    every prefix — excluding it makes the contract data-independent
+    (a NULL observation carries no distributional information
+    anyway)."""
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     )
     v = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -1133,39 +1158,33 @@ _KCORE_ROUNDS = 10
 
 
 def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every CTE that a later round references TWICE is AS MATERIALIZED:
+    # DuckDB's default is to INLINE single-select CTEs, and a chain
+    # where n{r} reads n{r-1} twice inlines to 2^rounds copies of the
+    # md5 edge build — measured 289 s at sf0.01 vs ~1 s materialized.
+    # MATERIALIZED is a pure execution hint; result semantics are
+    # identical.
     base = """
 WITH li AS (SELECT CAST(l_orderkey % 400 AS BIGINT) AS ra,
                    CAST(l_partkey % 400 AS BIGINT) AS rb FROM lineitem),
-e AS (SELECT DISTINCT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b
+e AS MATERIALIZED (SELECT DISTINCT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b
       FROM li WHERE ra <> rb
         AND CAST(CONCAT('0x', substr(md5(CONCAT(CAST(LEAST(ra, rb) AS VARCHAR),
             ':', CAST(GREATEST(ra, rb) AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 8),
-sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-n0 AS (SELECT DISTINCT a AS node FROM sym)"""
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym)"""
     for r in range(1, rounds + 1):
         base += f""",
-n{r} AS (SELECT s.a AS node FROM sym s
+n{r} AS MATERIALIZED (SELECT s.a AS node FROM sym s
          JOIN n{r-1} x ON s.a = x.node JOIN n{r-1} y ON s.b = y.node
          GROUP BY s.a HAVING COUNT(*) >= {k})"""
     return base + f"\nSELECT node FROM n{rounds}"
 
 
-@register("graph_kcore", _kcore_sql())
-def graph_kcore(spark, sf_dir):
-    """k-core membership (k=8) by degree peeling on the md5-thinned
-    residue graph (the graph_triangles fixture family): repeatedly
-    drop nodes whose degree within the surviving set is < k. Both
-    engines run EXACTLY 10 peel rounds — a bounded-round contract
-    rather than while-changed, because an unrolled fixpoint isn't
-    expressible in the oracle's CTE chain and, more importantly,
-    bounded rounds is how you'd checkpoint the peel at scale anyway
-    (each round is one shuffle; a 100 TB peel runs rounds until a
-    round removes nothing and the count check is a cheap
-    side-output). On the test graphs the peel converges well before
-    round 10 (pinned in tests/test_ext10.py), so the bounded result
-    IS the k-core. The edge table is localCheckpointed once and
-    reused by all rounds — the pagerank lineage discipline
-    (operators/graph.py)."""
+def _kcore_sym_edges(spark, sf_dir):
+    """Symmetrized edge list of the md5-thinned residue graph the
+    k-core peel runs on (one row per directed edge; each undirected
+    edge appears both ways). Checkpointed: every peel round reads it."""
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 400).cast("long").alias("ra"),
         (F.col("l_partkey") % 400).cast("long").alias("rb"),
@@ -1193,17 +1212,48 @@ def graph_kcore(spark, sf_dir):
         .select(F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b"))
         .distinct()
     )
-    sym = e.unionAll(
+    return e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+
+
+def _kcore_peel(sym, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS):
+    """Run ``rounds`` degree-peel iterations; returns surviving nodes."""
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    for _ in range(_KCORE_ROUNDS):
+    for _ in range(rounds):
         nodes = (
             sym.join(nodes.withColumnRenamed("node", "a"), "a")
             .join(nodes.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") >= _KCORE_K)
+            .filter(F.col("_deg") >= k)
             .select(F.col("a").alias("node"))
+            # each round references the previous round's nodes TWICE
+            # (a-face and b-face), so an unbroken lineage doubles the
+            # logical plan per round — 2^rounds leaf scans by round
+            # 10. Lazy checkpoint keeps the plan linear; it
+            # materializes as a side effect of the next round's job
+            # (the pagerank lineage discipline, operators/graph.py).
+            .localCheckpoint(eager=False)
         )
     return nodes
+
+
+@register("graph_kcore", _kcore_sql())
+def graph_kcore(spark, sf_dir):
+    """k-core membership (k=8) by degree peeling on the md5-thinned
+    residue graph (the graph_triangles fixture family): repeatedly
+    drop nodes whose degree within the surviving set is < k. Both
+    engines run EXACTLY 10 peel rounds — a bounded-round contract
+    rather than while-changed, because an unrolled fixpoint isn't
+    expressible in the oracle's CTE chain and, more importantly,
+    bounded rounds is how you'd checkpoint the peel at scale anyway
+    (each round is one shuffle; a 100 TB peel runs rounds until a
+    round removes nothing and the count check is a cheap
+    side-output). On the test graphs the peel converges well before
+    round 10 (pinned in tests/test_ext10.py: round 11 removes
+    nothing, and every survivor keeps induced degree >= k), so the
+    bounded result IS the k-core. The edge table is
+    localCheckpointed once and reused by all rounds — the pagerank
+    lineage discipline (operators/graph.py)."""
+    return _kcore_peel(_kcore_sym_edges(spark, sf_dir))

@@ -191,7 +191,9 @@ def test_pareto_classes_partition_the_customers(spark):
 
 def test_rolling_median_matches_pandas(spark):
     """Exact windowed median must equal pandas' rolling(15, min_periods=1)
-    median per series (same interpolation for even frames)."""
+    median per series (same (a+b)/2 interpolation for even frames; the
+    operator rounds to 6dp for the cross-engine hash, so compare at
+    that precision)."""
     got = (
         QUERIES["window_rolling_median"](spark, SF)
         .toPandas()
@@ -208,7 +210,7 @@ def test_rolling_median_matches_pandas(spark):
     )
     exp.index = ev["event_id"].values
     for eid in ev["event_id"].values:
-        assert abs(got[eid] - exp[eid]) < 1e-12
+        assert abs(got[eid] - round(exp[eid], 6)) < 1e-9
 
 
 def test_ks_disjoint_supports_give_d_of_one(spark):
@@ -257,3 +259,106 @@ def test_phash_threshold_needs_enough_bands():
 
     with pytest.raises(ValueError):
         phash_dup_pairs(None, threshold=4)
+
+
+def _table_dir(spark, table, rows, schema):
+    """Write a hand-built single-table fixture dir for a registry query."""
+    d = tempfile.mkdtemp(prefix=f"ext10_{table}_")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, f"{table}.parquet")
+    )
+    return d
+
+
+def test_kcore_converges_and_survivors_keep_degree(spark):
+    """The bounded-round contract is only the k-core because the peel
+    has CONVERGED by round 10: round 11 must remove nothing, and every
+    survivor must keep induced degree >= k within the surviving set."""
+    from stockify_spark.registry_ext10 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _kcore_peel,
+        _kcore_sym_edges,
+    )
+
+    sym = _kcore_sym_edges(spark, SF01)
+    n10 = {r.node for r in _kcore_peel(sym, _KCORE_K, _KCORE_ROUNDS).collect()}
+    n11 = {r.node for r in _kcore_peel(sym, _KCORE_K, _KCORE_ROUNDS + 1).collect()}
+    assert n10 == n11  # fixpoint reached within the bounded rounds
+    assert n10  # non-trivial core at this SF
+    deg = {}
+    for r in sym.collect():
+        if r.a in n10 and r.b in n10:
+            deg[r.a] = deg.get(r.a, 0) + 1
+    assert set(deg) == n10
+    assert min(deg.values()) >= _KCORE_K
+
+
+def test_psi_is_zero_for_identical_periods(spark):
+    """PSI's defining property: a reference and current window with
+    identical bucket distributions must score exactly 0 (smoothing
+    included, since p and q stay equal term by term)."""
+    import datetime as dt
+
+    ref_d, cur_d = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+    vals = [10_000.0, 70_000.0, 130_000.0, 500_000.0]
+    rows = [(v, d) for v in vals for d in (ref_d, cur_d)]
+    d = _table_dir(
+        spark, "orders", rows, "o_totalprice double, o_orderdate timestamp"
+    )
+    (r,) = QUERIES["stats_psi"](spark, d).collect()
+    assert r.psi == 0.0
+    assert r.n_buckets == 4  # buckets 0, 1, 2 and the clamped tail
+
+
+def test_basket_rules_hand_check(spark):
+    """Confidence and lift on a hand-built basket set: parts 1 and 2
+    co-occur in 3 of 4 baskets; part 1 appears in all 4, part 2 in 3."""
+    rows = [(o, 1) for o in (1, 2, 3, 4)] + [(o, 2) for o in (1, 2, 3)] + [
+        (4, 7)  # a pair below min support must NOT surface
+    ]
+    d = _table_dir(spark, "lineitem", rows, "l_orderkey long, l_partkey long")
+    out = QUERIES["basket_rules"](spark, d).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.part_a, r.part_b, r.support) == (1, 2, 3)
+    assert r.conf_a_to_b == 0.75  # 3/4
+    assert r.conf_b_to_a == 1.0  # 3/3
+    assert r.lift == 1.0  # 3*4 / (4*3)
+
+
+def test_fn_map_ops_hand_check(spark):
+    """Map surface on hand-built names: duplicate words dedup before
+    map construction, values double, lookup misses are NULL."""
+    d = _table_dir(
+        spark,
+        "part",
+        [(1, "green widget widget"), (2, "red bolt")],
+        "p_partkey long, p_name string",
+    )
+    rows = {r.p_partkey: r for r in QUERIES["fn_map_ops"](spark, d).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.n_keys, r1.keys_sorted) == (2, "green|widget")
+    assert r1.vals_sum_doubled == (5 + 6) * 2
+    assert r1.widget_len == 6
+    assert (r2.n_keys, r2.keys_sorted) == (2, "bolt|red")
+    assert r2.vals_sum_doubled == (3 + 4) * 2
+    assert r2.widget_len is None
+
+
+def test_fn_lambda_edge_semantics(spark):
+    """The fold must mirror DuckDB list_sum on edge inputs: empty
+    array -> NULL (not the 0.0 seed), NULL elements skipped (not
+    poisoning the sum)."""
+    d = _table_dir(
+        spark,
+        "embeddings",
+        [(1, [3.0, None, 4.0]), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in QUERIES["fn_lambda"](spark, d).collect()}
+    assert rows[1].l2 == 5.0  # NULL element skipped: sqrt(9+16)
+    assert rows[1].n_pos == 2
+    assert rows[2].l2 is None and rows[2].clipped_sum is None
+    assert rows[2].n_pos == 0
+    assert rows[2].vmax is None and rows[2].vmin is None

@@ -261,3 +261,80 @@ def test_foreachbatch_cdc_upserts_into_txlog_table(spark, tmp_path):
     assert all(snap[k] == 20.0 for k in range(225, 275))
     # intermediate state is still time-travelable
     assert len(txlog.snapshot(spark, table, version=v0).collect()) == 200
+
+
+def test_outer_join_null_rows_emit_only_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join emission contract
+    (stream_outer_join's streaming face): matched pairs emit as soon
+    as both sides have arrived; a click-less purchase emits its NULL
+    row only once the watermark has passed its join window; a
+    purchase the final watermark has NOT passed never surfaces its
+    NULL row (a match could still arrive)."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+
+    from stockify_spark.streaming.windows import purchases_with_recent_clicks
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    day = dt.timedelta(days=1)
+    mins = dt.timedelta(minutes=1)
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        ).astype(
+            # μs timestamps: the shared session reads parquet ns as
+            # BIGINT (legacy.parquet.nanosAsLong, see stream_events)
+            {"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]"}
+        ).to_parquet(d / name)
+        time.sleep(0.1)  # distinct mtimes keep file-source order deterministic
+
+    # batch 1: a matched pair (user 1) and a click-less purchase (user 2)
+    write(
+        "ev_001.parquet",
+        [
+            (11, t0, 1, "click"),
+            (12, t0 + 10 * mins, 1, "purchase"),
+            (21, t0 + 5 * mins, 2, "purchase"),
+        ],
+    )
+    # batch 2: sentinel a day later — advances the watermark far past
+    # user 2's join window
+    write("ev_002.parquet", [(91, t0 + day, 99, "click")])
+    # batch 3: advances the watermark again (so batch 2's eviction
+    # results flush) AND carries a fresh click-less purchase (user 3)
+    # that the final watermark has not passed
+    write(
+        "ev_003.parquet",
+        [(92, t0 + 2 * day, 99, "click"), (31, t0 + 2 * day, 3, "purchase")],
+    )
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        # pandas writes timestamp_ntz; watermarks need TimestampType
+        # (the stream_events ntz cast, inlined)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = purchases_with_recent_clicks(stream, streaming=True, how="left_outer")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_soj_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM t_soj_outer").collect()}
+    finally:
+        q.stop()
+    assert (12, 1, 11) in got  # matched pair emitted
+    assert (21, 2, None) in got  # NULL row emitted once watermark passed
+    assert (31, 3, None) not in got  # inside the watermark: must not emit
+    assert got == {(12, 1, 11), (21, 2, None)}
