@@ -85,10 +85,10 @@ _PRIORITY = [
     "udf_group_zscore", "udf_scalar_pandas", "window_first_last",
     "window_ntile", "window_range_frame", "tokenizer_bpe_merges",
     "tokenizer_bpe_batched", "graph_triangles",
-    # round-8 new operator (after the stale block by design — the r8
-    # window is rotation; this gets a row if budget allows, else its
+    # round-8 new operators (after the stale block by design — the r8
+    # window is rotation; these get rows if budget allows, else their
     # local-gate green stands)
-    "media_h264_probe",
+    "media_h264_probe", "media_flac_decode",
 ]
 
 def _driver_order(d: dict) -> dict:

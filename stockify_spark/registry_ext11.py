@@ -1,13 +1,22 @@
-"""Round-8 registry wave: H.264 Annex-B structural probe.
+"""Round-8 registry wave: H.264 Annex-B structural probe + FLAC
+entropy-coded audio decode.
 
 Extends the multimodal family (SURVEY §2 LLM ops; media_mp3_index /
-media_avi_index precedent) one codec deeper: real NAL-unit walking,
-emulation-prevention stripping, and bit-level Exp-Golomb SPS parsing
-(llm/h264.py), with slice decode held at the documented
-NotImplementedError boundary. Oracle style follows the media family:
-a closed-form spec of what a correct parse recovers (flagged
-correctness-only for the bench ratio — the oracle is a statement of
-the construction, not a rival parser).
+media_avi_index precedent) two codecs deeper:
+
+* llm/h264.py — real NAL-unit walking, emulation-prevention
+  stripping, bit-level Exp-Golomb SPS parsing; slice decode held at
+  the documented NotImplementedError boundary. Spec-echo oracle
+  (media-family precedent).
+* llm/flac.py — the family's first full ENTROPY-CODED codec: Rice
+  residual coding over fixed predictors, lossless and
+  self-verifying (CRC-8/16 + MD5). Its oracle is stronger than the
+  media-family norm: it independently recomputes the decoded
+  waveform's statistics from the generation formula, so a
+  mis-decode fails the value hash rather than echoing a spec.
+
+Neither query joins the bench ratio (their oracles don't run a
+rival codec), matching the correctness-only policy in bench.py.
 """
 
 from __future__ import annotations
@@ -96,3 +105,129 @@ def media_h264_probe(spark, sf_dir):
             )
 
     return media.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# media_flac_decode — REAL entropy-coded lossless audio decode
+# ---------------------------------------------------------------------------
+
+_FLAC_N = 24
+_FLAC_RATE = 16000
+
+# waveform formula shared by the Spark generator and the DuckDB
+# oracle: x(t) = ((t*t + 7*id) % 4001) - 2000, n = 3000 + 153*id
+# (streams past id 7 span multiple 4096-sample FLAC frames)
+_FLAC_SQL = f"""
+WITH ids AS (SELECT unnest(range(0, {_FLAC_N})) AS media_id),
+s AS (SELECT media_id, 3000 + 153 * media_id AS n FROM ids),
+t AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM s),
+v AS (SELECT media_id, n, ((i * i + 7 * media_id) % 4001) - 2000 AS x FROM t)
+SELECT media_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST({_FLAC_RATE} AS INTEGER) AS sample_rate,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak,
+       ROUND(CAST(SUM(x) AS DOUBLE) / MAX(n), 6) AS mean_r,
+       ROUND(SQRT(CAST(SUM(x * x) AS DOUBLE) / MAX(n)), 6) AS rms_r
+FROM v GROUP BY media_id
+"""
+
+
+@register("media_flac_decode", _FLAC_SQL)
+def media_flac_decode(spark, sf_dir):
+    """End-to-end ENTROPY-CODED audio: each stream is synthesized
+    from a closed-form waveform, FLAC-encoded (llm/flac.py — Rice
+    residual coding over fixed linear predictors, CRC-8/16 framing,
+    STREAMINFO MD5), then decoded back and reduced to sample
+    statistics. Unlike the spec-echo media oracles, this oracle
+    RECOMPUTES the statistics from the waveform formula through an
+    independent path: any mis-decoded sample (wrong Rice quotient,
+    bad reintegration, off-by-one at a 4096-sample frame boundary —
+    streams here deliberately span it) changes SUM/SUM-of-squares
+    and fails the value hash. The decoder also self-verifies every
+    frame CRC and the stream MD5, so silent corruption cannot pass.
+    Float policy: sums are exact int64 on both engines; one divide /
+    sqrt before ROUND 6 (DESIGN.md float policy). Encode and decode
+    both run inside mapInPandas over a binary column — two real
+    Arrow-batched stages, the 100 TB audio-corpus plumbing shape."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from stockify_spark.llm.flac import decode_flac, encode_flac
+
+    spec = spark.createDataFrame(
+        [(i, 3000 + 153 * i) for i in range(_FLAC_N)], "media_id long, n long"
+    )
+
+    def ingest(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["media_id"], pdf["n"]):
+                wave = [((t * t + 7 * int(i)) % 4001) - 2000 for t in range(int(n))]
+                payloads.append(bytearray(encode_flac(wave, _FLAC_RATE)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": payloads})
+
+    media = spec.mapInPandas(
+        ingest,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("peak", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("rms_r", T.DoubleType(), False),
+        ]
+    )
+
+    def analyze(batches):
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_flac(bytes(content))
+                n = len(samples)
+                ssum = sum(samples)  # exact int
+                ssq = sum(s * s for s in samples)
+                # NOT rounded here: Python round() is banker's, DuckDB
+                # ROUND is half-away — the 6dp round happens Spark-side
+                # (F.round, HALF_UP) below so both engines agree at
+                # exact half-ulp boundaries
+                rows.append(
+                    (
+                        int(i),
+                        n,
+                        rate,
+                        max(abs(s) for s in samples),
+                        ssum / n,
+                        (ssq / n) ** 0.5,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "peak",
+                    "mean_r",
+                    "rms_r",
+                ],
+            )
+
+    from pyspark.sql import functions as F
+
+    return media.mapInPandas(analyze, out_schema).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "peak",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("rms_r", 6).alias("rms_r"),
+    )

@@ -1,0 +1,124 @@
+"""FLAC codec tests (llm/flac.py): bit-exact lossless round trip
+under hypothesis-style fuzz, frame-boundary coverage, every subframe
+type the encoder can emit, corruption detection via the CRC/MD5
+self-checks, and the STREAMINFO router. The registry query's
+cross-engine value exactness is covered by the differential gate."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from stockify_spark.llm.flac import (
+    BLOCKSIZE,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+    parse_streaminfo,
+)
+
+
+def _round_trip(samples, rate=16000):
+    enc = encode_flac(samples, rate)
+    dec, got_rate = decode_flac(enc)
+    assert dec == samples
+    assert got_rate == rate
+    return enc
+
+
+def test_round_trip_waveform_families():
+    rnd = random.Random(42)
+    _round_trip([0] * 100)  # constant → SUBFRAME_CONSTANT
+    _round_trip([1234] * 5000)  # constant across frames
+    _round_trip([rnd.randint(-32768, 32767) for _ in range(3000)])  # noise
+    _round_trip([int(2000 * math.sin(t / 20)) for t in range(10000)])  # tonal
+    _round_trip(list(range(-2000, 2000)))  # ramp → order-1/2 predictor
+    _round_trip([32767, -32768] * 2500)  # full-scale alternation
+    _round_trip([7])  # single sample
+
+
+def test_round_trip_fuzz_mixed_predictor_regimes():
+    rnd = random.Random(7)
+    for _ in range(20):
+        n = rnd.randint(1, 3 * BLOCKSIZE + 50)
+        kind = rnd.randint(0, 3)
+        if kind == 0:
+            s = [rnd.randint(-40, 40) for _ in range(n)]
+        elif kind == 1:
+            base = rnd.randint(-30000, 30000)
+            s = [base + rnd.randint(-3, 3) for _ in range(n)]
+        elif kind == 2:
+            s = [int(10000 * math.sin(t / rnd.randint(3, 50))) for t in range(n)]
+        else:
+            s = [rnd.randint(-32768, 32767) for _ in range(n)]
+        _round_trip(s)
+
+
+def test_frame_boundary_exactness():
+    """Streams of exactly one frame, one frame ± 1 sample, and
+    several frames must all reconstruct exactly (the off-by-one
+    classes a block codec can hide)."""
+    for n in (BLOCKSIZE - 1, BLOCKSIZE, BLOCKSIZE + 1, 3 * BLOCKSIZE + 17):
+        _round_trip([((t * t) % 4001) - 2000 for t in range(n)])
+
+
+def test_compression_actually_compresses_smooth_signals():
+    smooth = [int(2000 * math.sin(t / 30)) for t in range(20000)]
+    enc = encode_flac(smooth)
+    assert len(enc) < 0.4 * (2 * len(smooth))  # rice over order-2 residuals
+
+
+def test_corruption_always_detected():
+    """Any single flipped byte in the stream must raise, never
+    silently mis-decode — that is what CRC-8/16 + MD5 buy."""
+    samples = [int(3000 * math.sin(t / 15)) for t in range(6000)]
+    enc = bytearray(encode_flac(samples))
+    rnd = random.Random(3)
+    for _ in range(40):
+        pos = rnd.randrange(42, len(enc))  # past magic + STREAMINFO header
+        flipped = bytearray(enc)
+        flipped[pos] ^= 1 << rnd.randrange(8)
+        try:
+            dec, _ = decode_flac(bytes(flipped))
+            assert dec == samples  # only acceptable if the flip was outside data
+            pytest.fail("flip changed nothing — unreachable byte?")
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
+
+
+def test_streaminfo_router():
+    enc = encode_flac([5] * 12345, sample_rate=44100)
+    info = parse_streaminfo(enc)
+    assert info["total_samples"] == 12345
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 1 and info["bits"] == 16
+
+
+def test_crc_vectors():
+    """Known CRC properties: empty data → 0; CRC of data + its own
+    CRC byte(s) → 0 (the standard check identity for both polys)."""
+    assert crc8(b"") == 0 and crc16(b"") == 0
+    data = b"stockify"
+    assert crc8(data + bytes([crc8(data)])) == 0
+    c16 = crc16(data)
+    assert crc16(data + bytes([c16 >> 8, c16 & 0xFF])) == 0
+
+
+def test_encoder_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        encode_flac([40000])
+
+
+def test_registry_query_round_trips_on_spark(spark):
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["media_flac_decode"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 24
+    by_id = {r.media_id: r for r in rows}
+    # id 8 is the first stream longer than one 4096-sample frame
+    assert by_id[8].n_samples == 3000 + 153 * 8 > BLOCKSIZE
+    assert all(r.sample_rate == 16000 for r in rows)
+    assert all(0 < r.peak <= 2000 for r in rows)
