@@ -285,6 +285,39 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
                 spark, tx_path, "l_extendedprice", hi[0], hi[1]
             ).inputFiles()
         )
+        # E2c: multi-dimensional clustering. The 1-D sorted layout has
+        # perfect boxes on l_extendedprice and useless ones on every
+        # other column; the Z-ordered layout gives BOTH probe columns
+        # ~sqrt-tight boxes. Three probes × two layouts: the sort
+        # column alone, the OTHER column alone (the 1-D layout's blind
+        # spot), and the 2-D intersection. Runs BEFORE the replay-cost
+        # appends below so the "sorted" layout is the clean 16-file
+        # compaction.
+        z_path = os.path.join(tmp, "ztable")
+        txlog.create(li, z_path)
+        txlog.compact(
+            spark,
+            z_path,
+            target_partitions=16,
+            zorder_by=["l_extendedprice", "l_quantity"],
+        )
+        qty = 10.0, 15.0
+        probes = {
+            "price": [("l_extendedprice", hi[0], hi[1])],
+            "qty": [("l_quantity", qty[0], qty[1])],
+            "2d": [
+                ("l_extendedprice", hi[0], hi[1]),
+                ("l_quantity", qty[0], qty[1]),
+            ],
+        }
+        zorder_stats: dict = {}
+        for probe_name, preds in probes.items():
+            for layout, p in (("sorted", tx_path), ("zorder", z_path)):
+                t = probe(lambda: txlog.snapshot_pruned_multi(spark, p, preds))
+                nf = len(txlog.snapshot_pruned_multi(spark, p, preds).inputFiles())
+                zorder_stats[f"zorder_{probe_name}_{layout}_sec"] = round(t, 4)
+                zorder_stats[f"zorder_{probe_name}_{layout}_files"] = nf
+
         # E2b replay cost: metadata-only cost of reconstructing the
         # live-file set from the commit log. Grow the log with small
         # appends, time a full-log replay, then checkpoint and time
@@ -330,6 +363,7 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
                 round(t_replay_full / t_replay_ckpt, 3) if t_replay_ckpt else 0.0
             ),
             "txlog_ckpt_version": ck_version,
+            **zorder_stats,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

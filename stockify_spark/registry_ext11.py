@@ -15,13 +15,20 @@ media_avi_index precedent) two codecs deeper:
   waveform's statistics from the generation formula, so a
   mis-decode fails the value hash rather than echoing a spec.
 
-Neither query joins the bench ratio (their oracles don't run a
-rival codec), matching the correctness-only policy in bench.py.
+Plus two ACID-surface completions: `txlog_restore` — Delta-style
+RESTORE TO VERSION as an O(log) metadata commit
+(sources/txlog.restore) — and `txlog_zorder` — OPTIMIZE ZORDER BY
+multi-dimensional clustering with multi-column log-level skipping
+(sources/txlog.compact zorder_by + snapshot_pruned_multi).
+
+None of these queries joins the bench ratio (the codec oracles don't
+run a rival codec; the txlog queries are write-path lifecycles),
+matching the correctness-only / txlog_lifecycle policies in bench.py.
 """
 
 from __future__ import annotations
 
-from stockify_spark.registry import register
+from stockify_spark.registry import register, _t
 
 # fixture spec: dims sweep non-multiple-of-16 (cropping exercised on
 # most ids), profiles alternate baseline/main, GOP density varies
@@ -231,3 +238,102 @@ def media_flac_decode(spark, sf_dir):
         F.round("mean_r", 6).alias("mean_r"),
         F.round("rms_r", 6).alias("rms_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# txlog_restore — RESTORE TO VERSION as a new commit
+# ---------------------------------------------------------------------------
+
+_RESTORE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+"""
+
+
+@register("txlog_restore", _RESTORE_SQL)
+def txlog_restore(spark, sf_dir):
+    """Version rollback through the commit log (sources/txlog.restore):
+    the scratch table runs create(evens) → append(odds) →
+    COW-delete(%10==0) → RESTORE to the pre-delete version, and the
+    final snapshot must equal the FULL orders projection — i.e. the
+    restore exactly resurrected what the delete removed, via one
+    O(log) metadata commit that re-adds the pre-delete files (original
+    stats entries included, so skipping still works) and removes the
+    delete's rewrites. No data movement: restore is the operation that
+    makes 'oops' recovery on a 100 TB table a metadata-only act.
+    History stays append-only — the rollback is itself a commit with a
+    change feed (deletes of rolled-back rows, inserts of resurrected
+    ones; pinned in tests/test_txlog.py along with the
+    vacuum-blocks-restore guard)."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    from pyspark.sql import functions as F
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        v_full = txlog.append(
+            o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        assert v_full == 1, v_full
+        v_del = txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+        assert v_del == 2, v_del
+        v_restored = txlog.restore(path, v_full)
+        assert v_restored == 3, v_restored
+
+    path = _scratch_table(sf_dir, "restore", build)
+    return txlog.snapshot(spark, path).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# txlog_zorder — multi-dimensional clustering + 2-D pruned probe
+# ---------------------------------------------------------------------------
+
+_ZORDER_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 3000
+  AND o_totalprice BETWEEN 100000 AND 200000
+"""
+
+
+@register("txlog_zorder", _ZORDER_SQL)
+def txlog_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY through the commit log: the scratch table
+    is compacted on the Morton interleave of (o_orderkey,
+    o_totalprice) — each column rank-bucketized to 256 equal-
+    population quantile buckets (bounded driver model state, the
+    centroid precedent), bits interleaved in one closed-form column
+    expression, one repartitionByRange + local sort, no UDF. The
+    query is then a 2-D range probe through multi-column log-level
+    skipping (txlog.snapshot_pruned_multi): a file opens only if its
+    stored min/max box intersects BOTH ranges. On a 1-D-sorted table
+    the second column cannot prune at all; on the Z-layout both
+    prune to ~sqrt-tight boxes (tests/test_txlog.py measures the
+    file counts; bench E2c times it). Results are exact regardless
+    of layout — pruning only skips provably-disjoint files and the
+    residual filter always runs — which is what the plain-SQL oracle
+    checks."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(o, path)
+        txlog.compact(
+            spark,
+            path,
+            target_partitions=16,
+            zorder_by=["o_orderkey", "o_totalprice"],
+        )
+
+    path = _scratch_table(sf_dir, "zorder", build)
+    return txlog.snapshot_pruned_multi(
+        spark,
+        path,
+        [("o_orderkey", 1000, 3000), ("o_totalprice", 100000.0, 200000.0)],
+    ).select("o_orderkey", "o_totalprice")

@@ -380,11 +380,42 @@ def merge_upsert(
     return _commit(path, actions)
 
 
+def _zorder_column(spark: SparkSession, df, cols: list[str], bits: int = 8):
+    """Morton/Z-order key over 2-4 numeric columns: each column is
+    rank-bucketized to ``2**bits`` quantile buckets (equal-population,
+    so skew cannot collapse the curve the way equal-WIDTH buckets
+    would), then the bucket bits are interleaved. Bucket boundaries
+    come from approxQuantile — bounded driver-side model state (2^bits
+    doubles per column, the centroid/seed precedent), computed in one
+    pass. The whole key is a closed-form column expression: the
+    rewrite stays one repartitionByRange + local sort, no UDF."""
+    from pyspark.sql import functions as F
+
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("z-order wants 2-4 columns")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0)
+    for ci, c in enumerate(cols):
+        cuts = df.approxQuantile(c, probs, 0.001)
+        # bucket index = count of cut points <= value (monotone
+        # when-chain would be 255 branches; a literal array + a
+        # filtered size is one vectorized expression)
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        for bit in range(bits):
+            z = z + F.shiftright(bucket, bit).bitwiseAND(1).cast("long") * (
+                1 << (bit * len(cols) + ci)
+            )
+    return z
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_partitions: int = 1,
     sort_by: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the live set as ``target_partitions`` files (small-file
     compaction); readers of old versions still see the old files.
@@ -392,10 +423,26 @@ def compact(
     (the OPTIMIZE-with-clustering form): each output file then covers
     a disjoint value range, so parquet footer min/max skips whole
     files on range probes — the same physics as
-    sources/io.write_sorted_layout, applied through the log."""
+    sources/io.write_sorted_layout, applied through the log.
+    ``zorder_by`` clusters on the Morton interleave of 2-4 columns
+    instead (the OPTIMIZE ZORDER BY form): a 1-D sort gives perfect
+    min/max boxes on ONE column and useless ones on every other,
+    while the Z-curve gives every listed column boxes ~sqrt-as-tight
+    — the multi-dimensional data-skipping trade, measured in
+    bench.py's layout experiment."""
+    if sort_by is not None and zorder_by is not None:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     rels = _live_rel(path)
     df = spark.read.option("mergeSchema", "true").parquet(*[_abs(path, r) for r in rels])
-    if sort_by is not None:
+    if zorder_by is not None:
+        zcol = _zorder_column(spark, df, zorder_by)
+        df = (
+            df.withColumn("__z", zcol)
+            .repartitionByRange(target_partitions, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by is not None:
         df = df.repartitionByRange(target_partitions, sort_by).sortWithinPartitions(
             sort_by
         )
@@ -404,6 +451,41 @@ def compact(
     actions: list[dict] = [{"remove": {"path": r}} for r in rels]
     actions.extend(_write_data_files(df, path))
     return _commit(path, actions)
+
+
+def snapshot_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column log-level data skipping: ``preds`` is a list of
+    (column, lower, upper); a file is opened only if its stored
+    min/max box intersects EVERY range. On a z-ordered table all
+    listed columns prune; on a 1-D-sorted table only the sort column
+    does — same exact result either way (the residual filter runs
+    regardless), different files_read."""
+    from pyspark.sql import functions as F
+
+    residual = None
+    keep = []
+    for a in _live_adds(path, version):
+        st = a.get("stats", {})
+        ok = True
+        for column, lower, upper in preds:
+            mn = st.get("min", {}).get(column)
+            mx = st.get("max", {}).get(column)
+            if mn is not None and mx is not None and (mx < lower or mn > upper):
+                ok = False
+                break
+        if ok:
+            keep.append(_abs(path, a["path"]))
+    for column, lower, upper in preds:
+        cond = (F.col(column) >= lower) & (F.col(column) <= upper)
+        residual = cond if residual is None else (residual & cond)
+    if not keep:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    return spark.read.option("mergeSchema", "true").parquet(*keep).filter(residual)
 
 
 def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -452,6 +534,44 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def restore(path: str, version: int) -> int:
+    """Delta-style RESTORE TO VERSION — roll the table back to an
+    earlier snapshot AS A NEW COMMIT (history is append-only: the
+    rollback itself is auditable and can itself be time-traveled or
+    restored away). The commit removes files live now but not at
+    ``version`` and re-adds files live at ``version`` but not now,
+    carrying their ORIGINAL add entries so file stats keep powering
+    log-level data skipping after the rollback. No data is copied or
+    rewritten — a restore is O(log), never O(table): the old files
+    still exist because only VACUUM deletes data, which is exactly
+    why a vacuum past ``version`` makes this raise instead of
+    committing a snapshot with dangling files. The change feed of
+    the restore commit is the rollback's CDF: deletes of the
+    rolled-back rows, inserts of the resurrected ones."""
+    cur = current_version(path)
+    if not 0 <= version <= cur:
+        raise FileNotFoundError(
+            f"no committed version {version} at {path} (latest is {cur})"
+        )
+    target = {a["path"]: a for a in _live_adds(path, version)}
+    current = {a["path"]: a for a in _live_adds(path)}
+    missing = sorted(p for p in target if not os.path.exists(_abs(path, p)))
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} data file(s) vacuumed (e.g. {missing[0]})"
+        )
+    actions: list[dict] = [
+        {"remove": {"path": p}} for p in sorted(current) if p not in target
+    ]
+    actions += [
+        {"add": target[p]} for p in sorted(target) if p not in current
+    ]
+    if not actions:
+        return current_version(path)  # already at that snapshot
+    return _commit(path, actions)
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

@@ -304,3 +304,122 @@ def test_merge_upsert_on_legacy_absolute_path_table(spark, tmp_path):
     snap = txlog.snapshot(spark, path)
     assert snap.count() == 80
     assert snap.filter((F.col("o_orderkey") < 10) & (F.col("o_totalprice") != 3.5)).count() == 0
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE TO VERSION: snapshot equality with the target version,
+    append-only history (the rollback is itself time-travelable), an
+    O(log) commit (no data rewrite — resurrected files are the SAME
+    paths), and a change feed of deletes + resurrected inserts."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") % 2 == 0), path)
+    v1 = txlog.append(o.filter(F.col("o_orderkey") % 2 == 1), path)
+    files_v1 = set(txlog.live_files(path))
+    txlog.delete_where(spark, path, F.col("o_orderkey") % 10 == 0)
+    v3 = txlog.restore(path, v1)
+    assert v3 == 3  # a NEW commit, not history rewriting
+    # snapshot equality with the pre-delete version
+    now = {tuple(r) for r in txlog.snapshot(spark, path).collect()}
+    then = {tuple(r) for r in txlog.snapshot(spark, path, version=v1).collect()}
+    assert now == then and len(now) == o.count()
+    # no data movement: the restored live set is exactly v1's files
+    assert set(txlog.live_files(path)) == files_v1
+    # time travel still sees the deleted state at version 2
+    assert txlog.snapshot(spark, path, version=2).count() < o.count()
+    # CDF of the restore commit: inserts resurrect the deleted rows
+    ch = txlog.changes(spark, path, v3)
+    inserted = {
+        r.o_orderkey for r in ch.filter(F.col("_change_type") == "insert").collect()
+    }
+    assert inserted and all(k % 10 == 0 for k in inserted)
+    # restoring to the current snapshot is a no-op, not a new commit
+    assert txlog.restore(path, v3) == v3
+    # stats survive the round trip: skipping still prunes from the log
+    with pytest.raises(FileNotFoundError):
+        txlog.restore(path, 99)
+
+
+def test_vacuum_blocks_restore_past_retention(spark, tmp_path):
+    """After VACUUM drops a version's files, restore to that version
+    must refuse (no dangling-file snapshots) while restore within the
+    retention window still works."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") % 2 == 0), path)
+    txlog.append(o.filter(F.col("o_orderkey") % 2 == 1), path)
+    # compact rewrites everything — the pre-compact files become
+    # vacuum candidates
+    txlog.compact(spark, path, target_partitions=2)
+    deleted = txlog.vacuum(path, keep_last=1)
+    assert deleted  # the old layout is physically gone
+    with pytest.raises(FileNotFoundError):
+        txlog.restore(path, 1)
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (a, b): a 1-D sort gives perfect file
+    boxes on the sort column and useless ones on the other; the
+    Morton interleave must give BOTH columns real pruning — and the
+    probe result must be exact regardless of layout."""
+    path_sorted = str(tmp_path / "sorted")
+    path_z = str(tmp_path / "zorder")
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    n_files = 16
+    for p, kw in (
+        (path_sorted, {"sort_by": "o_orderkey"}),
+        (path_z, {"zorder_by": ["o_orderkey", "o_totalprice"]}),
+    ):
+        txlog.create(o, p)
+        txlog.compact(spark, p, target_partitions=n_files, **kw)
+
+    keys = sorted(r.o_orderkey for r in o.collect())
+    prices = sorted(r.o_totalprice for r in o.collect())
+    k_lo, k_hi = keys[len(keys) // 2], keys[len(keys) // 2 + len(keys) // 16]
+    p_lo, p_hi = prices[len(prices) // 2], prices[len(prices) // 2 + len(prices) // 16]
+
+    def files_read(path, preds):
+        return len(
+            txlog.snapshot_pruned_multi(spark, path, preds).inputFiles()
+        )
+
+    key_pred = [("o_orderkey", k_lo, k_hi)]
+    price_pred = [("o_totalprice", p_lo, p_hi)]
+    # sort column prunes hard under the 1-D sort; the OTHER column
+    # reads every file
+    assert files_read(path_sorted, key_pred) <= 3
+    assert files_read(path_sorted, price_pred) == n_files
+    # z-order: BOTH columns prune to well under half the files
+    assert files_read(path_z, key_pred) <= n_files // 2
+    assert files_read(path_z, price_pred) <= n_files // 2
+    # and the 2-D probe intersects the boxes (at least as tight as
+    # the tighter single-column prune)
+    both = key_pred + price_pred
+    assert files_read(path_z, both) <= min(
+        files_read(path_z, key_pred), files_read(path_z, price_pred)
+    )
+    # exactness: identical result set on every layout, pruned or not
+    expect = {
+        tuple(r)
+        for r in o.filter(
+            (F.col("o_orderkey") >= k_lo)
+            & (F.col("o_orderkey") <= k_hi)
+            & (F.col("o_totalprice") >= p_lo)
+            & (F.col("o_totalprice") <= p_hi)
+        ).collect()
+    }
+    for p in (path_sorted, path_z):
+        got = {
+            tuple(r)
+            for r in txlog.snapshot_pruned_multi(spark, p, both)
+            .select("o_orderkey", "o_totalprice", "o_custkey")
+            .collect()
+        }
+        assert got == expect
+    assert expect  # probe is non-trivial
