@@ -89,7 +89,7 @@ _PRIORITY = [
     # window is rotation; these get rows if budget allows, else their
     # local-gate green stands)
     "media_h264_probe", "media_flac_decode",
-    "txlog_restore", "txlog_zorder",
+    "txlog_restore", "txlog_zorder", "pipeline_gzip_ingest",
 ]
 
 def _driver_order(d: dict) -> dict:

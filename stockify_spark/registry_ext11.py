@@ -337,3 +337,86 @@ def txlog_zorder(spark, sf_dir):
         path,
         [("o_orderkey", 1000, 3000), ("o_totalprice", 100000.0, 200000.0)],
     ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_gzip_ingest — compressed text-shard ingestion
+# ---------------------------------------------------------------------------
+
+_GZIP_SQL = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register("pipeline_gzip_ingest", _GZIP_SQL)
+def pipeline_gzip_ingest(spark, sf_dir):
+    """Compressed corpus ingestion: every document is gzip'd by
+    STDLIB gzip (the independent reference encoder) in one
+    mapInPandas stage, then decompressed by the from-scratch RFC
+    1951/1952 decoder (llm/deflate.gunzip — dynamic-Huffman inflate,
+    CRC-32 + ISIZE verified) in a second, and reduced to
+    (n_chars, md5) which the oracle recomputes from the PLAIN text —
+    so a single wrong inflate byte anywhere in the corpus fails the
+    value hash. This is the only codec in the family with an
+    in-container independent implementation on the other side of the
+    differential; the 147-case level-crossed round trip lives in
+    tests/test_deflate.py. Scale shape: gzip members are not
+    splittable, so the parallel unit is the member (one binary cell
+    per task batch) — exactly how WARC/.gz shards ingest at 100 TB,
+    and why both codec passes are map-only Arrow stages with zero
+    shuffles."""
+    import hashlib
+
+    import gzip as _gzip
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from stockify_spark.llm.deflate import gunzip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def pack(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "gz": [
+                        bytearray(_gzip.compress(t.encode("utf-8"), 6))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    packed = docs.mapInPandas(
+        pack,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("gz", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+    def unpack(batches):
+        for pdf in batches:
+            rows = []
+            for i, gz in zip(pdf["doc_id"], pdf["gz"]):
+                raw = gunzip(bytes(gz))
+                rows.append(
+                    (int(i), len(raw.decode("utf-8")), hashlib.md5(raw).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_chars", "content_md5"])
+
+    return packed.mapInPandas(
+        unpack,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("n_chars", T.LongType(), False),
+                T.StructField("content_md5", T.StringType(), False),
+            ]
+        ),
+    )
