@@ -100,3 +100,38 @@ def test_registry_query_content_exact(spark):
     for r in docs:
         md5 = hashlib.md5(r.text.encode("utf-8")).hexdigest()
         assert got[r.doc_id] == (len(r.text), md5)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: arbitrary payloads, arbitrary levels, always bit-exact
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    payload=st.binary(max_size=5000),
+    level=st.integers(min_value=0, max_value=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_inflate_matches_stdlib_on_arbitrary_input(payload, level):
+    assert zlib_decompress(zlib.compress(payload, level)) == payload
+    c = zlib.compressobj(level, zlib.DEFLATED, -15)
+    raw = c.compress(payload) + c.flush()
+    got, end = inflate(raw)
+    assert got == payload and end == len(raw)
+
+
+@given(
+    runs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(1, 400)), max_size=30
+    ),
+    level=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=40, deadline=None)
+def test_inflate_handles_long_matches(runs, level):
+    """Run-heavy payloads drive the encoder into long, overlapping
+    back-references — the copy loop's hard case."""
+    payload = b"".join(bytes([b]) * n for b, n in runs)
+    assert zlib_decompress(zlib.compress(payload, level)) == payload

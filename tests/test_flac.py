@@ -122,3 +122,18 @@ def test_registry_query_round_trips_on_spark(spark):
     assert by_id[8].n_samples == 3000 + 153 * 8 > BLOCKSIZE
     assert all(r.sample_rate == 16000 for r in rows)
     assert all(0 < r.peak <= 2000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: arbitrary int16 waveforms always round-trip losslessly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=9000))
+@settings(max_examples=40, deadline=None)
+def test_flac_round_trip_arbitrary_waveforms(samples):
+    dec, rate = decode_flac(encode_flac(samples, 8000))
+    assert dec == samples and rate == 8000
