@@ -318,6 +318,58 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
                 zorder_stats[f"zorder_{probe_name}_{layout}_sec"] = round(t, 4)
                 zorder_stats[f"zorder_{probe_name}_{layout}_files"] = nf
 
+        # E2d: Bloom file index. The tx table is price-sorted, so
+        # orderkey min/max boxes are useless; the log-stored bloom
+        # answers point membership per file. Absent-key probes (the
+        # ingest-dedup hot path) should open ZERO files.
+        txlog.attach_bloom(spark, tx_path, "l_orderkey")
+        ok_min = li.agg(F.min("l_orderkey")).collect()[0][0]
+        # an IN-RANGE absent key (TPC-H orderkeys are sparse): min/max
+        # stats cannot prune it — only the bloom can. Beyond-max keys
+        # would flatter the bloom (stats prune those too).
+        present = {
+            r[0]
+            for r in li.filter(
+                F.col("l_orderkey").between(ok_min, ok_min + 200)
+            )
+            .select("l_orderkey")
+            .distinct()
+            .collect()
+        }
+        ok_absent = next(
+            k for k in range(ok_min + 1, ok_min + 200) if k not in present
+        )
+        t_bloom_hit = probe(
+            lambda: txlog.snapshot_point(spark, tx_path, "l_orderkey", ok_min)
+        )
+        n_bloom_hit = len(
+            txlog.snapshot_point(spark, tx_path, "l_orderkey", ok_min).inputFiles()
+        )
+        n_bloom_miss = len(
+            txlog.snapshot_point(spark, tx_path, "l_orderkey", ok_absent).inputFiles()
+        )
+        t_stats_hit = probe(
+            lambda: txlog.snapshot_pruned(spark, tx_path, "l_orderkey", ok_min, ok_min)
+        )
+        n_stats_hit = len(
+            txlog.snapshot_pruned(
+                spark, tx_path, "l_orderkey", ok_min, ok_min
+            ).inputFiles()
+        )
+        n_stats_absent = len(
+            txlog.snapshot_pruned(
+                spark, tx_path, "l_orderkey", ok_absent, ok_absent
+            ).inputFiles()
+        )
+        bloom_stats = {
+            "bloom_point_hit_sec": round(t_bloom_hit, 4),
+            "bloom_point_hit_files": n_bloom_hit,
+            "bloom_point_absent_files": n_bloom_miss,
+            "bloom_stats_only_sec": round(t_stats_hit, 4),
+            "bloom_stats_only_files": n_stats_hit,
+            "bloom_stats_only_absent_files": n_stats_absent,
+        }
+
         # E2b replay cost: metadata-only cost of reconstructing the
         # live-file set from the commit log. Grow the log with small
         # appends, time a full-log replay, then checkpoint and time
@@ -364,6 +416,7 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
             ),
             "txlog_ckpt_version": ck_version,
             **zorder_stats,
+            **bloom_stats,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -420,3 +420,60 @@ def pipeline_gzip_ingest(spark, sf_dir):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# txlog_bloom_lookup — point lookups through the log-stored Bloom index
+# ---------------------------------------------------------------------------
+
+_BLOOM_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT MIN(l_orderkey) FROM lineitem
+                     UNION SELECT MAX(l_orderkey) FROM lineitem)
+"""
+
+
+@register("txlog_bloom_lookup", _BLOOM_SQL)
+def txlog_bloom_lookup(spark, sf_dir):
+    """Point lookups on a NON-clustered column through the per-file
+    Bloom index committed to the log (sources/txlog.attach_bloom /
+    snapshot_point): the scratch table is price-sorted, so min/max
+    stats are useless for orderkey probes (every file's key range
+    overlaps everything); the 8192-bit/6-hash filter answers
+    membership per file from the log alone — an ABSENT key opens
+    ZERO files (the ingest-dedup / CDC-anti-join hot path at 100 TB,
+    where almost every probed id is new), a present key opens only
+    its bloom-hit files, and the residual equality filter keeps
+    results exact through any false positive. Probe keys are the min
+    and max orderkey — computed identically by both engines, so the
+    oracle is plain SQL. Bench E2d reports files_read for present
+    and absent probes vs the stats-only path."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    from pyspark.sql import functions as F
+
+    def build(path: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        txlog.create(li, path)
+        txlog.compact(spark, path, target_partitions=8, sort_by="l_extendedprice")
+        txlog.attach_bloom(spark, path, "l_orderkey")
+
+    path = _scratch_table(sf_dir, "bloomidx", build)
+    li = _t(spark, sf_dir, "lineitem")
+    (row,) = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).collect()  # bounded: two probe keys of model state
+    parts = [
+        txlog.snapshot_point(spark, path, "l_orderkey", k).select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        for k in dict.fromkeys([row["lo"], row["hi"]])
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

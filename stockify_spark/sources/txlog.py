@@ -536,6 +536,144 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     return out
 
 
+def attach_bloom(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    bits: int | None = None,
+    k: int = 6,
+) -> int:
+    """Per-file Bloom filter index on ``column``, committed to the
+    LOG (a new action type older readers ignore). Min/max stats
+    answer RANGE probes on the clustered column; a Bloom bitset
+    answers POINT-membership probes on ANY column — the Delta
+    bloom-index use case: ingest dedup and CDC anti-joins ask "does
+    this id exist?" against keys that are mostly ABSENT, and a
+    2^13-bit filter per file turns each such probe into zero file
+    opens (false positives only cost a wasted open; the residual
+    filter keeps results exact). Build shape: each file's k hash
+    positions are aggregated IN the executors and only the <= bits
+    distinct positions per file reach the driver — bounded index
+    state, never row-scale. Hashing is md5-based (the cross-engine
+    hash discipline, though the index is engine-internal). Returns
+    the commit version; re-attaching replaces the index (latest
+    entry per (file, column) wins at read time). ``bits=None``
+    auto-sizes PER FILE to the next power of two >= 10 bits per
+    distinct key (>= 8192): a fixed size silently saturates once a
+    file's cardinality outgrows it — every bit set, every probe a
+    false positive, the index worse than useless — measured exactly
+    that way at sf0.1 before auto-sizing."""
+    from pyspark.sql import functions as F
+
+    if bits is not None and bits & (bits - 1):
+        raise ValueError("bits must be a power of two")
+    actions = []
+    for rel in _live_rel(path):
+        df = spark.read.parquet(_abs(path, rel)).select(
+            F.col(column).cast("string").alias("_v")
+        )
+        file_bits = bits
+        if file_bits is None:
+            n_distinct = df.filter(F.col("_v").isNotNull()).distinct().count()
+            file_bits = 8192
+            while file_bits < 10 * max(n_distinct, 1):
+                file_bits <<= 1
+        pos_cols = [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("_v"))), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % file_bits
+            ).alias(f"_p{i}")
+            for i in range(k)
+        ]
+        rows = (
+            df.filter(F.col("_v").isNotNull())
+            .select(F.explode(F.array(*pos_cols)).alias("_p"))
+            .distinct()
+            .collect()
+        )  # bounded: <= file_bits distinct positions per file
+        bitset = bytearray(file_bits // 8)
+        for r in rows:
+            p = int(r["_p"])
+            bitset[p >> 3] |= 1 << (p & 7)
+        import base64
+
+        actions.append(
+            {
+                "index": {
+                    "path": rel,
+                    "column": column,
+                    "bits": file_bits,
+                    "k": k,
+                    "bloom": base64.b64encode(bytes(bitset)).decode(),
+                }
+            }
+        )
+    if not actions:
+        return current_version(path)
+    return _commit(path, actions)
+
+
+def _bloom_indexes(path: str, column: str, version: int | None = None) -> dict:
+    """Latest bloom entry per file for ``column`` (log replay order)."""
+    out: dict[str, dict] = {}
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            idx = a.get("index")
+            if idx and idx["column"] == column:
+                out[idx["path"]] = idx
+    return out
+
+
+def snapshot_point(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup through the log-stored Bloom index: a file opens
+    only if its filter says ``value`` MIGHT be present (or it has no
+    filter — conservatively kept). Exact regardless: the residual
+    equality filter always runs; the bloom can only skip files where
+    the value is provably absent."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    blooms = _bloom_indexes(path, column, version)
+    import hashlib as _hashlib
+
+    keep = []
+    for a in _live_adds(path, version):
+        idx = blooms.get(a["path"])
+        if idx is not None:
+            bitset = base64.b64decode(idx["bloom"])
+            bits, kk = idx["bits"], idx["k"]
+            sval = str(value)
+            hit = True
+            for i in range(kk):
+                h = _hashlib.md5(f"{i}|{sval}".encode()).hexdigest()[:8]
+                p = int(h, 16) % bits
+                if not bitset[p >> 3] & (1 << (p & 7)):
+                    hit = False
+                    break
+            if not hit:
+                continue  # provably absent — never opened
+        keep.append(_abs(path, a["path"]))
+    if not keep:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*keep)
+        .filter(F.col(column) == value)
+    )
+
+
 def restore(path: str, version: int) -> int:
     """Delta-style RESTORE TO VERSION — roll the table back to an
     earlier snapshot AS A NEW COMMIT (history is append-only: the

@@ -423,3 +423,60 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
         }
         assert got == expect
     assert expect  # probe is non-trivial
+
+
+def test_bloom_index_point_lookup_prunes_scattered_column(spark, tmp_path):
+    """Bloom file index: on a table CLUSTERED by price, orderkey
+    point probes get nothing from min/max (every file spans most
+    keys) — the bloom must prune absent keys to ZERO file opens and
+    keep present-key results exact."""
+    path = str(tmp_path / "t")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    txlog.create(li, path)
+    txlog.compact(spark, path, target_partitions=8, sort_by="l_extendedprice")
+    txlog.attach_bloom(spark, path, "l_orderkey")
+
+    keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(3).collect()]
+    absent = max(r.l_orderkey for r in li.select("l_orderkey").collect()) + 999
+
+    # absent key: bloom says no everywhere -> zero files opened
+    df_absent = txlog.snapshot_point(spark, path, "l_orderkey", absent)
+    assert df_absent.count() == 0
+    assert len(df_absent.inputFiles()) == 0
+    # present keys: exact rows; opened files bounded by bloom hits
+    for key in keys:
+        got = {
+            tuple(r)
+            for r in txlog.snapshot_point(spark, path, "l_orderkey", key).collect()
+        }
+        expect = {
+            tuple(r) for r in li.filter(F.col("l_orderkey") == key).collect()
+        }
+        assert got == expect and expect
+    # control: min/max skipping is useless here — the key range of
+    # every price-sorted file overlaps the probe
+    n_all = len(
+        txlog.snapshot_pruned(spark, path, "l_orderkey", keys[0], keys[0]).inputFiles()
+    )
+    assert n_all == 8
+
+
+def test_bloom_false_positive_rate_is_bounded(spark, tmp_path):
+    """8192-bit / 6-hash filter over a few thousand keys: probing
+    many absent keys must open files rarely (the filter's entire
+    value is that absent probes are nearly free)."""
+    path = str(tmp_path / "t")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    txlog.create(li, path)
+    txlog.compact(spark, path, target_partitions=4)
+    txlog.attach_bloom(spark, path, "l_orderkey")
+    top = max(r.l_orderkey for r in li.select("l_orderkey").collect())
+    opened = sum(
+        len(txlog.snapshot_point(spark, path, "l_orderkey", top + 10 + i).inputFiles())
+        for i in range(50)
+    )
+    # 50 absent probes x 4 files = 200 chances; a healthy filter at
+    # this load factor false-positives well under 10% of them
+    assert opened <= 20
