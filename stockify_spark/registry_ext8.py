@@ -163,12 +163,18 @@ def text_perplexity(spark, sf_dir):
 
     Scale shape: the trigram stream is materialized once
     (localCheckpoint — it feeds the trigram counts, the context
-    counts, the vocab scalar, AND the per-instance scoring join);
-    count tables shuffle as compact (words, count) rows and join back
-    on their keys (AQE broadcasts them while they fit); the document
-    score is one groupBy(doc_id) average. Cross-engine float policy:
-    ln/exp drift is ~ulp-scale while the ROUND is 4dp — the
-    pagerank margin argument (DESIGN.md float policy)."""
+    counts, the vocab scalar, AND the per-instance scoring join).
+    This was re-litigated in round 8: WITHOUT the checkpoint the
+    executed plan shows 8 parquet scans and ZERO ReusedExchange —
+    the explode recomputes per consumer, a scan multiplication local
+    page cache hides but a 100 TB object store bills for — while
+    local wall-clock is within noise either way, so the checkpoint
+    stays (the pagerank lesson, measured not assumed). Count tables
+    shuffle as compact (words, count) rows and join back on their
+    keys (AQE broadcasts them while they fit); the document score is
+    one groupBy(doc_id) average. Cross-engine float policy: ln/exp
+    drift is ~ulp-scale while the ROUND is 4dp — the pagerank margin
+    argument (DESIGN.md float policy)."""
     tok = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.split(
