@@ -104,6 +104,11 @@ def test_representative_queries_execute_under_ansi_mode(spark):
         "sample_weighted", "dedup_simhash", "sim_pq_topk",
         "events_sessionize", "fn_null_handling", "doc_chunk_stride",
         "tokenizer_bpe_batched", "agg_exact_median",
+        # round-8: codec paths (binary columns through Arrow + integer
+        # bit math inside mapInPandas) and the bloom index's conv/md5
+        # hash arithmetic are exactly the ANSI-sensitive class
+        "media_flac_decode", "media_h264_probe", "pipeline_gzip_ingest",
+        "txlog_bloom_lookup", "txlog_zorder",
     ]
     prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     fails = []
