@@ -6,7 +6,10 @@ this module encodes and decodes real sample data losslessly per the
 public FLAC format (RFC 9639 / xiph.org spec):
 
 * Rice/Golomb residual coding — zigzag signed mapping, unary
-  quotient (q zero bits then a one), k-bit remainder,
+  quotient (q zero bits then a one), k-bit remainder, PARTITIONED
+  (RFC 9639 §9.2.7: the encoder tries partition orders 0-4 and keeps
+  the cheapest, so nonstationary blocks carry per-partition
+  parameters; the decoder handles any order),
 * fixed linear predictors of order 0-4 (the polynomial predictors
   whose coefficients are binomial — no LPC coefficient tables
   needed), chosen per frame by residual magnitude,
@@ -154,7 +157,8 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
 
 
-def _best_rice_param(residuals: list[int]) -> int:
+def _best_rice_param(residuals: list[int]) -> tuple[int, int]:
+    """(best 4-bit param, its coded bit cost) for one partition."""
     best_k, best_bits = 0, None
     total_u = [_zigzag(r) for r in residuals]
     for k in range(15):
@@ -163,36 +167,75 @@ def _best_rice_param(residuals: list[int]) -> int:
             best_k, best_bits = k, bits
         elif bits > best_bits * 2:
             break
-    return best_k
+    return best_k, best_bits or 0
 
 
-def _write_residuals(w: _BitWriter, residuals: list[int]) -> None:
-    """Rice coding method 00, partition order 0, one 4-bit param."""
-    k = _best_rice_param(residuals)
+def _partition_slices(
+    blocksize: int, order: int, porder: int
+) -> list[tuple[int, int]] | None:
+    """Residual (start, count) per partition at ``porder``, or None if
+    the geometry is invalid (RFC 9639: blocksize divisible by 2^p;
+    first partition loses the predictor's warmup samples)."""
+    parts = 1 << porder
+    if blocksize % parts:
+        return None
+    per = blocksize // parts
+    if per <= order:
+        return None
+    out = []
+    pos = 0
+    for i in range(parts):
+        cnt = per - order if i == 0 else per
+        out.append((pos, cnt))
+        pos += cnt
+    return out
+
+
+def _write_residuals(
+    w: _BitWriter, residuals: list[int], blocksize: int, order: int
+) -> None:
+    """Partitioned Rice, coding method 00: the encoder tries partition
+    orders 0-4 and keeps the cheapest — nonstationary blocks win with
+    per-partition parameters, exactly why the format has them."""
+    best = None
+    for porder in range(5):
+        slices = _partition_slices(blocksize, order, porder)
+        if slices is None:
+            continue
+        plan = [
+            _best_rice_param(residuals[s : s + c]) for s, c in slices
+        ]
+        cost = 4 * len(plan) + sum(b for _, b in plan)
+        if best is None or cost < best[2]:
+            best = (porder, [k for k, _ in plan], cost, slices)
+    porder, params, _, slices = best
     w.u(0, 2)  # coding method: 4-bit rice
-    w.u(0, 4)  # partition order 0
-    w.u(k, 4)
-    for r in residuals:
-        u = _zigzag(r)
-        w.unary(u >> k)
-        if k:
-            w.u(u & ((1 << k) - 1), k)
+    w.u(porder, 4)
+    for (s, c), k in zip(slices, params):
+        w.u(k, 4)
+        for rres in residuals[s : s + c]:
+            u = _zigzag(rres)
+            w.unary(u >> k)
+            if k:
+                w.u(u & ((1 << k) - 1), k)
 
 
-def _read_residuals(r: _BitReader, n: int) -> list[int]:
+def _read_residuals(r: _BitReader, blocksize: int, order: int) -> list[int]:
     method = r.u(2)
     if method != 0:
         raise NotImplementedError("5-bit rice escape not emitted by this encoder")
     porder = r.u(4)
-    if porder != 0:
-        raise NotImplementedError("partitioned rice not emitted by this encoder")
-    k = r.u(4)
-    if k == 15:
-        raise NotImplementedError("verbatim rice escape not emitted")
-    out = []
-    for _ in range(n):
-        u = (r.unary() << k) | (r.u(k) if k else 0)
-        out.append(_unzigzag(u))
+    slices = _partition_slices(blocksize, order, porder)
+    if slices is None:
+        raise ValueError(f"invalid partition order {porder} for block {blocksize}")
+    out: list[int] = []
+    for _, cnt in slices:
+        k = r.u(4)
+        if k == 15:
+            raise NotImplementedError("verbatim rice escape not emitted")
+        for _ in range(cnt):
+            u = (r.unary() << k) | (r.u(k) if k else 0)
+            out.append(_unzigzag(u))
     return out
 
 
@@ -306,7 +349,7 @@ def _encode_frame(
         w.u(0, 1)  # no wasted bits
         for s in samples[:best_order]:  # warmup, frame bit depth
             w.u(s & 0xFFFF, 16)
-        _write_residuals(w, _difference(samples, best_order))
+        _write_residuals(w, _difference(samples, best_order), n, best_order)
     w.align()
     body = w.bytes()
     return body + struct.pack(">H", crc16(body))
@@ -431,7 +474,7 @@ def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
         elif 0b001000 <= stype <= 0b001100:  # fixed order 0-4
             order = stype & 0x07
             warmup = [r.s(16) for _ in range(order)]
-            block = _reintegrate(_read_residuals(r, n - order), warmup, order)
+            block = _reintegrate(_read_residuals(r, n, order), warmup, order)
         elif stype >= 0b100000:
             raise NotImplementedError("LPC subframes not in the fixed subset")
         else:
