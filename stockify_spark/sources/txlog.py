@@ -410,6 +410,36 @@ def _zorder_column(spark: SparkSession, df, cols: list[str], bits: int = 8):
     return z
 
 
+def compact_small(
+    spark: SparkSession,
+    path: str,
+    min_bytes: int = 8 << 20,
+    target_partitions: int = 1,
+) -> int:
+    """Selective small-file compaction — the real OPTIMIZE semantics:
+    only files under ``min_bytes`` are rewritten (bin-packed into
+    ``target_partitions`` new files); every file already at a healthy
+    size keeps its PATH, stays shared with older snapshots, and costs
+    nothing to "compact". A streaming sink or trickle of appends
+    produces thousands of KB-scale files; full-table compaction would
+    rewrite 100 TB to fix 100 MB — this rewrites only the fragments,
+    so the maintenance cost tracks the fragmentation, not the table.
+    Returns the commit version (unchanged if nothing qualifies)."""
+    small = [
+        rel
+        for rel in _live_rel(path)
+        if os.path.getsize(_abs(path, rel)) < min_bytes
+    ]
+    if len(small) < 2:
+        return current_version(path)  # nothing worth packing
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_abs(path, r) for r in small]
+    )
+    actions: list[dict] = [{"remove": {"path": r}} for r in small]
+    actions.extend(_write_data_files(df.coalesce(target_partitions), path))
+    return _commit(path, actions)
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -480,3 +480,29 @@ def test_bloom_false_positive_rate_is_bounded(spark, tmp_path):
     # 50 absent probes x 4 files = 200 chances; a healthy filter at
     # this load factor false-positives well under 10% of them
     assert opened <= 20
+
+
+def test_compact_small_leaves_healthy_files_shared(spark, tmp_path):
+    """Selective OPTIMIZE: small trickle-append files bin-pack into
+    one; the original big file keeps its path (still shared with the
+    pre-compaction snapshot), rows and values unchanged."""
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.coalesce(1), path)  # one healthy-sized file
+    big_files = set(txlog.live_files(path))
+    for i in range(5):  # trickle of tiny appends
+        txlog.append(o.filter(F.col("o_orderkey") % 100 == i).coalesce(1), path)
+    before = {tuple(r) for r in txlog.snapshot(spark, path).collect()}
+    n_before = len(txlog.live_files(path))
+    # threshold between the healthy file (~16 KB at this SF) and
+    # the ~KB append fragments
+    v = txlog.compact_small(spark, path, min_bytes=5_000, target_partitions=1)
+    after_files = set(txlog.live_files(path))
+    # the big file survived by PATH (no rewrite, still shared)
+    assert big_files <= after_files
+    # five fragments became one packed file
+    assert len(after_files) == len(big_files) + 1 < n_before
+    # values identical
+    assert {tuple(r) for r in txlog.snapshot(spark, path).collect()} == before
+    # idempotent: nothing left to pack -> no new commit
+    assert txlog.compact_small(spark, path, min_bytes=5_000) == v
