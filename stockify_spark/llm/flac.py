@@ -17,14 +17,19 @@ public FLAC format (RFC 9639 / xiph.org spec):
   number, blocksize/sample-rate codes, CRC-8 header check and
   CRC-16 frame check, STREAMINFO with the MD5 of the raw samples.
 
-Scope and honesty: mono, 16-bit, fixed predictors + constant +
-verbatim subframes — the subset every FLAC decoder must support.
-LPC subframes (encoder-estimated coefficients) and multi-channel
-decorrelation are NOT implemented and raise NotImplementedError on
-decode; this module never emits them. Losslessness is provable, not
-asserted: decode(encode(x)) == x bit-exactly, and the decoder
-verifies CRC-8, CRC-16, and the STREAMINFO MD5 on every stream
-(property-tested in tests/test_flac.py).
+Scope and honesty: mono, 16-bit; constant, verbatim-class, fixed
+(orders 0-4) AND real LPC subframes — Levinson-Durbin analysis over
+the block autocorrelation, coefficient quantization to 12 bits with
+an adaptive shift, and exact integer prediction on decode (any LPC
+order 1-32), with the encoder choosing whichever subframe class
+costs fewest estimated bits. Multi-channel decorrelation is the one
+remaining NotImplementedError boundary (this module never emits
+multi-channel streams). Losslessness is provable, not asserted:
+decode(encode(x)) == x bit-exactly — quantized-LPC prediction is
+integer-identical on both sides, so predictor quality affects only
+SIZE, never fidelity — and the decoder verifies CRC-8, CRC-16, and
+the STREAMINFO MD5 on every stream (property-tested in
+tests/test_flac.py).
 
 Why it belongs in a 100 TB pipeline: audio corpora ship compressed;
 a filter-before-decode router needs the STREAMINFO walk (duration,
@@ -244,6 +249,64 @@ def _read_residuals(r: _BitReader, blocksize: int, order: int) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+def _lpc_analyze(samples: list[int], order: int) -> list[float] | None:
+    """Levinson-Durbin over the block's autocorrelation — the
+    textbook LPC analysis every lossless audio coder uses (public
+    algorithm; no tables). Returns predictor coefficients a[1..order]
+    (s[i] ~ sum a[j]*s[i-j]) or None for degenerate blocks."""
+    n = len(samples)
+    if n <= order:
+        return None
+    r = []
+    for lag in range(order + 1):
+        acc = 0.0
+        for i in range(lag, n):
+            acc += samples[i] * samples[i - lag]
+        r.append(acc)
+    if r[0] == 0.0:
+        return None  # silent block — constant subframe handles it
+    err = r[0] * 1.000001 + 1e-9  # tiny ridge keeps recursion stable
+    a = [0.0] * (order + 1)
+    for m in range(1, order + 1):
+        acc = r[m]
+        for j in range(1, m):
+            acc -= a[j] * r[m - j]
+        k = acc / err
+        if not -2.0 < k < 2.0:
+            return None
+        new_a = a[:]
+        new_a[m] = k
+        for j in range(1, m):
+            new_a[j] = a[j] - k * a[m - j]
+        a = new_a
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    return a[1:]
+
+
+def _quantize_lpc(coefs: list[float], precision: int = 12):
+    """(quantized ints, shift) with every |q| < 2^(precision-1);
+    lowers the shift until everything fits."""
+    lim = 1 << (precision - 1)
+    for shift in range(14, -1, -1):
+        q = [int(round(c * (1 << shift))) for c in coefs]
+        if all(-lim <= x < lim for x in q):
+            return q, shift
+    return None
+
+
+def _lpc_residuals(
+    samples: list[int], q: list[int], shift: int
+) -> list[int]:
+    order = len(q)
+    out = []
+    for i in range(order, len(samples)):
+        pred = sum(q[j] * samples[i - 1 - j] for j in range(order)) >> shift
+        out.append(samples[i] - pred)
+    return out
+
+
 def _difference(samples: list[int], order: int) -> list[int]:
     res = list(samples)
     for _ in range(order):
@@ -333,23 +396,56 @@ def _encode_frame(
         w.u(b, 8)
     w.u(crc8(header), 8)
 
-    # subframe: constant / fixed order minimizing |residual| sum
+    # subframe: constant / fixed / LPC — cheapest estimated bit cost
     w.u(0, 1)  # zero padding bit
     if all(s == samples[0] for s in samples):
         w.u(0b000000, 6)  # SUBFRAME_CONSTANT
         w.u(0, 1)  # no wasted bits
         w.u(samples[0] & 0xFFFF, 16)
     else:
-        best_order, best_cost = 0, None
+        def rice_cost(res: list[int]) -> int:
+            return _best_rice_param(res)[1] if res else 0
+
+        # fixed predictors: header = warmup only
+        best = None  # (cost, kind, order, residuals, q, shift)
         for order in range(min(MAX_FIXED_ORDER, n - 1) + 1):
-            cost = sum(abs(x) for x in _difference(samples, order))
-            if best_cost is None or cost < best_cost:
-                best_order, best_cost = order, cost
-        w.u(0b001000 | best_order, 6)  # SUBFRAME_FIXED
-        w.u(0, 1)  # no wasted bits
-        for s in samples[:best_order]:  # warmup, frame bit depth
-            w.u(s & 0xFFFF, 16)
-        _write_residuals(w, _difference(samples, best_order), n, best_order)
+            res = _difference(samples, order)
+            cost = rice_cost(res) + 16 * order
+            if best is None or cost < best[0]:
+                best = (cost, "fixed", order, res, None, 0)
+        # LPC: header also carries precision/shift/coefficients, but
+        # real audio pays it back through much smaller residuals
+        precision = 12
+        for order in (4, 8):
+            if n <= order + 1:
+                continue
+            coefs = _lpc_analyze(samples, order)
+            if coefs is None:
+                continue
+            qz = _quantize_lpc(coefs, precision)
+            if qz is None:
+                continue
+            q, shift = qz
+            res = _lpc_residuals(samples, q, shift)
+            cost = rice_cost(res) + 16 * order + 4 + 5 + precision * order
+            if cost < best[0]:
+                best = (cost, "lpc", order, res, q, shift)
+        _, kind, order, res, q, shift = best
+        if kind == "fixed":
+            w.u(0b001000 | order, 6)  # SUBFRAME_FIXED
+            w.u(0, 1)  # no wasted bits
+            for s in samples[:order]:  # warmup, frame bit depth
+                w.u(s & 0xFFFF, 16)
+        else:
+            w.u(0b100000 | (order - 1), 6)  # SUBFRAME_LPC
+            w.u(0, 1)  # no wasted bits
+            for s in samples[:order]:
+                w.u(s & 0xFFFF, 16)
+            w.u(precision - 1, 4)
+            w.u(shift, 5)  # non-negative; field is wide enough
+            for c in q:
+                w.u(c & ((1 << precision) - 1), precision)
+        _write_residuals(w, res, n, order)
     w.align()
     body = w.bytes()
     return body + struct.pack(">H", crc16(body))
@@ -475,8 +571,23 @@ def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
             order = stype & 0x07
             warmup = [r.s(16) for _ in range(order)]
             block = _reintegrate(_read_residuals(r, n, order), warmup, order)
-        elif stype >= 0b100000:
-            raise NotImplementedError("LPC subframes not in the fixed subset")
+        elif stype >= 0b100000:  # LPC order 1-32
+            order = (stype & 0x1F) + 1
+            warmup = [r.s(16) for _ in range(order)]
+            precision = r.u(4) + 1
+            if precision == 16:
+                raise ValueError("invalid qlp precision escape")
+            shift = r.s(5)
+            if shift < 0:
+                raise ValueError("negative qlp shift")
+            q = [r.s(precision) for _ in range(order)]
+            res = _read_residuals(r, n, order)
+            block = list(warmup)
+            for i in range(order, n):
+                pred = (
+                    sum(q[j] * block[i - 1 - j] for j in range(order)) >> shift
+                )
+                block.append(pred + res[i - order])
         else:
             raise ValueError(f"reserved subframe type {stype:#08b}")
         r.align()

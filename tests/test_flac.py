@@ -157,3 +157,38 @@ def test_partitioned_rice_is_used_and_round_trips():
     first = w._out[0]
     assert first >> 6 == 0  # method: 4-bit rice
     assert (first >> 2) & 0xF > 0  # partition order chosen > 0
+
+
+def test_lpc_subframes_chosen_and_lossless():
+    """Noisy tonal content is where fixed differencing loses (it
+    amplifies the noise 2^order-fold) and real LPC wins: the encoder
+    must CHOOSE an LPC subframe there (stream shrinks vs fixed-only),
+    and the integer-prediction decode must stay bit-exact."""
+    import stockify_spark.llm.flac as fl
+
+    rnd = random.Random(1)
+    s = [int(8000 * math.sin(t / 30)) + rnd.randint(-50, 50) for t in range(9000)]
+    enc = fl.encode_flac(s, 16000)
+    dec, _ = fl.decode_flac(enc)
+    assert dec == s
+    orig = fl._lpc_analyze
+    try:
+        fl._lpc_analyze = lambda *a, **k: None  # disable LPC candidates
+        fixed_only = fl.encode_flac(s, 16000)
+    finally:
+        fl._lpc_analyze = orig
+    assert len(enc) < len(fixed_only)  # LPC was chosen AND paid off
+    dec2, _ = fl.decode_flac(fixed_only)
+    assert dec2 == s  # fixed path unchanged
+
+
+def test_lpc_quantization_fits_precision():
+    from stockify_spark.llm.flac import _lpc_analyze, _quantize_lpc
+
+    s = [int(12000 * math.sin(t / 9.7)) for t in range(4096)]
+    coefs = _lpc_analyze(s, 8)
+    assert coefs is not None
+    q, shift = _quantize_lpc(coefs, 12)
+    lim = 1 << 11
+    assert all(-lim <= x < lim for x in q)
+    assert 0 <= shift <= 14
