@@ -1,4 +1,4 @@
-"""Pure-Python FLAC codec (fixed-predictor subset) — stdlib only.
+"""Pure-Python FLAC codec — stdlib only.
 
 The first ENTROPY-CODED codec in the media family implemented end to
 end: unlike the header/structure probes (llm/mp3.py, llm/h264.py),
@@ -17,14 +17,17 @@ public FLAC format (RFC 9639 / xiph.org spec):
   number, blocksize/sample-rate codes, CRC-8 header check and
   CRC-16 frame check, STREAMINFO with the MD5 of the raw samples.
 
-Scope and honesty: mono, 16-bit; constant, verbatim-class, fixed
-(orders 0-4) AND real LPC subframes — Levinson-Durbin analysis over
-the block autocorrelation, coefficient quantization to 12 bits with
-an adaptive shift, and exact integer prediction on decode (any LPC
-order 1-32), with the encoder choosing whichever subframe class
-costs fewest estimated bits. Multi-channel decorrelation is the one
-remaining NotImplementedError boundary (this module never emits
-multi-channel streams). Losslessness is provable, not asserted:
+Scope and honesty: mono AND stereo, 16-bit; constant,
+verbatim-class, fixed (orders 0-4) AND real LPC subframes —
+Levinson-Durbin analysis over the block autocorrelation, coefficient
+quantization to 12 bits with an adaptive shift, and exact integer
+prediction on decode (any LPC order 1-32) — with the encoder
+choosing whichever subframe class costs fewest estimated bits.
+Stereo frames pick per-frame among independent / left-side /
+right-side / mid-side channel decorrelation (the side channel
+carries its extra 17th bit; mid/side parity reconstruction per the
+spec), so correlated stereo compresses below two mono encodes.
+Losslessness is provable, not asserted:
 decode(encode(x)) == x bit-exactly — quantized-LPC prediction is
 integer-identical on both sides, so predictor quality affects only
 SIZE, never fidelity — and the decoder verifies CRC-8, CRC-16, and
@@ -368,10 +371,111 @@ def _utf8_decode(r: _BitReader) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _encode_frame(
-    samples: list[int], frame_no: int, sample_rate: int
-) -> bytes:
+def _subframe_cost(samples: list[int], depth: int) -> int:
+    """Estimated bit cost of the best subframe for this channel —
+    used by the stereo-decorrelation chooser without double-encoding."""
     n = len(samples)
+    if n and all(s == samples[0] for s in samples):
+        return 8 + depth
+    best = None
+    for order in range(min(MAX_FIXED_ORDER, n - 1) + 1):
+        res = _difference(samples, order)
+        cost = (_best_rice_param(res)[1] if res else 0) + depth * order
+        if best is None or cost < best:
+            best = cost
+    return 8 + (best or 0)
+
+
+def _write_subframe(w: _BitWriter, samples: list[int], depth: int) -> None:
+    """One channel's subframe: constant / fixed / LPC — cheapest
+    estimated bit cost. ``depth`` is the channel bit depth (17 for a
+    stereo side channel, else the frame depth)."""
+    n = len(samples)
+    mask = (1 << depth) - 1
+    if all(s == samples[0] for s in samples):
+        w.u(0b000000, 6)  # SUBFRAME_CONSTANT
+        w.u(0, 1)  # no wasted bits
+        w.u(samples[0] & mask, depth)
+        return
+
+    def rice_cost(res: list[int]) -> int:
+        return _best_rice_param(res)[1] if res else 0
+
+    # fixed predictors: header = warmup only
+    best = None  # (cost, kind, order, residuals, q, shift)
+    for order in range(min(MAX_FIXED_ORDER, n - 1) + 1):
+        res = _difference(samples, order)
+        cost = rice_cost(res) + depth * order
+        if best is None or cost < best[0]:
+            best = (cost, "fixed", order, res, None, 0)
+    # LPC: header also carries precision/shift/coefficients, but
+    # real audio pays it back through much smaller residuals
+    precision = 12
+    for order in (4, 8):
+        if n <= order + 1:
+            continue
+        coefs = _lpc_analyze(samples, order)
+        if coefs is None:
+            continue
+        qz = _quantize_lpc(coefs, precision)
+        if qz is None:
+            continue
+        q, shift = qz
+        res = _lpc_residuals(samples, q, shift)
+        cost = rice_cost(res) + depth * order + 4 + 5 + precision * order
+        if cost < best[0]:
+            best = (cost, "lpc", order, res, q, shift)
+    _, kind, order, res, q, shift = best
+    if kind == "fixed":
+        w.u(0b001000 | order, 6)  # SUBFRAME_FIXED
+        w.u(0, 1)  # no wasted bits
+        for s in samples[:order]:  # warmup, channel bit depth
+            w.u(s & mask, depth)
+    else:
+        w.u(0b100000 | (order - 1), 6)  # SUBFRAME_LPC
+        w.u(0, 1)  # no wasted bits
+        for s in samples[:order]:
+            w.u(s & mask, depth)
+        w.u(precision - 1, 4)
+        w.u(shift, 5)  # non-negative; field is wide enough
+        for c in q:
+            w.u(c & ((1 << precision) - 1), precision)
+    _write_residuals(w, res, n, order)
+
+
+# stereo channel assignments (RFC 9639 frame header): code -> which
+# derived channels are stored, and which of the two carries the extra
+# side bit
+_CH_INDEPENDENT = 0b0001
+_CH_LEFT_SIDE = 0b1000
+_CH_RIGHT_SIDE = 0b1001
+_CH_MID_SIDE = 0b1010
+
+
+def _encode_frame(
+    channels: list[list[int]], frame_no: int, sample_rate: int
+) -> bytes:
+    n = len(channels[0])
+    stereo = len(channels) == 2
+    if stereo:
+        left, right = channels
+        side = [a - b for a, b in zip(left, right)]
+        mid = [(a + b) >> 1 for a, b in zip(left, right)]
+        # pick the decorrelation whose stored channels cost least —
+        # correlated stereo makes the side channel nearly silent
+        options = [
+            (_CH_INDEPENDENT, [(left, 16), (right, 16)]),
+            (_CH_LEFT_SIDE, [(left, 16), (side, 17)]),
+            (_CH_RIGHT_SIDE, [(side, 17), (right, 16)]),
+            (_CH_MID_SIDE, [(mid, 16), (side, 17)]),
+        ]
+        ch_code, stored = min(
+            options,
+            key=lambda o: sum(_subframe_cost(s, d) for s, d in o[1]),
+        )
+    else:
+        ch_code = 0  # mono
+        stored = [(channels[0], 16)]
     w = _BitWriter()
     w.u(0b11111111111110, 14)  # sync
     w.u(0, 1)  # reserved
@@ -382,7 +486,7 @@ def _encode_frame(
         bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize-1 follows
     w.u(bs_code, 4)
     w.u(0, 4)  # sample rate: from STREAMINFO
-    w.u(0, 4)  # channels: mono
+    w.u(ch_code, 4)
     w.u(0b100, 3)  # 16-bit samples
     w.u(0, 1)  # reserved
     for b in _utf8_encode(frame_no):
@@ -395,83 +499,53 @@ def _encode_frame(
     for b in header:
         w.u(b, 8)
     w.u(crc8(header), 8)
-
-    # subframe: constant / fixed / LPC — cheapest estimated bit cost
-    w.u(0, 1)  # zero padding bit
-    if all(s == samples[0] for s in samples):
-        w.u(0b000000, 6)  # SUBFRAME_CONSTANT
-        w.u(0, 1)  # no wasted bits
-        w.u(samples[0] & 0xFFFF, 16)
-    else:
-        def rice_cost(res: list[int]) -> int:
-            return _best_rice_param(res)[1] if res else 0
-
-        # fixed predictors: header = warmup only
-        best = None  # (cost, kind, order, residuals, q, shift)
-        for order in range(min(MAX_FIXED_ORDER, n - 1) + 1):
-            res = _difference(samples, order)
-            cost = rice_cost(res) + 16 * order
-            if best is None or cost < best[0]:
-                best = (cost, "fixed", order, res, None, 0)
-        # LPC: header also carries precision/shift/coefficients, but
-        # real audio pays it back through much smaller residuals
-        precision = 12
-        for order in (4, 8):
-            if n <= order + 1:
-                continue
-            coefs = _lpc_analyze(samples, order)
-            if coefs is None:
-                continue
-            qz = _quantize_lpc(coefs, precision)
-            if qz is None:
-                continue
-            q, shift = qz
-            res = _lpc_residuals(samples, q, shift)
-            cost = rice_cost(res) + 16 * order + 4 + 5 + precision * order
-            if cost < best[0]:
-                best = (cost, "lpc", order, res, q, shift)
-        _, kind, order, res, q, shift = best
-        if kind == "fixed":
-            w.u(0b001000 | order, 6)  # SUBFRAME_FIXED
-            w.u(0, 1)  # no wasted bits
-            for s in samples[:order]:  # warmup, frame bit depth
-                w.u(s & 0xFFFF, 16)
-        else:
-            w.u(0b100000 | (order - 1), 6)  # SUBFRAME_LPC
-            w.u(0, 1)  # no wasted bits
-            for s in samples[:order]:
-                w.u(s & 0xFFFF, 16)
-            w.u(precision - 1, 4)
-            w.u(shift, 5)  # non-negative; field is wide enough
-            for c in q:
-                w.u(c & ((1 << precision) - 1), precision)
-        _write_residuals(w, res, n, order)
+    for ch, depth in stored:
+        w.u(0, 1)  # zero padding bit
+        _write_subframe(w, ch, depth)
     w.align()
     body = w.bytes()
     return body + struct.pack(">H", crc16(body))
 
 
-def encode_flac(samples: list[int], sample_rate: int = 16000) -> bytes:
-    """Mono 16-bit FLAC stream: fLaC magic + STREAMINFO + frames."""
-    if any(not -32768 <= s <= 32767 for s in samples):
-        raise ValueError("16-bit sample range exceeded")
+def encode_flac(samples, sample_rate: int = 16000) -> bytes:
+    """16-bit FLAC stream: fLaC magic + STREAMINFO + frames.
+    ``samples`` is a flat mono list, or a (left, right) tuple/list of
+    two equal-length channel lists for stereo (per-frame the encoder
+    picks independent / left-side / right-side / mid-side, whichever
+    decorrelation costs least)."""
+    if (
+        isinstance(samples, (tuple, list))
+        and len(samples) == 2
+        and isinstance(samples[0], list)
+    ):
+        chans = [samples[0], samples[1]]
+        if len(chans[0]) != len(chans[1]):
+            raise ValueError("stereo channels must be equal length")
+    else:
+        chans = [list(samples)]
+    for ch in chans:
+        if any(not -32768 <= s <= 32767 for s in ch):
+            raise ValueError("16-bit sample range exceeded")
+    n_samples = len(chans[0])
     frames = bytearray()
-    for i in range(0, max(len(samples), 1), BLOCKSIZE):
-        block = samples[i : i + BLOCKSIZE]
-        if block:
+    for i in range(0, max(n_samples, 1), BLOCKSIZE):
+        block = [ch[i : i + BLOCKSIZE] for ch in chans]
+        if block[0]:
             frames += _encode_frame(block, i // BLOCKSIZE, sample_rate)
-    md5 = hashlib.md5(
-        b"".join(struct.pack("<h", s) for s in samples)
-    ).digest()
+    interleaved = bytearray()
+    for i in range(n_samples):
+        for ch in chans:
+            interleaved += struct.pack("<h", ch[i])
+    md5 = hashlib.md5(bytes(interleaved)).digest()
     w = _BitWriter()
     w.u(BLOCKSIZE, 16)  # min blocksize
     w.u(BLOCKSIZE, 16)  # max blocksize
     w.u(0, 24)  # min frame size unknown
     w.u(0, 24)  # max frame size unknown
     w.u(sample_rate, 20)
-    w.u(0, 3)  # channels - 1
+    w.u(len(chans) - 1, 3)  # channels - 1
     w.u(15, 5)  # bits per sample - 1
-    w.u(len(samples), 36)
+    w.u(n_samples, 36)
     info = w.bytes() + md5
     header = b"fLaC" + bytes([0x80, 0, 0, len(info)]) + info  # last-block flag
     return header + bytes(frames)
@@ -521,16 +595,54 @@ def parse_streaminfo(data: bytes) -> dict:
     return info
 
 
-def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
-    """Full sample reconstruction; returns (samples, sample_rate).
-    With ``verify`` (default) checks every frame's CRC-8/CRC-16 and
-    the stream MD5 — a corrupted byte raises, never mis-decodes."""
+def _read_subframe(r: _BitReader, n: int, depth: int) -> list[int]:
+    """One channel's subframe at the given bit depth (17 for a
+    stereo side channel)."""
+    if r.u(1):
+        raise ValueError("subframe padding bit set")
+    stype = r.u(6)
+    if r.u(1):
+        raise NotImplementedError("wasted bits not emitted by this encoder")
+    if stype == 0:  # constant
+        return [r.s(depth)] * n
+    if stype == 1:  # verbatim
+        return [r.s(depth) for _ in range(n)]
+    if 0b001000 <= stype <= 0b001100:  # fixed order 0-4
+        order = stype & 0x07
+        warmup = [r.s(depth) for _ in range(order)]
+        return _reintegrate(_read_residuals(r, n, order), warmup, order)
+    if stype >= 0b100000:  # LPC order 1-32
+        order = (stype & 0x1F) + 1
+        warmup = [r.s(depth) for _ in range(order)]
+        precision = r.u(4) + 1
+        if precision == 16:
+            raise ValueError("invalid qlp precision escape")
+        shift = r.s(5)
+        if shift < 0:
+            raise ValueError("negative qlp shift")
+        q = [r.s(precision) for _ in range(order)]
+        res = _read_residuals(r, n, order)
+        block = list(warmup)
+        for i in range(order, n):
+            pred = sum(q[j] * block[i - 1 - j] for j in range(order)) >> shift
+            block.append(pred + res[i - order])
+        return block
+    raise ValueError(f"reserved subframe type {stype:#08b}")
+
+
+def decode_flac(data: bytes, verify: bool = True):
+    """Full sample reconstruction; returns (samples, sample_rate) —
+    ``samples`` is a flat list for mono, a (left, right) tuple of
+    channel lists for stereo. With ``verify`` (default) checks every
+    frame's CRC-8/CRC-16 and the stream MD5 — a corrupted byte
+    raises, never mis-decodes."""
     info = parse_streaminfo(data)
-    if info["channels"] != 1 or info["bits"] != 16:
-        raise NotImplementedError("decoder subset: mono 16-bit")
-    samples: list[int] = []
+    n_chan = info["channels"]
+    if n_chan not in (1, 2) or info["bits"] != 16:
+        raise NotImplementedError("decoder subset: mono/stereo 16-bit")
+    chans: list[list[int]] = [[] for _ in range(n_chan)]
     pos = info["frames_at"]
-    while len(samples) < info["total_samples"]:
+    while len(chans[0]) < info["total_samples"]:
         r = _BitReader(data, pos)
         if r.u(14) != 0b11111111111110:
             raise ValueError("lost frame sync")
@@ -541,8 +653,8 @@ def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
         chan = r.u(4)
         ssize = r.u(3)
         r.u(1)
-        if chan != 0 or ssize != 0b100:
-            raise NotImplementedError("decoder subset: mono 16-bit frames")
+        if ssize != 0b100:
+            raise NotImplementedError("decoder subset: 16-bit frames")
         _frame_no = _utf8_decode(r)
         if bs_code == 0b0110:
             n = r.u(8) + 1
@@ -557,39 +669,37 @@ def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
         if verify and crc8(data[pos:header_end]) != data[header_end]:
             raise ValueError("frame header CRC-8 mismatch")
         r.u(8)  # the CRC-8 byte itself
-        # subframe
-        if r.u(1):
-            raise ValueError("subframe padding bit set")
-        stype = r.u(6)
-        if r.u(1):
-            raise NotImplementedError("wasted bits not emitted by this encoder")
-        if stype == 0:  # constant
-            block = [r.s(16)] * n
-        elif stype == 1:  # verbatim
-            block = [r.s(16) for _ in range(n)]
-        elif 0b001000 <= stype <= 0b001100:  # fixed order 0-4
-            order = stype & 0x07
-            warmup = [r.s(16) for _ in range(order)]
-            block = _reintegrate(_read_residuals(r, n, order), warmup, order)
-        elif stype >= 0b100000:  # LPC order 1-32
-            order = (stype & 0x1F) + 1
-            warmup = [r.s(16) for _ in range(order)]
-            precision = r.u(4) + 1
-            if precision == 16:
-                raise ValueError("invalid qlp precision escape")
-            shift = r.s(5)
-            if shift < 0:
-                raise ValueError("negative qlp shift")
-            q = [r.s(precision) for _ in range(order)]
-            res = _read_residuals(r, n, order)
-            block = list(warmup)
-            for i in range(order, n):
-                pred = (
-                    sum(q[j] * block[i - 1 - j] for j in range(order)) >> shift
-                )
-                block.append(pred + res[i - order])
+        if chan == 0:  # mono
+            if n_chan != 1:
+                raise ValueError("mono frame in a stereo stream")
+            chans[0].extend(_read_subframe(r, n, 16))
         else:
-            raise ValueError(f"reserved subframe type {stype:#08b}")
+            if n_chan != 2:
+                raise ValueError("stereo frame in a mono stream")
+            if chan == _CH_INDEPENDENT:
+                left = _read_subframe(r, n, 16)
+                right = _read_subframe(r, n, 16)
+            elif chan == _CH_LEFT_SIDE:
+                left = _read_subframe(r, n, 16)
+                side = _read_subframe(r, n, 17)
+                right = [a - s for a, s in zip(left, side)]
+            elif chan == _CH_RIGHT_SIDE:
+                side = _read_subframe(r, n, 17)
+                right = _read_subframe(r, n, 16)
+                left = [b + s for b, s in zip(right, side)]
+            elif chan == _CH_MID_SIDE:
+                mid = _read_subframe(r, n, 16)
+                side = _read_subframe(r, n, 17)
+                # mid dropped the (L+R) LSB; side's parity restores it
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            else:
+                raise ValueError(f"reserved channel assignment {chan:#06b}")
+            chans[0].extend(left)
+            chans[1].extend(right)
         r.align()
         body_end = r.byte_pos()
         if body_end + 2 > len(data):
@@ -598,12 +708,14 @@ def decode_flac(data: bytes, verify: bool = True) -> tuple[list[int], int]:
             (frame_crc,) = struct.unpack(">H", data[body_end : body_end + 2])
             if crc16(data[pos:body_end]) != frame_crc:
                 raise ValueError("frame CRC-16 mismatch")
-        samples.extend(block)
         pos = body_end + 2
     if verify:
-        md5 = hashlib.md5(
-            b"".join(struct.pack("<h", s) for s in samples)
-        ).digest()
-        if md5 != info["md5"]:
+        interleaved = bytearray()
+        for i in range(len(chans[0])):
+            for ch in chans:
+                interleaved += struct.pack("<h", ch[i])
+        if hashlib.md5(bytes(interleaved)).digest() != info["md5"]:
             raise ValueError("stream MD5 mismatch")
-    return samples, info["sample_rate"]
+    if n_chan == 1:
+        return chans[0], info["sample_rate"]
+    return (chans[0], chans[1]), info["sample_rate"]

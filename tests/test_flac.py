@@ -192,3 +192,40 @@ def test_lpc_quantization_fits_precision():
     lim = 1 << 11
     assert all(-lim <= x < lim for x in q)
     assert 0 <= shift <= 14
+
+
+def test_stereo_decorrelation_round_trips_and_pays():
+    """Stereo: every channel-assignment path must reconstruct both
+    channels bit-exactly (including the 17-bit side channel at full
+    scale and mid/side parity), and joint-stereo must beat two
+    independent mono encodes on correlated content."""
+    rnd = random.Random(5)
+    L = [int(9000 * math.sin(t / 21)) + rnd.randint(-30, 30) for t in range(9000)]
+    R = [int(9000 * math.sin(t / 21)) + rnd.randint(-30, 30) for t in range(9000)]
+    enc = encode_flac((L, R), 44100)
+    (dl, dr), rate = decode_flac(enc)
+    assert dl == L and dr == R and rate == 44100
+    assert len(enc) < len(encode_flac(L, 44100)) + len(encode_flac(R, 44100))
+    # full-scale side channel: L-R needs all 17 bits
+    (dl, dr), _ = decode_flac(encode_flac(([32767] * 3000, [-32768] * 3000)))
+    assert dl == [32767] * 3000 and dr == [-32768] * 3000
+    # mid/side parity torture: odd sums drop a bit into the side LSB
+    Lo = [t % 2 + 100 for t in range(5000)]
+    Ro = [100] * 5000
+    (dl, dr), _ = decode_flac(encode_flac((Lo, Ro)))
+    assert dl == Lo and dr == Ro
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(-32768, 32767), st.integers(-32768, 32767)),
+        min_size=1,
+        max_size=6000,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_stereo_round_trip_arbitrary(pairs):
+    L = [a for a, _ in pairs]
+    R = [b for _, b in pairs]
+    (dl, dr), _ = decode_flac(encode_flac((L, R), 8000))
+    assert dl == L and dr == R
