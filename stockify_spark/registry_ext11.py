@@ -142,9 +142,10 @@ FROM v GROUP BY media_id
 @register("media_flac_decode", _FLAC_SQL)
 def media_flac_decode(spark, sf_dir):
     """End-to-end ENTROPY-CODED audio: each stream is synthesized
-    from a closed-form waveform, FLAC-encoded (llm/flac.py — Rice
-    residual coding over fixed linear predictors, CRC-8/16 framing,
-    STREAMINFO MD5), then decoded back and reduced to sample
+    from a closed-form waveform, FLAC-encoded (llm/flac.py —
+    partitioned Rice residual coding over fixed or LPC predictors,
+    CRC-8/16 framing, STREAMINFO MD5), then decoded back and reduced
+    to sample
     statistics. Unlike the spec-echo media oracles, this oracle
     RECOMPUTES the statistics from the waveform formula through an
     independent path: any mis-decoded sample (wrong Rice quotient,
