@@ -478,3 +478,116 @@ def txlog_bloom_lookup(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# window_interpolate — linear interpolation onto a dense daily grid
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+WITH bounds AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds),
+daily AS (
+  SELECT user_id, day, value AS v FROM (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+j AS (
+  SELECT g.user_id, g.day, d.v,
+         CASE WHEN d.v IS NOT NULL THEN g.day END AS obs_day
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day),
+w AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day) AS pv,
+         last_value(obs_day IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day) AS pd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(obs_day IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                         / CAST(date_diff('day', pd, nd) AS DOUBLE))
+             END, 6) AS value_li,
+       CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind
+FROM w
+"""
+
+
+@register("window_interpolate", _INTERP_SQL)
+def window_interpolate(spark, sf_dir):
+    """Linear interpolation of each user's irregular series onto a
+    dense daily grid — the gap-filler for models that need straight
+    lines between observations rather than window_resample's step
+    function. Same grid construction (per-user bounds, executor-side
+    sequence+explode, arg-max per-day dedup); then ONE forward and
+    ONE backward window pass carry the bracketing observation
+    (value, day) to every grid point, and the interpolation is pure
+    arithmetic: pv + (nv - pv) * (Δprev / Δspan), spelled in the
+    SAME IEEE operation order in both engines so the 6dp round is
+    drift-free (integer day arithmetic feeds one divide, one
+    multiply, one add). Grid edges cannot extrapolate by
+    construction: every user's grid spans min(ts)..max(ts), so both
+    brackets always exist. Two window passes over one user_id
+    shuffle — the same scale shape as resample."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts", F.to_date("ts").alias("day")
+    )
+    grid = (
+        t.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+                "day"
+            ),
+        )
+    )
+    dw = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        t.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("v"))
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "obs_day", F.when(F.col("v").isNotNull(), F.col("day"))
+    )
+    fw = Window.partitionBy("user_id").orderBy("day")
+    bw = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(fw))
+        .withColumn("pd", F.last("obs_day", ignorenulls=True).over(fw))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(bw))
+        .withColumn("nd", F.first("obs_day", ignorenulls=True).over(bw))
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    li = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return w.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(li, 6).alias("value_li"),
+        F.when(F.col("v").isNotNull(), "obs").otherwise("interp").alias("kind"),
+    )

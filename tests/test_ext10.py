@@ -362,3 +362,28 @@ def test_fn_lambda_edge_semantics(spark):
     assert rows[2].l2 is None and rows[2].clipped_sum is None
     assert rows[2].n_pos == 0
     assert rows[2].vmax is None and rows[2].vmin is None
+
+
+def test_interpolation_hand_values(spark):
+    """Known bracket: observations 10.0 on day 0 and 40.0 on day 3
+    must interpolate 20.0 and 30.0 on the two missing days; observed
+    days pass through unchanged."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, t0, 5, "view", 10.0, ""),
+        (2, t0 + 3 * day, 5, "view", 40.0, ""),
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        (r.day, r.kind): r.value_li
+        for r in QUERIES["window_interpolate"](spark, d).collect()
+    }
+    assert got == {
+        ("2024-01-01", "obs"): 10.0,
+        ("2024-01-02", "interp"): 20.0,
+        ("2024-01-03", "interp"): 30.0,
+        ("2024-01-04", "obs"): 40.0,
+    }
