@@ -90,7 +90,7 @@ _PRIORITY = [
     # local-gate green stands)
     "media_h264_probe", "media_flac_decode",
     "txlog_restore", "txlog_zorder", "pipeline_gzip_ingest",
-    "txlog_bloom_lookup", "window_interpolate",
+    "txlog_bloom_lookup", "window_interpolate", "events_anomaly_mad",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -591,3 +591,55 @@ def window_interpolate(spark, sf_dir):
         F.round(li, 6).alias("value_li"),
         F.when(F.col("v").isNotNull(), "obs").otherwise("interp").alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad — robust per-user outlier scoring (median/MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (SELECT user_id, MEDIAN(value) AS m FROM events GROUP BY 1),
+dev AS (SELECT e.event_id, e.user_id, e.value, med.m,
+               ABS(e.value - med.m) AS d
+        FROM events e JOIN med USING (user_id)),
+mad AS (SELECT user_id, MEDIAN(d) AS mad FROM dev GROUP BY 1)
+SELECT dev.event_id, dev.user_id,
+       ROUND(CASE WHEN mad.mad > 0
+                  THEN dev.d / (1.4826 * mad.mad) END, 6) AS score,
+       CASE WHEN mad.mad > 0
+            THEN ROUND(dev.d / (1.4826 * mad.mad), 6) > 3.0 END AS is_outlier
+FROM dev JOIN mad USING (user_id)
+"""
+
+
+@register("events_anomaly_mad", _MAD_SQL)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-user outlier scores: |x - median| / (1.4826 * MAD)
+    — the estimator that, unlike mean/stddev z-scores, a single
+    extreme value cannot drag (the anomaly would mask itself; 1.4826
+    is the standard normal-consistency constant). Two grouped exact
+    medians (Spark F.median == DuckDB MEDIAN's quantile_cont(0.5))
+    with the per-user scalars broadcast back to the event stream —
+    two small aggregates + two broadcast joins over one data-sized
+    scan. Cross-engine discipline: the score is ROUNDed to 6dp and
+    the outlier FLAG compares the ROUNDED score on BOTH faces, so an
+    ulp of interpolation drift cannot flip a boundary row (the
+    window_rolling_median lesson applied to a derived boolean);
+    degenerate users (MAD = 0) emit NULL score and flag on both."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("d").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "user_id")
+    raw = F.col("d") / (F.lit(1.4826) * F.col("mad"))
+    score = F.when(F.col("mad") > 0, F.round(raw, 6))
+    return scored.select(
+        "event_id",
+        "user_id",
+        score.alias("score"),
+        F.when(F.col("mad") > 0, F.round(raw, 6) > 3.0).alias("is_outlier"),
+    )

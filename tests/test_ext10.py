@@ -387,3 +387,24 @@ def test_interpolation_hand_values(spark):
         ("2024-01-03", "interp"): 30.0,
         ("2024-01-04", "obs"): 40.0,
     }
+
+
+def test_mad_outlier_robust_to_the_outlier_itself(spark):
+    """The defining property: one extreme value must NOT mask itself.
+    A 19-point tight cluster plus one huge spike — median/MAD flags
+    the spike; the spike's own presence barely moves the scale."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [(i, t0 + i * s, 3, "view", 100.0 + (i % 5) * 0.5, "") for i in range(19)]
+    rows.append((99, t0 + 99 * s, 3, "view", 10_000.0, ""))
+    d = _events_dir(spark, rows)
+    got = {r.event_id: r for r in QUERIES["events_anomaly_mad"](spark, d).collect()}
+    assert got[99].is_outlier is True
+    assert all(got[i].is_outlier is False for i in range(19))
+    # constant-series user: MAD = 0 -> NULL score and flag, not a crash
+    rows2 = [(i, t0 + i * s, 4, "view", 7.0, "") for i in range(6)]
+    d2 = _events_dir(spark, rows2)
+    out = QUERIES["events_anomaly_mad"](spark, d2).collect()
+    assert all(r.score is None and r.is_outlier is None for r in out)
