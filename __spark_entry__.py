@@ -91,6 +91,7 @@ _PRIORITY = [
     "media_h264_probe", "media_flac_decode",
     "txlog_restore", "txlog_zorder", "pipeline_gzip_ingest",
     "txlog_bloom_lookup", "window_interpolate", "events_anomaly_mad",
+    "geo_knn_suppliers", "pipeline_dedup_incremental",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -643,3 +643,140 @@ def events_anomaly_mad(spark, sf_dir):
         score.alias("score"),
         F.when(F.col("mad") > 0, F.round(raw, 6) > 3.0).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_knn_suppliers — exact k-nearest suppliers per customer
+# ---------------------------------------------------------------------------
+
+_HAV = """2 * 6371.0 * asin(sqrt(
+         sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+         + cos(radians(c.lat)) * cos(radians(s.lat))
+           * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)))"""
+
+_KNN_GEO_SQL = f"""
+WITH c AS (SELECT c_custkey, ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                  ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+           FROM customer),
+s AS (SELECT s_suppkey, ((s_suppkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+             ((s_suppkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier),
+d AS (SELECT c_custkey, s_suppkey, ROUND({_HAV}, 6) AS dist_km
+      FROM c CROSS JOIN s),
+r AS (SELECT c_custkey, s_suppkey, dist_km,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist_km, s_suppkey) AS BIGINT) AS rk
+      FROM d)
+SELECT c_custkey, s_suppkey, dist_km, rk FROM r WHERE rk <= 3
+"""
+
+
+@register("geo_knn_suppliers", _KNN_GEO_SQL)
+def geo_knn_suppliers(spark, sf_dir):
+    """Exact 3-nearest suppliers per customer (haversine over the
+    geo fixture family's key-derived coordinates). Scale shape: the
+    supplier side is a DIMENSION — it broadcasts, the customer
+    stream maps over it, and the per-customer candidate set is
+    dim-bounded, so the pair stream is |customers| x |suppliers|
+    with no data-sized shuffle on the build side; the top-3 rank is
+    one customer-keyed window (at true 100 TB the window's pair
+    shuffle collapses further into a map-side partial top-k over the
+    broadcast dim — the ml_knn_classify pattern). Cross-engine
+    discipline: trig libraries may differ by an ulp between engines,
+    so distances are ROUNDed to 6dp BEFORE the rank and ties broken
+    by s_suppkey (the orders_pareto lesson applied to ordering)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def pts(df, key):
+        return df.select(
+            key,
+            (((F.col(key) * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+            (((F.col(key) * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+
+    from stockify_spark.registry_ext10 import _haversine_km
+
+    cust = pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    sup = pts(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+    )
+    d = cust.crossJoin(F.broadcast(sup)).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(
+            _haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+            6,
+        ).alias("dist_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("c_custkey", "s_suppkey", "dist_km", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_incremental — incoming batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = """
+WITH fp AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents),
+corpus AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                  MIN(doc_id) AS first_seen
+           FROM fp WHERE doc_id % 10 <> 0 GROUP BY f),
+incoming AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0)
+SELECT i.doc_id, i.f AS fingerprint,
+       c.f IS NULL AS is_new,
+       COALESCE(c.n_corpus, 0) AS n_corpus,
+       c.first_seen
+FROM incoming i LEFT JOIN corpus c ON c.f = i.f
+"""
+
+
+@register("pipeline_dedup_incremental", _INCR_SQL)
+def pipeline_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup: an incoming batch (doc_id % 10 == 0)
+    checked against the EXISTING corpus (the rest) by normalized-text
+    fingerprint — the decision every incremental training-data
+    pipeline makes per shard ("is this document already in the
+    lake?"). The corpus side reduces to one (fingerprint, count,
+    first_seen) row per distinct text BEFORE the join, so the join
+    moves corpus-distinct rows, not corpus rows; at 100 TB the
+    corpus fingerprint table is the thing you maintain incrementally
+    (txlog merge) and probe (exactly what the per-file Bloom index
+    accelerates: most incoming fingerprints are absent, and an
+    absent probe opens zero files). Left join keeps never-seen
+    incoming docs with is_new=true and NULL provenance."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.functions.text import fingerprint
+
+    fp = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("f")
+    )
+    corpus = (
+        fp.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus"),
+            F.min("doc_id").alias("first_seen"),
+        )
+        .withColumnRenamed("f", "cf")
+    )
+    incoming = fp.filter(F.col("doc_id") % 10 == 0)
+    return (
+        incoming.join(corpus, incoming["f"] == corpus["cf"], "left")
+        .select(
+            "doc_id",
+            F.col("f").alias("fingerprint"),
+            F.col("cf").isNull().alias("is_new"),
+            F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+            "first_seen",
+        )
+    )
