@@ -92,6 +92,7 @@ _PRIORITY = [
     "txlog_restore", "txlog_zorder", "pipeline_gzip_ingest",
     "txlog_bloom_lookup", "window_interpolate", "events_anomaly_mad",
     "geo_knn_suppliers", "pipeline_dedup_incremental",
+    "agg_winsorized_stats", "orders_cohort_ltv",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -780,3 +780,115 @@ def pipeline_dedup_incremental(spark, sf_dir):
             "first_seen",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_stats — P5/P95-clipped robust moments per group
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH q AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY 1),
+w AS (SELECT l.l_returnflag,
+             LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi) AS v
+      FROM lineitem l JOIN q USING (l_returnflag))
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v), 4) AS win_mean,
+       ROUND(stddev_samp(v), 4) AS win_std
+FROM w GROUP BY l_returnflag
+"""
+
+
+@register("agg_winsorized_stats", _WINSOR_SQL)
+def agg_winsorized_stats(spark, sf_dir):
+    """Winsorized mean/std per group: values clipped to the group's
+    [P5, P95] before the moments — the robust-stats middle ground
+    between raw moments (tail-dragged) and median/MAD (throws away
+    magnitude). Two passes: one grouped exact-percentile aggregate
+    (the proven percentile == quantile_cont convention,
+    agg_percentile), thresholds broadcast back, clip as a LEAST/
+    GREATEST column expression, one moments aggregate — no sort of
+    the data, no per-row Python. Clip thresholds may differ by an
+    ulp across engines (interpolated quantiles), which perturbs a
+    clipped SUM by ~1e-10 relative — far inside the 4dp ROUND, same
+    margin argument as the sibling robust aggregates."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    w = li.join(F.broadcast(q), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi")).alias("v"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 4).alias("win_mean"),
+        F.round(F.stddev_samp("v"), 4).alias("win_std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — cohort lifetime-value curves
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH firstm AS (SELECT o_custkey,
+                       MIN(date_trunc('month', o_orderdate)) AS cohort
+                FROM orders GROUP BY 1),
+x AS (SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS age,
+             o.o_totalprice
+      FROM orders o JOIN firstm f USING (o_custkey)),
+g AS (SELECT cohort, age, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 6) AS revenue
+      FROM x GROUP BY 1, 2)
+SELECT strftime(cohort, '%Y-%m') AS cohort, CAST(age AS BIGINT) AS age,
+       n_orders, revenue,
+       ROUND(SUM(revenue) OVER (PARTITION BY cohort ORDER BY age), 6)
+         AS cum_revenue
+FROM g
+"""
+
+
+@register("orders_cohort_ltv", _LTV_SQL)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by cohort age in months — the LTV
+    matrix behind every retention-economics dashboard. One customer
+    first-month aggregate joined back to the fact stream (broadcast:
+    one row per customer), one (cohort, age) rollup, then the
+    cumulative curve as an ordered window over the ROLLED-UP table
+    (months-count rows per cohort, not order-scale). Float policy:
+    the data-sized SUM rounds to 6dp BEFORE the running total, so
+    the cumulative accumulation runs over identical doubles in
+    identical (age) order on both engines — the orders_pareto
+    discipline for prefix sums over unordered aggregates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.trunc("o_orderdate", "month").alias("m")
+    )
+    firstm = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    x = orders.join(F.broadcast(firstm), "o_custkey").select(
+        "cohort",
+        F.months_between("m", "cohort").cast("long").alias("age"),
+        "o_totalprice",
+    )
+    g = x.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    return g.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "age",
+        "n_orders",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 6).alias("cum_revenue"),
+    )
