@@ -93,6 +93,9 @@ _PRIORITY = [
     "txlog_bloom_lookup", "window_interpolate", "events_anomaly_mad",
     "geo_knn_suppliers", "pipeline_dedup_incremental",
     "agg_winsorized_stats", "orders_cohort_ltv",
+    "stocks_atr", "stocks_obv",
+    "stocks_stochastic", "window_rolling_slope", "stats_mannwhitney",
+    "stats_anova", "stats_spearman", "fn_url_parse",
 ]
 
 def _driver_order(d: dict) -> dict:

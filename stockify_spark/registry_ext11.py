@@ -892,3 +892,111 @@ def orders_cohort_ltv(spark, sf_dir):
         "revenue",
         F.round(F.sum("revenue").over(w), 6).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stocks_atr / stocks_obv — reference-domain indicators on the ramp
+# ---------------------------------------------------------------------------
+
+_RAMP_SQL11 = (
+    "SELECT i AS row_id, CAST(500 + (i % 18) * 10 AS DOUBLE) AS close,"
+    " CAST(1200000 + (i % 18) * 100000 AS DOUBLE) AS volume,"
+    " CAST(510 + (i % 18) * 10 AS DOUBLE) AS high,"
+    " CAST(440 + (i % 18) * 10 AS DOUBLE) AS low"
+    " FROM range(1800) t(i)"
+)
+
+_ATR_SQL = f"""
+WITH stocks AS ({_RAMP_SQL11}),
+tr AS (SELECT row_id,
+              CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                   ELSE GREATEST(high - low,
+                                 ABS(high - lag(close) OVER w),
+                                 ABS(low - lag(close) OVER w)) END AS tr
+       FROM stocks WINDOW w AS (ORDER BY row_id))
+SELECT row_id, ROUND(tr, 6) AS tr,
+       ROUND(AVG(tr) OVER (ORDER BY row_id
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+         AS atr_14
+FROM tr
+"""
+
+
+@register("stocks_atr", _ATR_SQL)
+def stocks_atr(spark, sf_dir):
+    """Average True Range (SMA-14 variant) on the reference's own
+    ramp table — the volatility indicator that extends the
+    reference's rolling min/max family (stockify.cu:142-193) with
+    the gap-aware true range: max(high-low, |high-prev_close|,
+    |low-prev_close|), first row falling back to high-low. One lag +
+    one bounded-frame mean over the deterministic global order
+    (row_id IS data, SURVEY §7.4) — the documented 1-part parity
+    shape on the 1800-row ramp; the partitioned production form is
+    the window_partitioned_parity construction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources.fixtures import stocks_ramp
+
+    s = stocks_ramp(spark, cycles=100)
+    w = Window.orderBy("row_id")
+    pc = F.lag("close").over(w)
+    tr = F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    t = s.select("row_id", tr.alias("tr"))
+    fw = Window.orderBy("row_id").rowsBetween(-13, 0)
+    return t.select(
+        "row_id",
+        F.round("tr", 6).alias("tr"),
+        F.round(F.avg("tr").over(fw), 6).alias("atr_14"),
+    )
+
+
+_OBV_SQL = f"""
+WITH stocks AS ({_RAMP_SQL11}),
+s AS (SELECT row_id, volume,
+             CASE WHEN lag(close) OVER w IS NULL THEN 0
+                  WHEN close > lag(close) OVER w THEN 1
+                  WHEN close < lag(close) OVER w THEN -1
+                  ELSE 0 END AS sgn
+      FROM stocks WINDOW w AS (ORDER BY row_id))
+SELECT row_id,
+       ROUND(SUM(sgn * volume) OVER (ORDER BY row_id
+                                     ROWS UNBOUNDED PRECEDING), 2) AS obv
+FROM s
+"""
+
+
+@register("stocks_obv", _OBV_SQL)
+def stocks_obv(spark, sf_dir):
+    """On-balance volume on the ramp: the running sum of
+    direction-signed volume (up-day +v, down-day -v, flat 0) — the
+    flow indicator pairing the reference's close and volume columns.
+    Prefix sum over the global row order: the documented 1-part
+    parity shape; the ramp's volumes are integer-valued doubles, so
+    the ordered accumulation is integer-exact on both engines before
+    the display round."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources.fixtures import stocks_ramp
+
+    s = stocks_ramp(spark, cycles=100)
+    w = Window.orderBy("row_id")
+    pc = F.lag("close").over(w)
+    sgn = (
+        F.when(pc.isNull(), 0)
+        .when(F.col("close") > pc, 1)
+        .when(F.col("close") < pc, -1)
+        .otherwise(0)
+    )
+    t = s.select("row_id", (sgn * F.col("volume")).alias("sv"))
+    rw = Window.orderBy("row_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        "row_id", F.round(F.sum("sv").over(rw), 2).alias("obv")
+    )
