@@ -96,6 +96,8 @@ _PRIORITY = [
     "stocks_atr", "stocks_obv",
     "stocks_stochastic", "window_rolling_slope", "stats_mannwhitney",
     "stats_anova", "stats_spearman", "fn_url_parse",
+    "pipeline_url_dedup", "events_burstiness", "graph_jaccard",
+    "orders_survival_km", "agg_mean_family",
 ]
 
 def _driver_order(d: dict) -> dict:
