@@ -98,6 +98,7 @@ _PRIORITY = [
     "stats_anova", "stats_spearman", "fn_url_parse",
     "pipeline_url_dedup", "events_burstiness", "graph_jaccard",
     "orders_survival_km", "agg_mean_family",
+    "window_ema_exact", "stocks_macd",
 ]
 
 def _driver_order(d: dict) -> dict:
