@@ -99,6 +99,8 @@ _PRIORITY = [
     "pipeline_url_dedup", "events_burstiness", "graph_jaccard",
     "orders_survival_km", "agg_mean_family",
     "window_ema_exact", "stocks_macd",
+    "stocks_heikin_ashi", "stocks_adx", "stocks_cci", "stocks_mfi",
+    "ml_naive_bayes", "pipeline_containment_dedup",
 ]
 
 def _driver_order(d: dict) -> dict:

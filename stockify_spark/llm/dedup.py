@@ -413,6 +413,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: C(A→B) =
+    |S(A) ∩ S(B)| / |S(A)| >= threshold, A != B.
+
+    Containment is the corpus-hygiene relation Jaccard misses: a
+    short document pasted inside a longer one scores near-zero
+    Jaccard (the union is dominated by B) but containment 1.0 —
+    quote-inclusion, boilerplate-wrapping, and excerpt duplicates at
+    LLM-pipeline scale. Emitted as (contained_id, container_id).
+
+    Candidate generation is the ASYMMETRIC prefix filter: if
+    C(A,B) >= t then B misses at most |A| - ceil(t*|A|) shingles of
+    A, so A must share a shingle with B inside A's rarest
+    |A| - ceil(t*|A|) + 1 shingles (pigeonhole over the
+    document-frequency-sorted order). Only the probe side A is
+    prefix-pruned; the container side B has no length bound (any
+    superset qualifies), so B contributes its FULL inverted index —
+    the standard containment-join asymmetry. Recall is exactly 1.0;
+    the oracle brute-forces all ordered pairs to prove it. At 100 TB
+    the probe prefix is rarest-first, so high-frequency shingles
+    never generate candidates and the join stays bounded by
+    sum-of-prefix-df, the same bound ngram_jaccard_pairs carries.
+    """
+    base = (
+        df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    inv = base.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
+    )
+    ranked = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).withColumn(
+        "_pos",
+        F.row_number().over(
+            W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
+        ),
+    )
+    probe = ranked.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(F.col("_id").alias("_ida"), "shingle")
+    cand = (
+        probe.join(inv.select(F.col("_id").alias("_idb"), "shingle"), "shingle")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sh_a = base.select(
+        F.col("_id").alias("_ida"), F.col("_sh").alias("_sha"), F.size("_sh").alias("_na")
+    )
+    sh_b = base.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    c = inter / F.col("_na").cast("double")
+    return (
+        cand.join(sh_a, "_ida")
+        .join(sh_b, "_idb")
+        .filter(c >= threshold)
+        .select(
+            F.col("_ida").alias("contained_id"),
+            F.col("_idb").alias("container_id"),
+            F.round(c, 6).alias("containment"),
+        )
+    )
+
+
 def _simhash64(text: str) -> int:
     """Scalar reference: deterministic 64-bit SimHash of whitespace
     tokens (blake2b token hashes — stable across processes, unlike
