@@ -101,6 +101,8 @@ _PRIORITY = [
     "window_ema_exact", "stocks_macd",
     "stocks_heikin_ashi", "stocks_adx", "stocks_cci", "stocks_mfi",
     "ml_naive_bayes", "pipeline_containment_dedup",
+    "window_kalman", "orders_holt_forecast", "text_rake",
+    "stats_theil_sen", "fn_ip_cidr",
 ]
 
 def _driver_order(d: dict) -> dict:
