@@ -103,6 +103,8 @@ _PRIORITY = [
     "ml_naive_bayes", "pipeline_containment_dedup",
     "window_kalman", "orders_holt_forecast", "text_rake",
     "stats_theil_sen", "fn_ip_cidr",
+    "graph_assortativity", "stats_mann_kendall", "ml_ridge_closed_form",
+    "text_readability", "agg_weighted_median",
 ]
 
 def _driver_order(d: dict) -> dict:
