@@ -105,6 +105,8 @@ _PRIORITY = [
     "stats_theil_sen", "fn_ip_cidr",
     "graph_assortativity", "stats_mann_kendall", "ml_ridge_closed_form",
     "text_readability", "agg_weighted_median",
+    "window_haar_dwt", "agg_hll_sketch", "graph_modularity",
+    "ml_pca_2d", "stocks_ichimoku",
 ]
 
 def _driver_order(d: dict) -> dict:
