@@ -107,6 +107,8 @@ _PRIORITY = [
     "text_readability", "agg_weighted_median",
     "window_haar_dwt", "agg_hll_sketch", "graph_modularity",
     "ml_pca_2d", "stocks_ichimoku",
+    "txlog_schema_evolution", "txlog_clone", "events_quadkey_rollup",
+    "window_biquad_filter",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -107,6 +107,12 @@ def window_haar_dwt(spark, sf_dir):
                 / 2
             ).alias("d"),
         ).withColumnRenamed("k2", "k")
+        # each level feeds BOTH the detail branch of the union and the
+        # next level's pair aggregation — without materializing it,
+        # level k's branch re-executes every lower level and the plan
+        # census counts 35 shuffles instead of 7 (measured); the
+        # level outputs halve in size so the checkpoints are tiny
+        nxt = nxt.localCheckpoint(eager=False)
         levels.append(
             nxt.select(
                 "symbol", F.lit(lv).cast("long").alias("level"), "k",

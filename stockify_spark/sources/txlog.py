@@ -123,8 +123,10 @@ def current_version(path: str) -> int:
 
 def _abs(path: str, p: str) -> str:
     """Resolve a logged (relative) file path against the table root.
-    Absolute paths (pre-relative-log tables) pass through."""
-    return p if os.path.isabs(p) else os.path.join(path, p)
+    Absolute paths (pre-relative-log tables) pass through; the
+    normpath collapses the ``../`` segments a shallow clone's
+    foreign references carry."""
+    return p if os.path.isabs(p) else os.path.normpath(os.path.join(path, p))
 
 
 def _live_rel(path: str, version: int | None = None) -> list[str]:
@@ -253,6 +255,29 @@ def create(df: DataFrame, path: str) -> int:
 
 def append(df: DataFrame, path: str) -> int:
     return _commit(path, _write_data_files(df, path))
+
+
+def clone(src: str, dst: str, version: int | None = None) -> int:
+    """Zero-copy shallow clone (Delta's SHALLOW CLONE): commit 0 of
+    ``dst`` references ``src``'s live files AS OF ``version`` — no
+    data is read, copied, or moved; the clone is O(live-file-count)
+    metadata. References are stored RELATIVE to the clone's root
+    (``../``-traversal form) so a parent directory holding both
+    tables stays relocatable as a unit; ``_abs`` normalizes the dots
+    at read time. Afterwards the two tables diverge freely:
+    appends/deletes/compactions on the clone land in its own log and
+    data dir, and the source never observes them. ``vacuum`` on
+    either table cannot touch the other's files: the clone's vacuum
+    skips foreign (root-escaping) references by rule, and the
+    source's vacuum only consults its own log."""
+    adds = _live_adds(src, version)  # inner add dicts (path + stats)
+    actions = [
+        {"add": {**a, "path": os.path.relpath(_abs(src, a["path"]), dst)}}
+        for a in adds
+    ]
+    os.makedirs(_log_dir(dst), exist_ok=True)
+    os.makedirs(_data_dir(dst), exist_ok=True)
+    return _commit(dst, actions)
 
 
 def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -775,6 +800,13 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         # referenced by some retained version v in [cutoff, current]
         # iff added_at <= v < removed_at for that v
         if rv > cutoff:
+            continue
+        # foreign reference (shallow clone of another table): the
+        # file belongs to the SOURCE table's log, which may still
+        # reference it — never physically delete across table roots
+        # (the documented Delta shallow-clone vacuum rule). Foreign =
+        # absolute (pre-relative-log) or escaping the table root.
+        if os.path.isabs(rel) or rel.split(os.sep, 1)[0] == "..":
             continue
         fpath = _abs(path, rel)
         if os.path.exists(fpath):
