@@ -109,6 +109,8 @@ _PRIORITY = [
     "ml_pca_2d", "stocks_ichimoku",
     "txlog_schema_evolution", "txlog_clone", "events_quadkey_rollup",
     "window_biquad_filter",
+    "txlog_metadata_count", "sim_bm25_search", "events_shapley_attribution",
+    "window_goertzel_power",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -129,6 +129,18 @@ BENCH_QUERIES = [
     "geo_range_join",
     "join_typo_names",
     "text_inverted_index",
+    # round-8 waves: one representative per new family with REAL
+    # oracle cost — counts-only NB classifier, RAKE phrase scoring,
+    # integer-rank weighted median, recursive Holt on the real
+    # monthly series, integer-sum assortativity, and the asymmetric
+    # containment join (its brute-force all-ordered-pairs oracle is
+    # the third deliberately-quadratic baseline, like jaccard's)
+    "ml_naive_bayes",
+    "text_rake",
+    "agg_weighted_median",
+    "orders_holt_forecast",
+    "graph_assortativity",
+    "pipeline_containment_dedup",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

@@ -257,6 +257,31 @@ def append(df: DataFrame, path: str) -> int:
     return _commit(path, _write_data_files(df, path))
 
 
+def table_stats(path: str, version: int | None = None) -> dict:
+    """Metadata-only table statistics as of ``version``: exact row
+    count plus per-column min/max, folded from the per-file stats the
+    log already carries (Delta's SELECT COUNT(*) optimization). Zero
+    data files are opened — at 100 TB this answers COUNT/MIN/MAX
+    from one driver-side log read instead of a full scan. Only
+    columns with stats in EVERY live file report min/max (a file
+    without stats could hide the true extremum)."""
+    adds = _live_adds(path, version)
+    rows = sum(a["stats"]["rows"] for a in adds)
+    mins: dict = {}
+    maxs: dict = {}
+    common: set | None = None
+    for a in adds:
+        cols = set(a["stats"].get("min", {})) & set(a["stats"].get("max", {}))
+        common = cols if common is None else (common & cols)
+    for a in adds:
+        for name in common or ():
+            mn = a["stats"]["min"][name]
+            mx = a["stats"]["max"][name]
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {"rows": rows, "min": mins, "max": maxs}
+
+
 def clone(src: str, dst: str, version: int | None = None) -> int:
     """Zero-copy shallow clone (Delta's SHALLOW CLONE): commit 0 of
     ``dst`` references ``src``'s live files AS OF ``version`` — no
