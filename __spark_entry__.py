@@ -111,6 +111,8 @@ _PRIORITY = [
     "window_biquad_filter",
     "txlog_metadata_count", "sim_bm25_search", "events_shapley_attribution",
     "window_goertzel_power",
+    "join_scd2_pointintime", "stocks_rolling_corr", "ml_confusion_metrics",
+    "window_peak_detection",
 ]
 
 def _driver_order(d: dict) -> dict:
