@@ -113,6 +113,8 @@ _PRIORITY = [
     "window_goertzel_power",
     "join_scd2_pointintime", "stocks_rolling_corr", "ml_confusion_metrics",
     "window_peak_detection",
+    "stream_static_enrich", "orders_forecast_eval", "orders_backlog_aging",
+    "agg_hll_merge",
 ]
 
 def _driver_order(d: dict) -> dict:

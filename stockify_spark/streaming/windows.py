@@ -201,3 +201,36 @@ def purchases_with_recent_clicks(
     return purchases.join(clicks, cond, how).select(
         "purchase_id", F.col("p_user").alias("user_id"), "click_id"
     )
+
+
+def static_enrich(
+    events: DataFrame,
+    customer: DataFrame,
+    n_customers: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-static broadcast enrichment: each event maps to a
+    customer (user_id mod |dim| + 1 — the synthetic foreign key) and
+    takes its market segment from the STATIC dimension, then a
+    windowed count/sum per (window, segment). The static side is a
+    broadcast hash join against every micro-batch — the canonical
+    streaming-enrichment shape: dimension state never enters the
+    streaming state store, only the windowed aggregation does.
+    ``n_customers`` is passed in (bounded model state) so the stream
+    face never runs a blocking count on the dimension."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    key = (F.col("user_id") % F.lit(n_customers) + 1).alias("ck")
+    dim = customer.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = src.select("ts", "value", key).join(F.broadcast(dim), "ck")
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )

@@ -338,3 +338,22 @@ def test_outer_join_null_rows_emit_only_after_watermark(spark, tmp_path):
     assert (21, 2, None) in got  # NULL row emitted once watermark passed
     assert (31, 3, None) not in got  # inside the watermark: must not emit
     assert got == {(12, 1, 11), (21, 2, None)}
+
+
+def test_static_enrich_stream_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: the streaming face (static
+    dimension joined into every micro-batch) must converge to the
+    batch face exactly."""
+    from stockify_spark.streaming.windows import static_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    batch = static_enrich(ev, cust, n_cust, window="1 hour")
+    expected = {tuple(r) for r in batch.collect()}
+    stream = static_enrich(
+        stream_events(spark, sf_dir), cust, n_cust, window="1 hour", streaming=True
+    )
+    got = {tuple(r) for r in _run_stream(spark, stream, "t_enrich")}
+    assert got == expected
+    assert len({seg for (_, seg, _, _) in expected}) >= 3  # multiple segments
