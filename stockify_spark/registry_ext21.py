@@ -207,7 +207,10 @@ def ml_confusion_metrics(spark, sf_dir):
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", F.col("lang").alias("true_lang"))
     )
-    j = truth.join(nb, "doc_id")
+    # j feeds BOTH confusion branches (per-true and per-pred); without
+    # materialization each branch re-runs the full NB train+score
+    # pipeline (plan census: 18 shuffles -> 10)
+    j = truth.join(nb, "doc_id").localCheckpoint(eager=False)
     per_true = j.groupBy("true_lang").agg(
         F.count(F.lit(1)).alias("support"),
         F.sum(

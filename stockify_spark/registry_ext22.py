@@ -107,10 +107,12 @@ def orders_forecast_eval(spark, sf_dir):
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("z"))
     )
+    # pos feeds both the forecast-side and actual-side join branches;
+    # materialize it so neither branch re-runs the 3-table aggregation
     pos = rev.withColumn(
         "pos",
         F.row_number().over(Window.partitionBy("nation").orderBy("ym")) - 1,
-    )
+    ).localCheckpoint(eager=False)
     p = pos.select("nation", "ym", "pos")
     a = pos.select(
         "nation", F.col("pos").alias("apos"), F.col("z").alias("actual")
