@@ -115,6 +115,7 @@ _PRIORITY = [
     "window_peak_detection",
     "stream_static_enrich", "orders_forecast_eval", "orders_backlog_aging",
     "agg_hll_merge",
+    "agg_bitmap_distinct", "fn_base64_roundtrip", "window_hurst_rs",
 ]
 
 def _driver_order(d: dict) -> dict:
