@@ -116,6 +116,8 @@ _PRIORITY = [
     "stream_static_enrich", "orders_forecast_eval", "orders_backlog_aging",
     "agg_hll_merge",
     "agg_bitmap_distinct", "fn_base64_roundtrip", "window_hurst_rs",
+    "stocks_pivot_points", "window_linear_detrend", "text_zipf_fit",
+    "fn_levenshtein",
 ]
 
 def _driver_order(d: dict) -> dict:
