@@ -118,6 +118,7 @@ _PRIORITY = [
     "agg_bitmap_distinct", "fn_base64_roundtrip", "window_hurst_rs",
     "stocks_pivot_points", "window_linear_detrend", "text_zipf_fit",
     "fn_levenshtein",
+    "pipeline_quality_ensemble", "events_bot_detection",
 ]
 
 def _driver_order(d: dict) -> dict:
