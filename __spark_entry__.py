@@ -119,6 +119,7 @@ _PRIORITY = [
     "stocks_pivot_points", "window_linear_detrend", "text_zipf_fit",
     "fn_levenshtein",
     "pipeline_quality_ensemble", "events_bot_detection",
+    "pipeline_dedup_eval", "events_time_to_convert",
 ]
 
 def _driver_order(d: dict) -> dict:
