@@ -120,6 +120,7 @@ _PRIORITY = [
     "fn_levenshtein",
     "pipeline_quality_ensemble", "events_bot_detection",
     "pipeline_dedup_eval", "events_time_to_convert",
+    "events_active_users", "window_spc_control",
 ]
 
 def _driver_order(d: dict) -> dict:
