@@ -121,6 +121,7 @@ _PRIORITY = [
     "pipeline_quality_ensemble", "events_bot_detection",
     "pipeline_dedup_eval", "events_time_to_convert",
     "events_active_users", "window_spc_control",
+    "graph_clustering_coeff", "stats_mutual_info",
 ]
 
 def _driver_order(d: dict) -> dict:
