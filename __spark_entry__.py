@@ -122,6 +122,7 @@ _PRIORITY = [
     "pipeline_dedup_eval", "events_time_to_convert",
     "events_active_users", "window_spc_control",
     "graph_clustering_coeff", "stats_mutual_info",
+    "ml_polyfit_series", "text_heaps_law",
 ]
 
 def _driver_order(d: dict) -> dict:
