@@ -123,6 +123,7 @@ _PRIORITY = [
     "events_active_users", "window_spc_control",
     "graph_clustering_coeff", "stats_mutual_info",
     "ml_polyfit_series", "text_heaps_law",
+    "stocks_gap_analysis", "stocks_streaks", "text_novelty_ratio",
 ]
 
 def _driver_order(d: dict) -> dict:
