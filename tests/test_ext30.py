@@ -6,8 +6,8 @@ from tests.conftest import SF_SMALL
 
 
 def test_gap_structure_on_sawtooth(spark):
-    """Every bar after the first gaps (open = close - 50 within a
-    period the open sits 40 under the prior close; 220 under at the wrap): all gaps are down, and
+    """Every bar after the first gaps down (within a period the open
+    sits 40 under the prior close; 220 under at the wrap), and
     every gap is filled (the bar's range spans the prior close)
     except the wrap bars where the prior close 670 exceeds the new
     high 510."""
