@@ -283,7 +283,10 @@ def graph_jaccard(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    e = pairs.where(coin % 100 < 12)
+    # e feeds deg, both wedge sides, and the final edge join —
+    # materialize it or each branch re-derives the distinct+md5 thin
+    # (census: 13 shuffles / 10 scans -> 3 / 1)
+    e = pairs.where(coin % 100 < 12).localCheckpoint(eager=False)
 
     und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))

@@ -431,7 +431,12 @@ def ml_naive_bayes(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
 
-    ttok = train.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    # the exploded train tokens feed FOUR model aggregates
+    # (class-token counts, class totals, vocabulary, priors) —
+    # materialize once instead of four explode passes
+    ttok = train.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).localCheckpoint(eager=False)
     ccnt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     ctot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
     v = ttok.select(F.countDistinct("tok").alias("v"))

@@ -88,7 +88,9 @@ def graph_assortativity(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    e = pairs.where(coin % 100 < 12)
+    # e feeds the degree union and the edge-side joins; materialize
+    # to stop each branch re-deriving the thinned edge list
+    e = pairs.where(coin % 100 < 12).localCheckpoint(eager=False)
     und = e.select(F.col("a").alias("u")).unionAll(e.select(F.col("b").alias("u")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ed = (
