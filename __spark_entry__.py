@@ -124,6 +124,7 @@ _PRIORITY = [
     "graph_clustering_coeff", "stats_mutual_info",
     "ml_polyfit_series", "text_heaps_law",
     "stocks_gap_analysis", "stocks_streaks", "text_novelty_ratio",
+    "orders_revenue_bridge", "text_js_divergence",
 ]
 
 def _driver_order(d: dict) -> dict:
