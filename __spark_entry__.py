@@ -125,6 +125,7 @@ _PRIORITY = [
     "ml_polyfit_series", "text_heaps_law",
     "stocks_gap_analysis", "stocks_streaks", "text_novelty_ratio",
     "orders_revenue_bridge", "text_js_divergence",
+    "media_h264_ipcm_decode",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -331,6 +331,148 @@ def h264_probe(data: bytes) -> dict:
     }
 
 
+
+
+# ---------------------------------------------------------------------------
+# I_PCM slice codec — the decodable H.264 subset
+# ---------------------------------------------------------------------------
+#
+# I_PCM macroblocks carry RAW 8-bit samples (no prediction, no
+# transform, no entropy coding beyond the Exp-Golomb mb_type and byte
+# alignment) — a legitimate part of every H.264 profile, used by
+# lossless encoders when a block is cheaper raw than coded. A stream
+# of all-I_PCM macroblocks is therefore fully decodable with the
+# bitstream machinery above: real slice-header parse, real macroblock
+# loop, real emulation-prevention on the wire. Everything beyond PCM
+# (CAVLC residuals, intra prediction) stays behind decode_h264's
+# honest NotImplementedError.
+
+_MB_TYPE_I_PCM = 25
+
+
+def _idr_ipcm_slice_rbsp(
+    mbs_w: int, mbs_h: int, luma_base: int, cb: int, cr: int
+) -> bytes:
+    """IDR I-slice whose every macroblock is I_PCM. Deterministic
+    sample pattern: luma(x, y) = luma_base + x + 2*y (caller keeps it
+    under 256), constant chroma planes."""
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+    w.ue(0)  # idr_pic_id
+    w.u(0, 4)  # pic_order_cnt_lsb (log2 = 4)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    # se(slice_qp_delta) = 0 encodes as ue(0)
+    w.ue(0)
+    width = mbs_w * 16
+    for mb in range(mbs_w * mbs_h):
+        mb_x, mb_y = (mb % mbs_w) * 16, (mb // mbs_w) * 16
+        w.ue(_MB_TYPE_I_PCM)
+        while len(w._bits) % 8:  # pcm_alignment_zero_bit
+            w.u(0, 1)
+        for y in range(16):
+            for x in range(16):
+                w.u((luma_base + (mb_x + x) + 2 * (mb_y + y)) & 0xFF, 8)
+        for _ in range(64):
+            w.u(cb & 0xFF, 8)
+        for _ in range(64):
+            w.u(cr & 0xFF, 8)
+    return w.rbsp_trailing_bits()
+
+
+def encode_h264_ipcm(
+    width: int, height: int, luma_base: int, cb: int, cr: int
+) -> bytes:
+    """Annex-B stream (SPS + PPS + one IDR slice) whose macroblocks
+    are all I_PCM — REAL decodable H.264, not a structural stub.
+    Dimensions must be multiples of 16 (no cropping of PCM planes
+    here)."""
+    if width % 16 or height % 16:
+        raise ValueError("I_PCM fixture uses full macroblocks (16-pel multiples)")
+    mbs_w, mbs_h = width // 16, height // 16
+    out = bytearray()
+    out += _nal(NAL_SPS, _sps_rbsp(width, height, 66, 30), True)
+    out += _nal(NAL_PPS, _pps_rbsp(), True)
+    out += _nal(NAL_IDR, _idr_ipcm_slice_rbsp(mbs_w, mbs_h, luma_base, cb, cr), False)
+    return bytes(out)
+
+
+def decode_h264_ipcm(data: bytes) -> dict:
+    """Decode an all-I_PCM Annex-B stream: SPS geometry, PPS sanity,
+    slice-header Exp-Golomb parse, then the macroblock loop reading
+    byte-aligned PCM planes. Returns the reconstructed luma plane
+    (bytes, row-major) plus chroma DC and geometry. Any non-I_PCM
+    macroblock raises the honest boundary."""
+    sps = None
+    pps_seen = False
+    frame = None
+    for nal in _split_nals(data):
+        if not nal:
+            continue
+        nal_type = nal[0] & 0x1F
+        rbsp = ebsp_to_rbsp(nal[1:])
+        if nal_type == NAL_SPS and sps is None:
+            sps = parse_sps(rbsp)
+        elif nal_type == NAL_PPS:
+            pps_seen = True
+        elif nal_type == NAL_IDR:
+            if sps is None or not pps_seen:
+                raise ValueError("IDR before SPS/PPS")
+            mbs_w = (sps["width"] + 15) // 16
+            mbs_h = (sps["height"] + 15) // 16
+            r = _BitReader(rbsp)
+            if r.ue() != 0:
+                raise NotImplementedError("multi-slice pictures not supported")
+            slice_type = r.ue()
+            if slice_type % 5 != 2:
+                raise NotImplementedError("only I slices are decodable")
+            r.ue()  # pic_parameter_set_id
+            r.u(4)  # frame_num
+            r.ue()  # idr_pic_id
+            r.u(4)  # pic_order_cnt_lsb
+            r.u(1)  # no_output_of_prior_pics_flag
+            r.u(1)  # long_term_reference_flag
+            r.se()  # slice_qp_delta
+            luma = bytearray(mbs_w * 16 * mbs_h * 16)
+            cbs: list[int] = []
+            crs: list[int] = []
+            for mb in range(mbs_w * mbs_h):
+                mb_type = r.ue()
+                if mb_type != _MB_TYPE_I_PCM:
+                    raise NotImplementedError(
+                        "coded (non-I_PCM) macroblocks need CAVLC + intra "
+                        "prediction — the honest decode_h264 boundary"
+                    )
+                while r._pos % 8:  # pcm_alignment_zero_bit
+                    r.u(1)
+                mb_x, mb_y = (mb % mbs_w) * 16, (mb // mbs_w) * 16
+                for y in range(16):
+                    row = (mb_y + y) * mbs_w * 16 + mb_x
+                    for x in range(16):
+                        luma[row + x] = r.u(8)
+                cbs.append(r.u(8))
+                for _ in range(63):
+                    r.u(8)
+                crs.append(r.u(8))
+                for _ in range(63):
+                    r.u(8)
+            frame = {
+                "width": sps["width"],
+                "height": sps["height"],
+                "n_mb": mbs_w * mbs_h,
+                "luma": bytes(luma),
+                "cb0": cbs[0],
+                "cr0": crs[0],
+            }
+    if frame is None:
+        raise ValueError("no decodable IDR slice in stream")
+    return frame
+
+
+
 def decode_h264(data: bytes):
     """Slice-level decode is the honest codec boundary: CAVLC/CABAC
     entropy decoding + intra/inter prediction need a full video
