@@ -126,6 +126,7 @@ _PRIORITY = [
     "stocks_gap_analysis", "stocks_streaks", "text_novelty_ratio",
     "orders_revenue_bridge", "text_js_divergence",
     "media_h264_ipcm_decode",
+    "pipeline_chunk_audit",
 ]
 
 def _driver_order(d: dict) -> dict:
