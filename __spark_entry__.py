@@ -127,6 +127,7 @@ _PRIORITY = [
     "orders_revenue_bridge", "text_js_divergence",
     "media_h264_ipcm_decode",
     "pipeline_chunk_audit",
+    "txlog_check_constraint",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -34,6 +34,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _log_dir(path: str) -> str:
@@ -106,7 +107,17 @@ def checkpoint_log(path: str) -> int:
     commits = _read_log(path)
     version = commits[-1]["version"]
     adds = _live_adds(path)
-    ck = {"version": version, "actions": [{"add": a} for a in adds]}
+    # non-file metadata (CHECK constraints) must survive the collapse:
+    # a reader replaying from this checkpoint would otherwise lose
+    # enforcement registered before it
+    cons = [
+        {"constraint": c}
+        for commit in commits
+        for a in commit["actions"]
+        if "constraint" in a
+        for c in [a["constraint"]]
+    ]
+    ck = {"version": version, "actions": cons + [{"add": a} for a in adds]}
     tmp = _checkpoint_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(ck, f)
@@ -254,7 +265,50 @@ def create(df: DataFrame, path: str) -> int:
 
 
 def append(df: DataFrame, path: str) -> int:
+    _validate_constraints(df, path)
     return _commit(path, _write_data_files(df, path))
+
+
+class ConstraintViolation(RuntimeError):
+    """A write whose rows violate a table CHECK constraint."""
+
+
+def set_constraint(path: str, name: str, predicate_sql: str) -> int:
+    """Register a CHECK constraint (Delta's ALTER TABLE ADD
+    CONSTRAINT): a SQL predicate every FUTURE write must satisfy
+    row-wise. Stored as a metadata action in the log — enforcement
+    happens at write validation, existing data is not re-checked
+    (the Delta semantics; run a validation query first if you need
+    the history clean)."""
+    return _commit(path, [{"constraint": {"name": name, "predicate": predicate_sql}}])
+
+
+def _constraints(path: str, version: int | None = None) -> list[dict]:
+    out = []
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "constraint" in a:
+                out.append(a["constraint"])
+    return out
+
+
+def _validate_constraints(df: DataFrame, path: str) -> None:
+    """Raise ConstraintViolation if df has any row violating a
+    registered constraint. One aggregate job over the WRITE batch
+    (never the table) per write — the standard enforcement cost."""
+    cons = _constraints(path)
+    if not cons:
+        return
+    checks = [
+        F.sum(F.when(~F.expr(c["predicate"]), 1).otherwise(0)).alias(c["name"])
+        for c in cons
+    ]
+    row = df.agg(*checks).collect()[0]
+    bad = [(c["name"], row[c["name"]]) for c in cons if row[c["name"]]]
+    if bad:
+        raise ConstraintViolation(
+            "; ".join(f"constraint {n!r} violated by {v} row(s)" for n, v in bad)
+        )
 
 
 def table_stats(path: str, version: int | None = None) -> dict:
