@@ -128,6 +128,7 @@ _PRIORITY = [
     "media_h264_ipcm_decode",
     "pipeline_chunk_audit",
     "txlog_check_constraint",
+    "stream_session_dynamic",
 ]
 
 def _driver_order(d: dict) -> dict:

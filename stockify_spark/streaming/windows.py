@@ -234,3 +234,36 @@ def static_enrich(
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
     )
+
+
+def session_agg_dynamic(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Session windows with a DYNAMIC inactivity gap: purchases hold
+    a session open 30 minutes, everything else 10 — the gap is a
+    per-row expression, so the session is the union of per-event
+    intervals [ts, ts + gap(event)) merged on overlap (Spark's
+    dynamic session_window state machine; the batch oracle models it
+    as a running-max-end gaps-and-islands walk)."""
+    # session_window's dynamic gap wants CalendarIntervalType — the
+    # string-literal form casts there; ANSI INTERVAL literals do not
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

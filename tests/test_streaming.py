@@ -357,3 +357,20 @@ def test_static_enrich_stream_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in _run_stream(spark, stream, "t_enrich")}
     assert got == expected
     assert len({seg for (_, seg, _, _) in expected}) >= 3  # multiple segments
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir):
+    """Dynamic per-row gap sessionization: the streaming face must
+    converge to the batch face exactly, and the dynamic windows must
+    DIFFER from any fixed-gap session set (proof the per-row gap is
+    live)."""
+    from stockify_spark.streaming.windows import session_agg, session_agg_dynamic
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {tuple(r) for r in session_agg_dynamic(ev).collect()}
+    stream = session_agg_dynamic(stream_events(spark, sf_dir), streaming=True)
+    got = {tuple(r) for r in _run_stream(spark, stream, "t_dyn_session")}
+    assert got == batch
+    fixed10 = {tuple(r) for r in session_agg(ev, gap="10 minutes").collect()}
+    fixed30 = {tuple(r) for r in session_agg(ev, gap="30 minutes").collect()}
+    assert batch != fixed10 and batch != fixed30
