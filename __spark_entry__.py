@@ -129,6 +129,7 @@ _PRIORITY = [
     "pipeline_chunk_audit",
     "txlog_check_constraint",
     "stream_session_dynamic",
+    "agg_histogram_equidepth", "events_seasonal_anomaly",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -474,3 +474,4 @@ from stockify_spark import registry_ext32  # noqa: E402,F401  (registration side
 from stockify_spark import registry_ext33  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext34  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext35  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext36  # noqa: E402,F401  (registration side effect)
