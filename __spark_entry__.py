@@ -130,6 +130,7 @@ _PRIORITY = [
     "txlog_check_constraint",
     "stream_session_dynamic",
     "agg_histogram_equidepth", "events_seasonal_anomaly",
+    "pipeline_cdc_chunk_dedup",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -475,3 +475,5 @@ from stockify_spark import registry_ext33  # noqa: E402,F401  (registration side
 from stockify_spark import registry_ext34  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext35  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext36  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext37  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext38  # noqa: E402,F401  (registration side effect)
