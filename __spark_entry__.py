@@ -130,7 +130,7 @@ _PRIORITY = [
     "txlog_check_constraint",
     "stream_session_dynamic",
     "agg_histogram_equidepth", "events_seasonal_anomaly",
-    "pipeline_cdc_chunk_dedup",
+    "pipeline_cdc_chunk_dedup", "stats_fdr_bh", "window_sax_motifs",
 ]
 
 def _driver_order(d: dict) -> dict:
