@@ -131,7 +131,7 @@ _PRIORITY = [
     "stream_session_dynamic",
     "agg_histogram_equidepth", "events_seasonal_anomaly",
     "pipeline_cdc_chunk_dedup", "stats_fdr_bh", "window_sax_motifs",
-    "ml_logreg_newton", "txlog_optimize_small",
+    "ml_logreg_newton", "txlog_optimize_small", "pipeline_ngram_coverage",
 ]
 
 def _driver_order(d: dict) -> dict:
