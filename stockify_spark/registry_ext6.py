@@ -73,6 +73,17 @@ def doc_chunk_stride(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _bpe_oracle(steps: int) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, l AS lhs, r AS rhs, c AS pair_cnt FROM best{i}"
+        for i in range(1, steps + 1)
+    )
+    return _bpe_ctes(steps) + f"\nSELECT * FROM ({sel}) ORDER BY step"
+
+
+def _bpe_ctes(steps: int) -> str:
+    """The shared train-chain CTEs: words → s0 → (p/best/s)×steps.
+    Used by the merge-learning oracle here and the encoder oracle in
+    registry_ext43 (apply = read s{steps} instead of the bests)."""
     sql = """WITH words AS (
   SELECT w AS word, COUNT(*)::BIGINT AS cnt
   FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
@@ -92,11 +103,7 @@ s{i} AS (
   SELECT replace(s, ',' || b.l || ',,' || b.r || ',', ',' || b.l || b.r || ',') AS s, cnt
   FROM s{i-1}, best{i} b
 )"""
-    sel = " UNION ALL ".join(
-        f"SELECT {i}::BIGINT AS step, l AS lhs, r AS rhs, c AS pair_cnt FROM best{i}"
-        for i in range(1, steps + 1)
-    )
-    return sql + f"\nSELECT * FROM ({sel}) ORDER BY step"
+    return sql
 
 
 @register("tokenizer_bpe_merges", _bpe_oracle(4))
