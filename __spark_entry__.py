@@ -132,7 +132,7 @@ _PRIORITY = [
     "agg_histogram_equidepth", "events_seasonal_anomaly",
     "pipeline_cdc_chunk_dedup", "stats_fdr_bh", "window_sax_motifs",
     "ml_logreg_newton", "txlog_optimize_small", "pipeline_ngram_coverage",
-    "tokenizer_bpe_apply", "window_dtw",
+    "tokenizer_bpe_apply", "window_dtw", "sim_mips_topk",
 ]
 
 def _driver_order(d: dict) -> dict:
