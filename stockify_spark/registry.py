@@ -484,3 +484,4 @@ from stockify_spark import registry_ext42  # noqa: E402,F401  (registration side
 from stockify_spark import registry_ext43  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext44  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext45  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext46  # noqa: E402,F401  (registration side effect)
