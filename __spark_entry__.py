@@ -133,7 +133,7 @@ _PRIORITY = [
     "pipeline_cdc_chunk_dedup", "stats_fdr_bh", "window_sax_motifs",
     "ml_logreg_newton", "txlog_optimize_small", "pipeline_ngram_coverage",
     "tokenizer_bpe_apply", "window_dtw", "sim_mips_topk",
-    "stats_bootstrap_ci", "stats_cuped",
+    "stats_bootstrap_ci", "stats_cuped", "pipeline_systematic_resample",
 ]
 
 def _driver_order(d: dict) -> dict:
