@@ -134,7 +134,7 @@ _PRIORITY = [
     "ml_logreg_newton", "txlog_optimize_small", "pipeline_ngram_coverage",
     "tokenizer_bpe_apply", "window_dtw", "sim_mips_topk",
     "stats_bootstrap_ci", "stats_cuped", "pipeline_systematic_resample",
-    "text_kneser_ney", "dq_dp_counts", "graph_hits",
+    "text_kneser_ney", "dq_dp_counts", "graph_hits", "window_lttb",
 ]
 
 def _driver_order(d: dict) -> dict:
