@@ -135,7 +135,7 @@ _PRIORITY = [
     "tokenizer_bpe_apply", "window_dtw", "sim_mips_topk",
     "stats_bootstrap_ci", "stats_cuped", "pipeline_systematic_resample",
     "text_kneser_ney", "dq_dp_counts", "graph_hits", "window_lttb",
-    "window_holt_winters", "text_proximity_search",
+    "window_holt_winters", "text_proximity_search", "graph_random_walk",
 ]
 
 def _driver_order(d: dict) -> dict:
