@@ -136,7 +136,7 @@ _PRIORITY = [
     "stats_bootstrap_ci", "stats_cuped", "pipeline_systematic_resample",
     "text_kneser_ney", "dq_dp_counts", "graph_hits", "window_lttb",
     "window_holt_winters", "text_proximity_search", "graph_random_walk",
-    "stats_sprt", "text_skipgram_pairs",
+    "stats_sprt", "text_skipgram_pairs", "geo_point_in_polygon",
 ]
 
 def _driver_order(d: dict) -> dict:
