@@ -114,6 +114,10 @@ def window_holt_winters(spark, sf_dir):
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("z"))
+        # ~400 rows (5 regions x ~80 months); checkpointing stops the
+        # init/seasonal/series consumers from re-expanding the fact
+        # join three times (plan-audit catch: 8 scans -> 1)
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("region").orderBy("ym")
     base = rev.withColumn("pos", F.row_number().over(w))

@@ -64,27 +64,31 @@ def text_skipgram_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         F.split(F.lower("text"), " ").alias("ts")
     )
-    parts = []
+    # all distances and both directions in ONE array expression, so
+    # the corpus is scanned once (the unioned-explode first draft
+    # read documents 12 times — plan-audit catch)
+    arrays = []
     for d in range(1, _W + 1):
         n = F.size("ts")
         left = F.slice("ts", 1, F.greatest(n - d, F.lit(0)))
         right = F.slice("ts", d + 1, F.greatest(n - d, F.lit(0)))
-        z = F.zip_with(
-            left, right, lambda a, b: F.struct(a.alias("x"), b.alias("y"))
-        )
-        parts.append(
-            docs.select(F.explode(z).alias("p")).select(
-                F.col("p.x").alias("center"), F.col("p.y").alias("context")
+        arrays.append(
+            F.zip_with(
+                left,
+                right,
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
             )
         )
-        parts.append(
-            docs.select(F.explode(z).alias("p")).select(
-                F.col("p.y").alias("center"), F.col("p.x").alias("context")
+        arrays.append(
+            F.zip_with(
+                left,
+                right,
+                lambda a, b: F.struct(b.alias("x"), a.alias("y")),
             )
         )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionAll(p)
+    pairs = docs.select(
+        F.explode(F.concat(*arrays)).alias("p")
+    ).select(F.col("p.x").alias("center"), F.col("p.y").alias("context"))
     pc = pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
