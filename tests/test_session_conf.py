@@ -115,6 +115,14 @@ def test_representative_queries_execute_under_ansi_mode(spark):
         # metadata-only stats path
         "agg_bitmap_distinct", "agg_hll_sketch", "events_quadkey_rollup",
         "stocks_macd", "txlog_metadata_count", "window_hurst_rs",
+        # curation wave: conv/md5 hash ladders (CDC cuts, bootstrap
+        # weights, DP noise, walk draws), element_at indexing (fence
+        # ladder, neighbor pick), integer div (systematic resample,
+        # stump deciles), log/exp hot paths (logreg, KN, entropy)
+        "pipeline_cdc_chunk_dedup", "stats_bootstrap_ci", "dq_dp_counts",
+        "graph_random_walk", "stats_fdr_bh", "pipeline_systematic_resample",
+        "ml_decision_stump", "ml_logreg_newton", "text_kneser_ney",
+        "window_dtw", "window_lttb", "window_holt_winters",
     ]
     prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     fails = []
