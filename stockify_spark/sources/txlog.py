@@ -117,7 +117,19 @@ def checkpoint_log(path: str) -> int:
         if "constraint" in a
         for c in [a["constraint"]]
     ]
-    ck = {"version": version, "actions": cons + [{"add": a} for a in adds]}
+    # deletion vectors are metadata too: dropping add_dv actions at
+    # the collapse would silently UNDELETE every MOR-deleted row for
+    # readers replaying from the checkpoint
+    dvs = [
+        {"add_dv": a["add_dv"]}
+        for commit in commits
+        for a in commit["actions"]
+        if "add_dv" in a
+    ]
+    ck = {
+        "version": version,
+        "actions": cons + dvs + [{"add": a} for a in adds],
+    }
     tmp = _checkpoint_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(ck, f)
@@ -364,11 +376,36 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     travel is just replaying less of the log. ``mergeSchema`` unions
     the file schemas, so columns added by later appends read as NULL
     on older files (additive schema evolution; parquet's footer
-    schema per immutable file is the source of truth)."""
+    schema per immutable file is the source of truth). Active
+    deletion vectors (merge-on-read deletes) are applied as one
+    anti-join on (file name, row position)."""
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    base = spark.read.option("mergeSchema", "true").parquet(*files)
+    dvs = _live_dvs(path, version)
+    if not dvs:
+        return base
+    live_names = {os.path.basename(f) for f in files}
+    dv = (
+        spark.read.parquet(*[_abs(path, p) for p in dvs])
+        # a DV row is active only while its target file is live; a
+        # later materialize/COW rewrite removed the file and the
+        # rewrite already applied the deletions
+        .filter(F.col("_dv_file").isin(*sorted(live_names)))
+        .select("_dv_file", "_dv_pos")
+        .distinct()
+    )
+    tagged = base.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "_dv_file"
+        ),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "*",
+    )
+    return tagged.join(
+        F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+    ).drop("_dv_file", "_dv_pos")
 
 
 def _live_adds(path: str, version: int | None = None) -> list[dict]:
@@ -415,6 +452,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     """Copy-on-write delete: only files that actually contain
     matching rows are rewritten; untouched files stay shared between
     the old and new snapshots."""
+    _require_no_dvs(path, "delete_where")
     actions: list[dict] = []
     for rel in _live_rel(path):
         part = spark.read.parquet(_abs(path, rel))
@@ -447,6 +485,7 @@ def merge_upsert(
     add/remove multiset difference cancels the copy-on-write
     survivors, same as delete_where.
     """
+    _require_no_dvs(path, "merge_upsert")
     from pyspark.sql import functions as F
 
     from urllib.parse import unquote, urlparse
@@ -529,6 +568,7 @@ def compact_small(
     rewrite 100 TB to fix 100 MB — this rewrites only the fragments,
     so the maintenance cost tracks the fragmentation, not the table.
     Returns the commit version (unchanged if nothing qualifies)."""
+    _require_no_dvs(path, "compact_small")
     small = [
         rel
         for rel in _live_rel(path)
@@ -564,6 +604,7 @@ def compact(
     while the Z-curve gives every listed column boxes ~sqrt-as-tight
     — the multi-dimensional data-skipping trade, measured in
     bench.py's layout experiment."""
+    _require_no_dvs(path, "compact")
     if sort_by is not None and zorder_by is not None:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     rels = _live_rel(path)
@@ -892,3 +933,125 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
             os.remove(fpath)
             deleted.append(rel)
     return sorted(deleted)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read deletes
+# ---------------------------------------------------------------------------
+
+def _live_dvs(path: str, version: int | None = None) -> list[str]:
+    """Table-relative paths of every committed DV sidecar up to
+    ``version``. Staleness (DVs whose target file has since been
+    rewritten) is filtered at READ time against the live file set,
+    not here — the log itself stays append-only."""
+    out: list[str] = []
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "add_dv" in a:
+                out.append(a["add_dv"]["path"])
+    return out
+
+
+def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
+    """Merge-on-read delete: instead of rewriting every touched file
+    (copy-on-write — :func:`delete_where`), record the matching rows'
+    (file, position) pairs in a deletion-vector sidecar and log one
+    ``add_dv`` action. The write cost is proportional to the DELETED
+    rows, not the touched files — the reason Delta/Iceberg grew DV
+    support: a one-row delete in a 1 GB file costs bytes, not a
+    gigabyte rewrite. Readers apply active DVs as an anti-join on
+    (file name, row position) from parquet's ``_metadata.row_index``;
+    at 100 TB a production reader pushes per-file position bitmaps
+    into the scan instead of the broadcast anti-join, same contract.
+
+    Returns the commit version (unchanged if nothing matched)."""
+    files = live_files(path)
+    if not files:
+        raise FileNotFoundError(f"empty txlog table at {path}")
+    base = spark.read.option("mergeSchema", "true").parquet(*files)
+    hits = (
+        base.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            "*",
+        )
+        .filter(predicate)
+        .select("_dv_file", "_dv_pos")
+    )
+    n = hits.count()
+    if n == 0:
+        return current_version(path)
+    rel = os.path.join("dv", f"{uuid.uuid4().hex}.parquet")
+    final = _abs(path, rel)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    staging = os.path.join(_data_dir(path), f"_staging_{uuid.uuid4().hex}")
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        name for name in sorted(os.listdir(staging)) if name.endswith(".parquet")
+    )
+    os.rename(os.path.join(staging, part), final)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return _commit(path, [{"add_dv": {"path": rel, "n": n}}])
+
+
+def materialize_dvs(spark: SparkSession, path: str) -> int:
+    """Fold active deletion vectors into the data: rewrite each
+    DV-touched live file with its deletions applied (COW), after
+    which the old files — and with them the DVs' relevance — leave
+    the live set. This is the maintenance op that must run before
+    file-rewriting operations (compact/z-order/COW-delete/merge),
+    which read raw files and would otherwise RESURRECT DV-deleted
+    rows; those ops refuse while DVs are active (_require_no_dvs).
+
+    Returns the commit version (unchanged if no DVs are active)."""
+    dvs = _live_dvs(path)
+    if not dvs:
+        return current_version(path)
+    live = _live_rel(path)
+    live_names = {os.path.basename(p): p for p in live}
+    dv = (
+        spark.read.parquet(*[_abs(path, p) for p in dvs])
+        .filter(F.col("_dv_file").isin(*sorted(live_names)))
+        .select("_dv_file", "_dv_pos")
+        .distinct()
+    )
+    touched = sorted({r["_dv_file"] for r in dv.select("_dv_file").distinct().collect()})
+    actions: list[dict] = []
+    for fname in touched:
+        rel = live_names[fname]
+        part = spark.read.parquet(_abs(path, rel)).select(
+            F.col("_metadata.row_index").alias("_dv_pos"), "*"
+        )
+        keep = part.join(
+            F.broadcast(dv.filter(F.col("_dv_file") == fname).select("_dv_pos")),
+            "_dv_pos",
+            "left_anti",
+        ).drop("_dv_pos")
+        actions.append({"remove": {"path": rel}})
+        actions.extend(_write_data_files(keep, path))
+    return _commit(path, actions)
+
+
+def _require_no_dvs(path: str, op: str) -> None:
+    """File-rewriting ops read raw parquet; running them over a table
+    with active DVs would resurrect deleted rows. Refuse loudly."""
+    live = {os.path.basename(p) for p in _live_rel(path)}
+    for rel in _live_dvs(path):
+        # cheap activity probe: the sidecar is active if ANY of its
+        # rows targets a live file; sidecars are small, read driverless
+        # is overkill — presence of any DV sidecar while its commit's
+        # target may be live is grounds to require materialization
+        if os.path.exists(_abs(path, rel)):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(_abs(path, rel), columns=["_dv_file"])
+            if any(f in live for f in t.column("_dv_file").to_pylist()):
+                raise RuntimeError(
+                    f"{op}: table at {path} has active deletion vectors; "
+                    "run materialize_dvs() first (file-rewriting ops over "
+                    "raw files would resurrect DV-deleted rows)"
+                )

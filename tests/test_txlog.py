@@ -506,3 +506,65 @@ def test_compact_small_leaves_healthy_files_shared(spark, tmp_path):
     assert {tuple(r) for r in txlog.snapshot(spark, path).collect()} == before
     # idempotent: nothing left to pack -> no new commit
     assert txlog.compact_small(spark, path, min_bytes=5_000) == v
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read)
+# ---------------------------------------------------------------------------
+
+def _dv_fixture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dvt")
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    txlog.create(df.repartition(2), path)
+    return path
+
+
+def test_dv_delete_rewrites_nothing_and_reads_apply(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    files0 = set(txlog.live_files(path))
+    v = txlog.delete_where_dv(spark, path, F.col("k") % 10 == 0)
+    assert v == 1
+    assert set(txlog.live_files(path)) == files0  # zero rewrite
+    got = {r.k for r in txlog.snapshot(spark, path).collect()}
+    assert got == {k for k in range(100) if k % 10 != 0}
+    # time travel to v0 sees everything
+    assert txlog.snapshot(spark, path, 0).count() == 100
+
+
+def test_dv_survives_checkpoint_collapse(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    txlog.delete_where_dv(spark, path, F.col("k") < 50)
+    txlog.checkpoint_log(path)
+    # replay now starts at the checkpoint; the DV must still apply
+    assert txlog.snapshot(spark, path).count() == 50
+
+
+def test_rewriting_ops_refuse_active_dvs_until_materialized(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    txlog.delete_where_dv(spark, path, F.col("k") % 2 == 0)
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        txlog.compact(spark, path, target_partitions=1)
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        txlog.delete_where(spark, path, F.col("k") > 90)
+    before = sorted(r.k for r in txlog.snapshot(spark, path).collect())
+    txlog.materialize_dvs(spark, path)
+    # after folding, the same rows read back and rewrites are legal
+    after = sorted(r.k for r in txlog.snapshot(spark, path).collect())
+    assert after == before == list(range(1, 100, 2))
+    txlog.compact(spark, path, target_partitions=1)
+    assert sorted(r.k for r in txlog.snapshot(spark, path).collect()) == before
+    # stale sidecars (files rewritten) are inert: no resurrection,
+    # no double-delete
+    assert txlog._live_dvs(path)  # sidecars still logged
