@@ -137,7 +137,7 @@ _PRIORITY = [
     "text_kneser_ney", "dq_dp_counts", "graph_hits", "window_lttb",
     "window_holt_winters", "text_proximity_search", "graph_random_walk",
     "stats_sprt", "text_skipgram_pairs", "geo_point_in_polygon",
-    "ml_decision_stump", "txlog_deletion_vectors",
+    "ml_decision_stump", "txlog_deletion_vectors", "stats_conformal_interval",
 ]
 
 def _driver_order(d: dict) -> dict:
