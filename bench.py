@@ -411,7 +411,32 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
         t_replay_full = time_replay()
         ck_version = txlog.checkpoint_log(tx_path)
         t_replay_ckpt = time_replay()
+
+        # E2d deletion-vector read overhead: the MOR trade is
+        # write-cheap deletes for a read-side anti-join — measure it.
+        # COW-delete cost on the same predicate is the comparison
+        # point a user choosing a delete strategy needs.
+        t_read_clean = probe(lambda: txlog.snapshot(spark, tx_path))
+        t0 = time.perf_counter()
+        txlog.delete_where_dv(
+            spark, tx_path, F.col("l_orderkey") % 97 == 0
+        )
+        t_dv_write = time.perf_counter() - t0
+        t_read_dv = probe(lambda: txlog.snapshot(spark, tx_path))
+        t0 = time.perf_counter()
+        txlog.materialize_dvs(spark, tx_path)
+        t_dv_materialize = time.perf_counter() - t0
+        dv_stats = {
+            "dv_write_sec": round(t_dv_write, 4),
+            "dv_read_clean_sec": round(t_read_clean, 4),
+            "dv_read_with_dv_sec": round(t_read_dv, 4),
+            "dv_read_overhead": (
+                round(t_read_dv / t_read_clean, 3) if t_read_clean else 0.0
+            ),
+            "dv_materialize_sec": round(t_dv_materialize, 4),
+        }
         return {
+            **dv_stats,
             "layout_unsorted_sec": round(t_unsorted, 4),
             "layout_sorted_sec": round(t_sorted, 4),
             "layout_sorted_speedup": round(t_unsorted / t_sorted, 3) if t_sorted else 0.0,
