@@ -383,10 +383,21 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
+    return _with_dvs(spark, path, base, version)
+
+
+def _with_dvs(
+    spark: SparkSession, path: str, base: DataFrame, version: int | None
+) -> DataFrame:
+    """Apply active deletion vectors to a DataFrame read from (any
+    subset of) the live files — EVERY txlog read path must route
+    through this, including the pruned/point readers: a raw read of
+    a DV'd table resurrects deleted rows. Pruning composes freely:
+    DV rows for files a reader skipped simply never match."""
     dvs = _live_dvs(path, version)
     if not dvs:
         return base
-    live_names = {os.path.basename(f) for f in files}
+    live_names = {os.path.basename(f) for f in live_files(path, version)}
     dv = (
         spark.read.parquet(*[_abs(path, p) for p in dvs])
         # a DV row is active only while its target file is live; a
@@ -444,7 +455,12 @@ def snapshot_pruned(
         keep.append(_abs(path, a["path"]))
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
-    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    df = _with_dvs(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(*keep),
+        version,
+    )
     return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
 
 
@@ -660,7 +676,12 @@ def snapshot_pruned_multi(
         residual = cond if residual is None else (residual & cond)
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
-    return spark.read.option("mergeSchema", "true").parquet(*keep).filter(residual)
+    return _with_dvs(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(*keep),
+        version,
+    ).filter(residual)
 
 
 def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -842,11 +863,12 @@ def snapshot_point(
         keep.append(_abs(path, a["path"]))
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*keep)
-        .filter(F.col(column) == value)
-    )
+    return _with_dvs(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(*keep),
+        version,
+    ).filter(F.col(column) == value)
 
 
 def restore(path: str, version: int) -> int:

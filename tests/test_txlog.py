@@ -568,3 +568,27 @@ def test_rewriting_ops_refuse_active_dvs_until_materialized(spark, tmp_path):
     # stale sidecars (files rewritten) are inert: no resurrection,
     # no double-delete
     assert txlog._live_dvs(path)  # sidecars still logged
+
+
+def test_pruned_and_point_readers_apply_dvs(spark, tmp_path):
+    """Every read path must subtract DVs — a pruned read that
+    resurrects deleted rows is the MOR design mistake the format
+    guards against on the write side."""
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    txlog.delete_where_dv(spark, path, F.col("k").between(20, 29))
+    pruned = {
+        r.k
+        for r in txlog.snapshot_pruned(spark, path, "k", 10, 39).collect()
+    }
+    assert pruned == set(range(10, 20)) | set(range(30, 40))
+    multi = {
+        r.k
+        for r in txlog.snapshot_pruned_multi(
+            spark, path, [("k", 10, 39), ("v", 0.0, 1000.0)]
+        ).collect()
+    }
+    assert multi == pruned
+    assert txlog.snapshot_point(spark, path, "k", 25).count() == 0
+    assert txlog.snapshot_point(spark, path, "k", 35).count() == 1
