@@ -138,7 +138,7 @@ _PRIORITY = [
     "window_holt_winters", "text_proximity_search", "graph_random_walk",
     "stats_sprt", "text_skipgram_pairs", "geo_point_in_polygon",
     "ml_decision_stump", "txlog_deletion_vectors", "stats_conformal_interval",
-    "fn_udtf_chunks", "text_stylometry_delta",
+    "fn_udtf_chunks", "text_stylometry_delta", "stats_granger",
 ]
 
 def _driver_order(d: dict) -> dict:
