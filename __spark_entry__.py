@@ -139,7 +139,7 @@ _PRIORITY = [
     "stats_sprt", "text_skipgram_pairs", "geo_point_in_polygon",
     "ml_decision_stump", "txlog_deletion_vectors", "stats_conformal_interval",
     "fn_udtf_chunks", "text_stylometry_delta", "stats_granger",
-    "window_changepoint", "orders_price_index",
+    "window_changepoint", "orders_price_index", "window_ar1_halflife",
 ]
 
 def _driver_order(d: dict) -> dict:
