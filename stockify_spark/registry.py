@@ -507,3 +507,4 @@ from stockify_spark import registry_ext65  # noqa: E402,F401  (registration side
 from stockify_spark import registry_ext66  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext67  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext68  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext69  # noqa: E402,F401  (registration side effect)
