@@ -140,7 +140,7 @@ _PRIORITY = [
     "ml_decision_stump", "txlog_deletion_vectors", "stats_conformal_interval",
     "fn_udtf_chunks", "text_stylometry_delta", "stats_granger",
     "window_changepoint", "orders_price_index", "window_ar1_halflife",
-    "events_burst_detect", "tokenizer_fertility",
+    "events_burst_detect", "tokenizer_fertility", "agg_kmv_sketch",
 ]
 
 def _driver_order(d: dict) -> dict:
