@@ -70,21 +70,29 @@ def text_stylometry_delta(spark, sf_dir):
     w = _t(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
-    top = (
-        w.groupBy("word")
+    # ONE corpus scan + one shuffle into the (source, word) profile
+    # table, eagerly checkpointed; the many downstream branches
+    # (marker words, source totals, marker counts, moments, pairs)
+    # re-read the ~vocab-sized checkpoint, never the corpus — the
+    # four-branch first draft re-ran the corpus explode per branch
+    # (plan-audit catch; the census still shows ~16 scans, but they
+    # are checkpoint reads of 20k rows, not document scans)
+    sw = (
+        w.groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        sw.groupBy("word")
+        .agg(F.sum("n").alias("n"))
         .withColumn(
             "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "word"))
         )
         .filter(F.col("r") <= _M)
         .select("word")
     )
-    tot = w.groupBy("source").agg(F.count(F.lit(1)).alias("t"))
-    c = (
-        w.join(F.broadcast(top), "word")
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    tot = sw.groupBy("source").agg(F.sum("n").alias("t"))
+    c = sw.join(F.broadcast(top), "word").select("source", "word", "n")
     f = (
         tot.crossJoin(F.broadcast(top))
         .join(c, ["source", "word"], "left")
