@@ -50,8 +50,11 @@ def test_mattr_is_length_invariant_where_ttr_is_not():
     defect MATTR was invented to fix."""
     base = (
         "the quick brown fox jumps over one lazy dog while many "
-        "other animals watch from beyond the quiet green hill today"
+        "other animals watch from beyond that quiet green hill today "
+        "as bright clouds drift slowly across a pale evening sky "
+        "and distant birds call softly near the old stone bridge"
     ).split(" ")
+    assert len(base) >= _W  # MATTR defined on the single copy too
     doubled = base + base
     ttr1 = len(set(base)) / len(base)
     ttr2 = len(set(doubled)) / len(doubled)
