@@ -141,7 +141,7 @@ _PRIORITY = [
     "fn_udtf_chunks", "text_stylometry_delta", "stats_granger",
     "window_changepoint", "orders_price_index", "window_ar1_halflife",
     "events_burst_detect", "tokenizer_fertility", "agg_kmv_sketch",
-    "stats_rbo", "text_mattr", "join_allen_relations",
+    "stats_rbo", "text_mattr", "join_allen_relations", "fn_jaro_winkler",
 ]
 
 def _driver_order(d: dict) -> dict:
