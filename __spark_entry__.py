@@ -142,7 +142,7 @@ _PRIORITY = [
     "window_changepoint", "orders_price_index", "window_ar1_halflife",
     "events_burst_detect", "tokenizer_fertility", "agg_kmv_sketch",
     "stats_rbo", "text_mattr", "join_allen_relations", "fn_jaro_winkler",
-    "text_char_entropy", "orders_abc_xyz",
+    "text_char_entropy", "orders_abc_xyz", "text_langid_eval",
 ]
 
 def _driver_order(d: dict) -> dict:
