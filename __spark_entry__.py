@@ -143,7 +143,7 @@ _PRIORITY = [
     "events_burst_detect", "tokenizer_fertility", "agg_kmv_sketch",
     "stats_rbo", "text_mattr", "join_allen_relations", "fn_jaro_winkler",
     "text_char_entropy", "orders_abc_xyz", "text_langid_eval",
-    "stats_kendall_tau", "pipeline_dataset_card",
+    "stats_kendall_tau", "pipeline_dataset_card", "window_ljung_box",
 ]
 
 def _driver_order(d: dict) -> dict:
