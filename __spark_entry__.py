@@ -144,7 +144,7 @@ _PRIORITY = [
     "stats_rbo", "text_mattr", "join_allen_relations", "fn_jaro_winkler",
     "text_char_entropy", "orders_abc_xyz", "text_langid_eval",
     "stats_kendall_tau", "pipeline_dataset_card", "window_ljung_box",
-    "stats_runs_test", "stats_cohens_kappa",
+    "stats_runs_test", "stats_cohens_kappa", "pipeline_budget_select",
 ]
 
 def _driver_order(d: dict) -> dict:
