@@ -57,10 +57,12 @@ def pipeline_dataset_card(spark, sf_dir):
     token totals consistent with the raw split — are pinned in
     tests/test_ext79.py.
 
-    Scale shape: the shared normalized frame is computed once and
-    feeds three aggregates (docs-level stats map-side combine;
-    vocabulary is the one big distinct — the same shuffle
-    text_heaps_law pays; language entropy is groups-sized). Diffing
+    Scale shape: three aggregates over the normalized frame — the
+    plan re-expands the cheap per-row normalization per branch
+    (3 corpus scans; a grouping-sets/observe fusion would cut it to
+    one, at the cost of entangling the three contracts), and each
+    branch is map-side combinable; vocabulary is the one big
+    distinct, the same shuffle text_heaps_law pays. Diffing
     two releases' cards is the cheapest regression gate a 100 TB
     corpus refresh can run."""
     norm = _t(spark, sf_dir, "documents").select(
