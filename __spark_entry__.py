@@ -145,7 +145,7 @@ _PRIORITY = [
     "text_char_entropy", "orders_abc_xyz", "text_langid_eval",
     "stats_kendall_tau", "pipeline_dataset_card", "window_ljung_box",
     "stats_runs_test", "stats_cohens_kappa", "pipeline_budget_select",
-    "stats_power_mde", "graph_degree_census",
+    "stats_power_mde", "graph_degree_census", "stocks_risk_ratios",
 ]
 
 def _driver_order(d: dict) -> dict:
