@@ -146,6 +146,7 @@ _PRIORITY = [
     "stats_kendall_tau", "pipeline_dataset_card", "window_ljung_box",
     "stats_runs_test", "stats_cohens_kappa", "pipeline_budget_select",
     "stats_power_mde", "graph_degree_census", "stocks_risk_ratios",
+    "join_asof_nearest",
 ]
 
 def _driver_order(d: dict) -> dict:
