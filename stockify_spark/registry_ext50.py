@@ -39,7 +39,7 @@ SELECT event_type, n_users,
        ROUND(n_users
              + (-{_B}) * CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END
                * ln(1 - 2 * abs(uu - 0.5)), 6) AS noisy_count,
-       {_EPS} AS epsilon
+       CAST({_EPS} AS DOUBLE) AS epsilon
 FROM u
 """
 

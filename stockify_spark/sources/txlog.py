@@ -119,16 +119,30 @@ def checkpoint_log(path: str) -> int:
     ]
     # deletion vectors are metadata too: dropping add_dv actions at
     # the collapse would silently UNDELETE every MOR-deleted row for
-    # readers replaying from the checkpoint
-    dvs = [
-        {"add_dv": a["add_dv"]}
-        for commit in commits
-        for a in commit["actions"]
-        if "add_dv" in a
+    # readers replaying from the checkpoint. The LIVE set (add_dv
+    # minus remove_dv) is carried, so a restore-retired sidecar does
+    # not resurrect through the collapse either.
+    dvs = [{"add_dv": a} for a in _live_dv_adds(path)]
+    # bloom indexes are metadata too: dropping ``index`` actions at
+    # the collapse silently degrades snapshot_point from skip-by-
+    # filter to open-every-file (results stay correct, skipping is
+    # lost). Latest entry per (file, column) wins, mirroring
+    # _bloom_indexes' replay rule.
+    blooms: dict[tuple, dict] = {}
+    for commit in commits:
+        for a in commit["actions"]:
+            if "index" in a:
+                idx = a["index"]
+                blooms[(idx["path"], idx["column"])] = idx
+    live_paths = {a["path"] for a in adds}
+    idxs = [
+        {"index": idx}
+        for (p, _), idx in sorted(blooms.items())
+        if p in live_paths  # an index on a removed file is dead metadata
     ]
     ck = {
         "version": version,
-        "actions": cons + dvs + [{"add": a} for a in adds],
+        "actions": cons + dvs + idxs + [{"add": a} for a in adds],
     }
     tmp = _checkpoint_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
@@ -330,9 +344,36 @@ def table_stats(path: str, version: int | None = None) -> dict:
     data files are opened — at 100 TB this answers COUNT/MIN/MAX
     from one driver-side log read instead of a full scan. Only
     columns with stats in EVERY live file report min/max (a file
-    without stats could hide the true extremum)."""
+    without stats could hide the true extremum).
+
+    With active deletion vectors the row count subtracts the DV
+    cardinality (exact — the sidecars, sized by deleted rows, are
+    read driver-side); min/max stay footer-derived and become
+    conservative BOUNDS, since a MOR-deleted row may have held the
+    true extremum (Delta's stats carry the same caveat under DVs)."""
     adds = _live_adds(path, version)
     rows = sum(a["stats"]["rows"] for a in adds)
+    # merge-on-read deletes: the per-file footer counts still include
+    # MOR-deleted rows, so subtract the ACTIVE deletion-vector
+    # cardinality — (file, pos) pairs deduped across sidecars and
+    # restricted to live target files, exactly the set the read
+    # path's anti-join removes. Sidecars are small (proportional to
+    # deleted rows) and read driver-side with pyarrow; the common
+    # no-DV case stays a pure log read.
+    dv_rels = _live_dvs(path, version)
+    if dv_rels:
+        import pyarrow.parquet as pq
+
+        live_names = {os.path.basename(a["path"]) for a in adds}
+        pairs: set = set()
+        for rel in dv_rels:
+            t = pq.read_table(_abs(path, rel), columns=["_dv_file", "_dv_pos"])
+            files = t.column("_dv_file").to_pylist()
+            poss = t.column("_dv_pos").to_pylist()
+            pairs.update(
+                (f, p) for f, p in zip(files, poss) if f in live_names
+            )
+        rows -= len(pairs)
     mins: dict = {}
     maxs: dict = {}
     common: set | None = None
@@ -362,9 +403,37 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     skips foreign (root-escaping) references by rule, and the
     source's vacuum only consults its own log."""
     adds = _live_adds(src, version)  # inner add dicts (path + stats)
-    actions = [
-        {"add": {**a, "path": os.path.relpath(_abs(src, a["path"]), dst)}}
-        for a in adds
+
+    def _rebase(p: str) -> str:
+        return os.path.relpath(_abs(src, p), dst)
+
+    actions = [{"add": {**a, "path": _rebase(a["path"])}} for a in adds]
+    # non-file metadata must survive the clone, exactly as it must
+    # survive a checkpoint collapse: dropping active add_dv actions
+    # would silently RESURRECT every MOR-deleted row in the clone
+    # (its reads would never anti-join the DVs), and dropping
+    # constraints would let writes to the clone skip enforcement.
+    # DV sidecar paths are rebased like data paths (read-only foreign
+    # references — the clone's vacuum never deletes root-escaping
+    # paths, and materialize_dvs on the clone writes new files into
+    # the CLONE's data dir, leaving the source untouched).
+    actions += [
+        {"add_dv": {**d, "path": _rebase(d["path"])}}
+        for d in _live_dv_adds(src, version)
+    ]
+    actions += [{"constraint": c} for c in _constraints(src, version)]
+    # bloom indexes key on the add's logged path — rebase to match
+    clone_paths = {a["add"]["path"] for a in actions if "add" in a}
+    seen_idx: dict[tuple, dict] = {}
+    for c in _read_log(src, version):
+        for a in c["actions"]:
+            if "index" in a:
+                idx = {**a["index"], "path": _rebase(a["index"]["path"])}
+                seen_idx[(idx["path"], idx["column"])] = idx
+    actions += [
+        {"index": idx}
+        for (p, _), idx in sorted(seen_idx.items())
+        if p in clone_paths
     ]
     os.makedirs(_log_dir(dst), exist_ok=True)
     os.makedirs(_data_dir(dst), exist_ok=True)
@@ -697,6 +766,16 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     exactly the deleted rows. Cost is proportional to the files the
     commit touched, never to table size.
 
+    Deletion vectors are first-class in the feed: a merge-on-read
+    delete commit (``add_dv``, no file actions) emits exactly the
+    newly-DV'd rows as deletes; a ``remove_dv`` (committed by
+    restore) emits the resurrected rows as inserts; and the file-
+    level diff reads each side THROUGH the DV set active at its
+    version, so a ``materialize_dvs`` commit — which rewrites a
+    DV'd file with the deletions applied — correctly yields an
+    EMPTY feed instead of re-emitting rows the earlier add_dv
+    commit already reported deleted.
+
     Returns the table schema plus a ``_change_type`` column
     ('insert' | 'delete').
     """
@@ -712,15 +791,92 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         commit = json.load(f)
     added = [_abs(path, a["add"]["path"]) for a in commit["actions"] if "add" in a]
     removed = [_abs(path, a["remove"]["path"]) for a in commit["actions"] if "remove" in a]
-
-    def read(files: list[str]) -> DataFrame | None:
-        return spark.read.parquet(*files) if files else None
-
-    a_df, r_df = read(added), read(removed)
-    if a_df is None and r_df is None:
+    has_dv_actions = any(
+        "add_dv" in a or "remove_dv" in a for a in commit["actions"]
+    )
+    if not added and not removed and not has_dv_actions:
         raise ValueError(f"commit {version} touched no files")
+
+    def _dv_pairs(v: int) -> DataFrame | None:
+        """Active (file, pos) delete pairs as of version ``v``,
+        restricted to files live at ``v`` — the exact set the read
+        path anti-joins."""
+        rels = _live_dvs(path, v)
+        if not rels:
+            return None
+        names = {os.path.basename(p) for p in _live_rel(path, v)}
+        if not names:
+            return None
+        return (
+            spark.read.parquet(*[_abs(path, p) for p in rels])
+            .filter(F.col("_dv_file").isin(*sorted(names)))
+            .select("_dv_file", "_dv_pos")
+            .distinct()
+        )
+
+    dv_before = _dv_pairs(version - 1) if version > 0 else None
+    dv_after = _dv_pairs(version)
+
+    def _tagged(files: list[str]) -> DataFrame:
+        base = spark.read.option("mergeSchema", "true").parquet(*files)
+        return base.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "_dv_file"
+            ),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            "*",
+        )
+
+    def _minus_dvs(files: list[str], dv: DataFrame | None) -> DataFrame | None:
+        """Rows of ``files`` as the snapshot at that side saw them —
+        raw rows minus the side's active DV pairs."""
+        if not files:
+            return None
+        t = _tagged(files)
+        if dv is not None:
+            t = t.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti")
+        return t.drop("_dv_file", "_dv_pos")
+
+    # file-level diff, each side read through ITS version's DVs
+    a_df = _minus_dvs(added, dv_after)
+    r_df = _minus_dvs(removed, dv_before)
     inserts = a_df.exceptAll(r_df) if (a_df is not None and r_df is not None) else a_df
     deletes = r_df.exceptAll(a_df) if (a_df is not None and r_df is not None) else r_df
+
+    # DV-level diff on files live at BOTH versions: pairs newly
+    # active are row deletes, pairs newly retired are row inserts
+    if has_dv_actions:
+        prev_live = set(_live_rel(path, version - 1))
+        both = [p for p in _live_rel(path, version) if p in prev_live]
+        if both:
+            empty = None
+            t = _tagged([_abs(path, p) for p in both])
+
+            def _match(dv_in: DataFrame | None, dv_not: DataFrame | None):
+                if dv_in is None:
+                    return empty
+                delta = (
+                    dv_in.exceptAll(dv_not) if dv_not is not None else dv_in
+                )
+                return t.join(
+                    F.broadcast(delta), ["_dv_file", "_dv_pos"], "semi"
+                ).drop("_dv_file", "_dv_pos")
+
+            new_deletes = _match(dv_after, dv_before)
+            new_inserts = _match(dv_before, dv_after)
+            if new_deletes is not None:
+                deletes = (
+                    deletes.unionByName(new_deletes)
+                    if deletes is not None
+                    else new_deletes
+                )
+            if new_inserts is not None:
+                inserts = (
+                    inserts.unionByName(new_inserts)
+                    if inserts is not None
+                    else new_inserts
+                )
+
     parts = []
     if inserts is not None:
         parts.append(inserts.withColumn("_change_type", F.lit("insert")))
@@ -904,6 +1060,22 @@ def restore(path: str, version: int) -> int:
     actions += [
         {"add": target[p]} for p in sorted(target) if p not in current
     ]
+    # deletion vectors are part of the snapshot: a delete_where_dv
+    # commit changes NO files, so a files-only diff would report
+    # "already at that snapshot" while the head still applies the
+    # DVs. Retire sidecars active now but not at ``version``
+    # (remove_dv), and re-register sidecars active at ``version``
+    # but retired since (a prior restore) — after this commit the
+    # active-DV set equals the target's, so snapshot(head) ==
+    # snapshot(target) exactly.
+    dv_target = {d["path"]: d for d in _live_dv_adds(path, version)}
+    dv_current = {d["path"]: d for d in _live_dv_adds(path)}
+    actions += [
+        {"remove_dv": {"path": p}} for p in sorted(dv_current) if p not in dv_target
+    ]
+    actions += [
+        {"add_dv": dv_target[p]} for p in sorted(dv_target) if p not in dv_current
+    ]
     if not actions:
         return current_version(path)  # already at that snapshot
     return _commit(path, actions)
@@ -961,17 +1133,25 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
 # Deletion vectors — merge-on-read deletes
 # ---------------------------------------------------------------------------
 
-def _live_dvs(path: str, version: int | None = None) -> list[str]:
-    """Table-relative paths of every committed DV sidecar up to
-    ``version``. Staleness (DVs whose target file has since been
-    rewritten) is filtered at READ time against the live file set,
-    not here — the log itself stays append-only."""
-    out: list[str] = []
+def _live_dv_adds(path: str, version: int | None = None) -> list[dict]:
+    """Active ``add_dv`` entries (path + n) as of ``version``:
+    ``add_dv`` registers a sidecar, ``remove_dv`` (committed by
+    :func:`restore` when rolling back past a MOR delete) retires it.
+    Staleness (DVs whose target file has since been rewritten) is
+    filtered at READ time against the live file set, not here — the
+    log itself stays append-only."""
+    out: dict[str, dict] = {}
     for c in _read_log(path, version):
         for a in c["actions"]:
             if "add_dv" in a:
-                out.append(a["add_dv"]["path"])
-    return out
+                out[a["add_dv"]["path"]] = a["add_dv"]
+            elif "remove_dv" in a:
+                out.pop(a["remove_dv"]["path"], None)
+    return list(out.values())
+
+
+def _live_dvs(path: str, version: int | None = None) -> list[str]:
+    return [a["path"] for a in _live_dv_adds(path, version)]
 
 
 def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
@@ -1002,6 +1182,20 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
         .filter(predicate)
         .select("_dv_file", "_dv_pos")
     )
+    # rows already MOR-deleted by an earlier sidecar must not be
+    # recorded again: the read path's distinct() would keep results
+    # correct anyway, but the sidecar's cardinality (and the change
+    # feed's add_dv delta) should describe NEWLY deleted rows only
+    prior = _live_dvs(path)
+    if prior:
+        live_names = {os.path.basename(f) for f in files}
+        prev = (
+            spark.read.parquet(*[_abs(path, p) for p in prior])
+            .filter(F.col("_dv_file").isin(*sorted(live_names)))
+            .select("_dv_file", "_dv_pos")
+            .distinct()
+        )
+        hits = hits.join(F.broadcast(prev), ["_dv_file", "_dv_pos"], "left_anti")
     n = hits.count()
     if n == 0:
         return current_version(path)

@@ -592,3 +592,154 @@ def test_pruned_and_point_readers_apply_dvs(spark, tmp_path):
     assert multi == pruned
     assert txlog.snapshot_point(spark, path, "k", 25).count() == 0
     assert txlog.snapshot_point(spark, path, "k", 35).count() == 1
+
+
+def test_clone_carries_dvs_and_constraints(spark, tmp_path):
+    """ADVICE r9: a shallow clone of a table with active deletion
+    vectors must NOT resurrect the MOR-deleted rows (clone carries
+    add_dv with rebased sidecar paths), and CHECK constraints must
+    keep enforcing on writes to the clone."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    txlog.set_constraint(path, "k_nonneg", "k >= 0")
+    txlog.delete_where_dv(spark, path, F.col("k") % 10 == 0)
+    dst = str(tmp_path / "clone")
+    txlog.clone(path, dst)
+    got = {r.k for r in txlog.snapshot(spark, dst).collect()}
+    assert got == {k for k in range(100) if k % 10 != 0}
+    # constraints survive the clone
+    bad = spark.range(1).select(F.lit(-1).cast("long").alias("k"),
+                                F.lit(0.0).alias("v"))
+    with pytest.raises(txlog.ConstraintViolation):
+        txlog.append(bad, dst)
+    # rewriting ops on the clone still refuse until materialized
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        txlog.compact(spark, dst, target_partitions=1)
+    txlog.materialize_dvs(spark, dst)
+    assert {r.k for r in txlog.snapshot(spark, dst).collect()} == got
+    # the source never observed any of it
+    assert txlog.snapshot(spark, path).count() == 90
+
+
+def test_clone_carries_bloom_indexes(spark, tmp_path):
+    """Bloom index metadata survives a clone with rebased file keys:
+    snapshot_point on the clone skips provably-absent files."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "src")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    txlog.create(df.repartitionByRange(4, "k"), path)
+    txlog.attach_bloom(spark, path, "k")
+    dst = str(tmp_path / "clone")
+    txlog.clone(path, dst)
+    idx = txlog._bloom_indexes(dst, "k")
+    live = set(txlog._live_rel(dst))
+    assert set(idx) == live and len(idx) == 4  # rebased keys match adds
+    assert txlog.snapshot_point(spark, dst, "k", 150).count() == 1
+
+
+def test_restore_neutralizes_dvs(spark, tmp_path):
+    """ADVICE r9: restore() to a pre-DV version must retire DVs
+    committed after the target — the restored head snapshot equals
+    the target snapshot exactly, and restore is itself restorable."""
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)          # v0: 100 rows
+    v_dv = txlog.delete_where_dv(spark, path, F.col("k") < 50)  # v1
+    assert txlog.snapshot(spark, path).count() == 50
+    v_restore = txlog.restore(path, 0)           # must NOT say no-op
+    assert v_restore == v_dv + 1
+    assert txlog.snapshot(spark, path).count() == 100
+    assert {r.k for r in txlog.snapshot(spark, path).collect()} == set(range(100))
+    # restore of the restore re-activates the sidecar (add_dv back)
+    v_back = txlog.restore(path, v_dv)
+    assert v_back == v_restore + 1
+    assert {r.k for r in txlog.snapshot(spark, path).collect()} == set(range(50, 100))
+    # every historical version still reads exactly as committed
+    assert txlog.snapshot(spark, path, 0).count() == 100
+    assert txlog.snapshot(spark, path, v_dv).count() == 50
+    assert txlog.snapshot(spark, path, v_restore).count() == 100
+
+
+def test_table_stats_subtracts_active_dvs(spark, tmp_path):
+    """ADVICE r9: metadata COUNT must not overcount MOR-deleted rows;
+    overlapping sidecars dedupe; stale sidecars (post-materialize)
+    stop counting."""
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    assert txlog.table_stats(path)["rows"] == 100
+    txlog.delete_where_dv(spark, path, F.col("k") < 30)
+    assert txlog.table_stats(path)["rows"] == 70
+    # second sidecar overlapping the first: k<40 adds only 10 new
+    txlog.delete_where_dv(spark, path, F.col("k") < 40)
+    assert txlog.table_stats(path)["rows"] == 60
+    assert txlog.snapshot(spark, path).count() == 60
+    # time travel stats
+    assert txlog.table_stats(path, 0)["rows"] == 100
+    txlog.materialize_dvs(spark, path)
+    assert txlog.table_stats(path)["rows"] == 60
+
+
+def test_checkpoint_carries_bloom_indexes(spark, tmp_path):
+    """ADVICE r9: a log checkpoint must not discard bloom index
+    actions — skipping survives the collapse."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(F.col("id").alias("k"))
+    txlog.create(df.repartitionByRange(4, "k"), path)
+    txlog.attach_bloom(spark, path, "k")
+    txlog.checkpoint_log(path)
+    txlog.append(spark.range(200, 210).select(F.col("id").alias("k")), path)
+    idx = txlog._bloom_indexes(path, "k")
+    assert len(idx) == 4  # replay starts at the checkpoint; indexes intact
+    # absent key: only the unindexed appended file may open
+    assert txlog.snapshot_point(spark, path, "k", 205).count() == 1
+    assert txlog.snapshot_point(spark, path, "k", 199).count() == 1
+
+
+def test_changes_emits_dv_deletes_and_restore_inserts(spark, tmp_path):
+    """ADVICE r9: the change feed sees MOR deletes — an add_dv commit
+    emits exactly the newly-deleted rows as deletes; the restore
+    commit that retires the sidecar emits them back as inserts; the
+    materialize commit after a re-delete emits an EMPTY feed."""
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)          # v0
+    v1 = txlog.delete_where_dv(spark, path, F.col("k") < 10)
+    cdf1 = txlog.changes(spark, path, v1)
+    rows1 = cdf1.collect()
+    assert {r._change_type for r in rows1} == {"delete"}
+    assert sorted(r.k for r in rows1) == list(range(10))
+    # overlapping second delete: only the NEW rows appear
+    v2 = txlog.delete_where_dv(spark, path, F.col("k") < 15)
+    rows2 = txlog.changes(spark, path, v2).collect()
+    assert sorted(r.k for r in rows2) == list(range(10, 15))
+    assert {r._change_type for r in rows2} == {"delete"}
+    # restore to v0 resurrects all 15 as inserts
+    v3 = txlog.restore(path, 0)
+    rows3 = txlog.changes(spark, path, v3).collect()
+    assert {r._change_type for r in rows3} == {"insert"}
+    assert sorted(r.k for r in rows3) == list(range(15))
+    # delete again, then materialize: the materialize commit's feed
+    # is EMPTY (the delete was already reported at the add_dv commit)
+    txlog.delete_where_dv(spark, path, F.col("k") < 5)
+    v5 = txlog.materialize_dvs(spark, path)
+    assert txlog.changes(spark, path, v5).count() == 0
+
+
+def test_dv_delete_skips_already_deleted_rows(spark, tmp_path):
+    """A delete_where_dv whose matches are all already MOR-deleted is
+    a no-op commit-wise (returns the current version unchanged)."""
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    v1 = txlog.delete_where_dv(spark, path, F.col("k") < 20)
+    v2 = txlog.delete_where_dv(spark, path, F.col("k") < 10)  # subset
+    assert v2 == v1  # nothing new to delete
+    assert txlog.snapshot(spark, path).count() == 80
