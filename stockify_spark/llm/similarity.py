@@ -487,6 +487,34 @@ def quantized_topk_batched(
 
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
+# The seeded_* ANN variants collect the QUERY SET to the driver and
+# ship it to executors as closure metadata — the right shape for a
+# bounded query batch (the 100 TB case: a handful of probes against a
+# corpus-scale index), and the WRONG shape for a query set that is
+# itself corpus-scale. The guard below makes that assumption explicit
+# instead of letting a huge collect OOM the driver; for corpus-scale
+# query sets use ivf_topk/lsh_topk, whose candidate generation is a
+# cell/bucket equi-join with no driver collect of either side.
+SEEDED_QUERY_LIMIT = 100_000
+
+
+def _collect_bounded(tagged: DataFrame, model_rows: int, what: str) -> list:
+    """Collect the model+query union with an explicit ceiling: fetch
+    at most (limit + 1) rows in the SAME single job and raise — never
+    silently truncate — if the query set exceeds the documented
+    bound."""
+    cap = model_rows + SEEDED_QUERY_LIMIT
+    rows = tagged.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: query set exceeds SEEDED_QUERY_LIMIT "
+            f"({SEEDED_QUERY_LIMIT}) — the seeded variants collect "
+            "queries to the driver and only fit bounded query "
+            "batches; use ivf_topk/lsh_topk (cell/bucket equi-join) "
+            "for corpus-scale query sets"
+        )
+    return rows
+
 
 def fit_centroids(
     df: DataFrame,
@@ -635,7 +663,7 @@ def seeded_ivf_topk(
             F.lit("q").alias("_role"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         )
     )
-    rows = tagged.collect()
+    rows = _collect_bounded(tagged, n_centroids, "seeded_ivf_topk")
     c_rows = sorted([r for r in rows if r[0] == "c"], key=lambda r: r[1])
     q_rows = sorted([r for r in rows if r[0] == "q"], key=lambda r: r[1])
     if len(c_rows) != n_centroids:
@@ -762,7 +790,7 @@ def seeded_lsh_topk(
             F.lit("q").alias("_role"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         )
     )
-    rows = tagged.collect()
+    rows = _collect_bounded(tagged, n_h, "seeded_lsh_topk")
     p_rows = sorted([r for r in rows if r[0] == "p"], key=lambda r: r[1])
     q_rows = sorted([r for r in rows if r[0] == "q"], key=lambda r: r[1])
     if len(p_rows) != n_h:

@@ -229,3 +229,20 @@ def test_seeded_lsh_topk_deterministic_and_subset_of_corpus(emb):
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1)), q
+
+
+def test_seeded_ann_guards_query_set_scale(emb, monkeypatch):
+    """r8 verdict #5: the seeded variants collect the query set to
+    the driver — a corpus-scale query set must raise loudly (pointing
+    at the equi-join forms) instead of attempting an unbounded
+    collect."""
+    import pytest
+
+    from stockify_spark.llm import similarity
+
+    monkeypatch.setattr(similarity, "SEEDED_QUERY_LIMIT", 3)
+    queries = emb.limit(10)
+    with pytest.raises(ValueError, match="SEEDED_QUERY_LIMIT"):
+        similarity.seeded_ivf_topk(emb, queries, k=2)
+    with pytest.raises(ValueError, match="SEEDED_QUERY_LIMIT"):
+        similarity.seeded_lsh_topk(emb, queries, k=2)
