@@ -62,11 +62,85 @@ def test_rejections_and_boundaries():
     v2[1] = 0xF3  # version bits -> MPEG-2
     with pytest.raises(NotImplementedError, match="MPEG-1 Layer III"):
         mp3_info(bytes(v2))
-    with pytest.raises(NotImplementedError, match="sample decode"):
-        decode_mp3(encode_mp3_frames([5]))
+    # r9: zero-main-data frames are now INSIDE the decodable subset
+    # (silence by the spec's arithmetic); the boundary moved to
+    # non-silent granules — pinned in
+    # test_decode_refuses_main_data_and_reservoir
+    assert decode_mp3(encode_mp3_frames([5]))["n_frames"] == 1
 
 
 def test_sample_rates_table():
     for sr_idx, sr in enumerate(SAMPLE_RATES):
         data = encode_mp3_frames([8] * 10, sr_idx=sr_idx)
         assert mp3_info(data)[1] == sr
+
+
+def test_silence_stream_decodes_with_side_digest():
+    """r9: the zero-spectrum subset is REAL decodable Layer III —
+    bit-exact side-info walk, exact silent PCM, closed-form digest."""
+    from stockify_spark.llm.mp3 import decode_mp3, encode_mp3_silence
+
+    gain = lambda j, g, c: (7 * j + 13 * g + 29 * c) % 256  # noqa: E731
+    sel = lambda j, g, c: (j + g + c) % 2  # noqa: E731
+    data = encode_mp3_silence([3, 5, 3, 8, 14, 1], sr_idx=1,
+                              gain_fn=gain, count1_fn=sel)
+    out = decode_mp3(data)
+    assert out["n_frames"] == 6
+    assert out["sample_rate"] == 48000
+    assert out["channels"] == 2
+    assert len(out["samples"]) == 6 * 1152
+    assert all(s == 0 for s in out["samples"])
+    expect = sum(
+        gain(j, g, c) * (1 + 2 * g + c) + sel(j, g, c)
+        for j in range(6) for g in range(2) for c in range(2)
+    )
+    assert out["side_digest"] == expect
+
+
+def test_legacy_zero_filled_frames_also_decode():
+    from stockify_spark.llm.mp3 import decode_mp3, encode_mp3_frames
+
+    out = decode_mp3(encode_mp3_frames([5, 5, 5]))
+    assert out["side_digest"] == 0 and len(out["samples"]) == 3 * 1152
+
+
+def test_side_info_parse_is_bit_exact():
+    """Every field round-trips through the writer/reader pair, and
+    the reader consumes exactly 256 bits."""
+    from stockify_spark.llm.mp3 import (
+        _side_info_stereo,
+        parse_side_info_stereo,
+    )
+
+    gains = [[200, 3], [77, 254]]
+    sel = [[1, 0], [0, 1]]
+    frame = b"\xff\xfb\x52\x00" + _side_info_stereo(gains, sel) + b"\x00" * 8
+    info = parse_side_info_stereo(frame)
+    assert info["main_data_begin"] == 0
+    for g in range(2):
+        for c in range(2):
+            d = info["granules"][g][c]
+            assert d["part2_3_length"] == 0
+            assert d["global_gain"] == gains[g][c]
+            assert d["count1table_select"] == sel[g][c]
+            assert d["window_switching_flag"] == 0
+
+
+def test_decode_refuses_main_data_and_reservoir():
+    """The honest boundary: any granule with part2_3_length > 0, or a
+    bit reservoir, raises instead of guessing."""
+    import pytest
+
+    from stockify_spark.llm.mp3 import SIDE_INFO_BYTES_STEREO, decode_mp3, encode_mp3_silence
+
+    data = bytearray(encode_mp3_silence([5, 5]))
+    # set gr0/ch0 part2_3_length's top bit: side info starts at byte 4,
+    # after main_data_begin(9)+private(3)+scfsi(8) = bit 20
+    data[4 + 2] |= 0x08  # bit 20 of the side info region
+    with pytest.raises(NotImplementedError, match="main data"):
+        decode_mp3(bytes(data))
+    data = bytearray(encode_mp3_silence([5, 5]))
+    data[4] |= 0x80  # main_data_begin high bit
+    with pytest.raises(NotImplementedError, match="reservoir"):
+        decode_mp3(bytes(data))
+    assert SIDE_INFO_BYTES_STEREO == 32
