@@ -17,6 +17,8 @@ IMDCT) stays behind decode_mp3's NotImplementedError (llm/mp3.py).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from stockify_spark.registry import register
 
 _MP3_N = 18  # media ids; sr cycles all three MPEG-1 rates
@@ -164,3 +166,113 @@ def media_mp3_decode(spark, sf_dir):
             )
 
     return media.mapInPandas(analyze, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — data selection via importance
+# resampling (hashed n-gram likelihood-ratio weighting, the standard
+# recipe for matching a raw crawl to a target domain before
+# pretraining). Target here: the 'de' slice of the corpus; every doc
+# gets log w = Σ_tokens [ln p_target(bucket) - ln p_raw(bucket)] over
+# md5-hashed unigram buckets with Laplace smoothing, and the top-50
+# by weight are the selected batch.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hash buckets; model state is 2 x 64 counts
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0),
+tb AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+  FROM toks),
+raw AS (SELECT b, COUNT(*) AS rc FROM tb GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS tc FROM tb WHERE lang = 'de' GROUP BY b),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM tb) AS DOUBLE) AS nr,
+               CAST((SELECT COUNT(*) FROM tb WHERE lang = 'de') AS DOUBLE) AS nt),
+w AS (
+  SELECT r.b,
+         ln((COALESCE(t.tc, 0) + 0.5) / (tot.nt + {_DSIR_B} * 0.5))
+         - ln((r.rc + 0.5) / (tot.nr + {_DSIR_B} * 0.5)) AS lr
+  FROM raw r LEFT JOIN tgt t USING (b), tot),
+sc AS (
+  SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(SUM(w.lr), 6) AS log_w
+  FROM tb JOIN w USING (b) GROUP BY tb.doc_id)
+SELECT doc_id, n_tokens, log_w
+FROM sc ORDER BY log_w DESC, doc_id LIMIT 50
+"""
+
+
+@register("pipeline_dsir_weights", _DSIR_SQL)
+def pipeline_dsir_weights(spark, sf_dir):
+    """Hashed-unigram importance-resampling weights against a target
+    domain (the 'de' corpus slice), top-50 selected.
+
+    Scale shape, end to end: tokenize + bucket is one map pass; the
+    target and raw bucket histograms are two bounded aggregates (64
+    rows each — model state, not data); the per-bucket log-ratio
+    table is built from those 64 rows and BROADCAST back; scoring is
+    one broadcast-join + per-doc sum; selection is ORDER BY + LIMIT
+    (TakeOrderedAndProject — per-partition top-k, never a global
+    sort). Nothing in the plan collects or shuffles row-scale state
+    besides the one groupBy(doc_id), so the recipe survives a 100 TB
+    raw corpus with a fixed-size target sample unchanged. Float
+    policy: ln ratios summed per doc, ROUND 6 after the aggregate on
+    both engines."""
+    from stockify_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = tb.filter(F.col("lang") == "de").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    tot = tb.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 0.5)
+                    / (F.col("nt") + _DSIR_B * 0.5)
+                )
+                - F.log((F.col("rc") + 0.5) / (F.col("nr") + _DSIR_B * 0.5))
+            ).alias("lr"),
+        )
+    )
+    sc = (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_w"),
+        )
+    )
+    return sc.orderBy(F.col("log_w").desc(), "doc_id").limit(50).select(
+        "doc_id", "n_tokens", "log_w"
+    )

@@ -1,0 +1,51 @@
+"""Round-9 ext88: MP3 silence decode query + DSIR importance weights."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_mp3_decode_rows_and_silence(spark):
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["media_mp3_decode"](spark, SF).collect()
+    assert len(rows) == 18
+    for r in rows:
+        assert r.n_samples == r.n_frames * 1152
+        assert r.peak == 0 and r.rms_r == 0.0
+        assert r.duration_ms == r.n_frames * 1152 * 1000 // r.sample_rate
+        assert r.side_digest > 0  # populated side info actually parsed
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """The DSIR sanity property: the top-50 by importance weight must
+    be ENRICHED in the target domain ('de') relative to its corpus
+    share — otherwise the likelihood-ratio model learned nothing."""
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.io import load_table
+
+    top = QUERIES["pipeline_dsir_weights"](spark, SF)
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    joined = top.join(docs, "doc_id")
+    n_de_top = joined.filter(F.col("lang") == "de").count()
+    total = docs.count()
+    n_de = docs.filter(F.col("lang") == "de").count()
+    base_rate = n_de / total
+    assert n_de_top / 50 > 2 * base_rate, (n_de_top, base_rate)
+    # weights are finite and descending-sorted output is well-formed
+    ws = [r.log_w for r in top.collect()]
+    assert all(w == w and abs(w) < 1e6 for w in ws)
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_dsir_plan_broadcasts_model_and_topk(spark):
+    """Scale shape pins: the per-bucket weight table joins back as a
+    BROADCAST (model state, never a shuffle side), and the final
+    selection is TakeOrderedAndProject, never a global sort."""
+    from stockify_spark.registry import QUERIES
+
+    plan = QUERIES["pipeline_dsir_weights"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
