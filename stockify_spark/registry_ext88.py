@@ -276,3 +276,74 @@ def pipeline_dsir_weights(spark, sf_dir):
     return sc.orderBy(F.col("log_w").desc(), "doc_id").limit(50).select(
         "doc_id", "n_tokens", "log_w"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled sampling mix — the multilingual upsampling recipe
+# (p_i ∝ share_i^alpha with alpha < 1 flattens the language
+# distribution; alpha = 0.3 is the published mT5/XLM-R setting).
+# Output per language: raw token share, temperature-scaled sampling
+# probability, and the implied upsampling factor p_alpha / p_raw.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+_TEMP_MIX_SQL = f"""
+WITH tok AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text),
+              '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS n FROM tok),
+sh AS (SELECT lang, total_tokens,
+              total_tokens / tot.n AS p_raw,
+              POW(total_tokens / tot.n, {_TEMP_ALPHA}) AS pa_un
+       FROM tok, tot),
+z AS (SELECT SUM(pa_un) AS z FROM sh)
+SELECT lang, total_tokens,
+       ROUND(p_raw, 6) AS p_raw,
+       ROUND(pa_un / z.z, 6) AS p_alpha,
+       ROUND((pa_un / z.z) / p_raw, 6) AS upsample
+FROM sh, z
+"""
+
+
+@register("pipeline_temperature_mix", _TEMP_MIX_SQL)
+def pipeline_temperature_mix(spark, sf_dir):
+    """Temperature sampling weights per language at alpha = 0.3.
+
+    Scale shape: one map-side-combined aggregate over the corpus scan
+    (token counting fused as a column expression — zero Python), then
+    all remaining arithmetic runs on the |langs|-row table with the
+    two scalar totals broadcast — model-sized state end to end. The
+    published use: low-resource languages are upsampled (factor > 1)
+    and the head language is downsampled, with alpha the only knob.
+    Float policy: POW/divides in double, ROUND 6 after aggregation on
+    both engines."""
+    from stockify_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    tok_count = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    tok = docs.groupBy("lang").agg(
+        F.sum(tok_count).cast("long").alias("total_tokens")
+    )
+    tot = tok.agg(F.sum("total_tokens").cast("double").alias("n"))
+    sh = tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "total_tokens",
+        (F.col("total_tokens") / F.col("n")).alias("p_raw"),
+        F.pow(F.col("total_tokens") / F.col("n"), _TEMP_ALPHA).alias("pa_un"),
+    )
+    z = sh.agg(F.sum("pa_un").alias("z"))
+    return sh.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "total_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("pa_un") / F.col("z"), 6).alias("p_alpha"),
+        F.round((F.col("pa_un") / F.col("z")) / F.col("p_raw"), 6).alias("upsample"),
+    )

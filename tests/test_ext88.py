@@ -49,3 +49,19 @@ def test_dsir_plan_broadcasts_model_and_topk(spark):
     plan = QUERIES["pipeline_dsir_weights"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """alpha < 1 must flatten: every below-average language gets
+    upsample > 1, the head language < 1, and p_alpha sums to 1."""
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_temperature_mix"](spark, SF).collect()
+    assert abs(sum(r.p_alpha for r in rows) - 1.0) < 1e-4
+    head = max(rows, key=lambda r: r.p_raw)
+    tail = min(rows, key=lambda r: r.p_raw)
+    assert head.upsample < 1.0 < tail.upsample
+    # order preserved: temperature rescales, never reranks
+    by_raw = sorted(rows, key=lambda r: r.p_raw)
+    by_alpha = sorted(rows, key=lambda r: r.p_alpha)
+    assert [r.lang for r in by_raw] == [r.lang for r in by_alpha]
