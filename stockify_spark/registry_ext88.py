@@ -347,3 +347,70 @@ def pipeline_temperature_mix(spark, sf_dir):
         F.round(F.col("pa_un") / F.col("z"), 6).alias("p_alpha"),
         F.round((F.col("pa_un") / F.col("z")) / F.col("p_raw"), 6).alias("upsample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing — per-language head/middle/tail
+# terciles under the corpus trigram LM, with the keep decision
+# (head + middle retained, tail dropped) that the CCNet pipeline
+# applies before training. Builds on text_perplexity's LM scoring
+# (registry_ext8) — this is the SELECTION half.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKET_SQL = f"""
+WITH ppl_scored AS ({{ppl_sql}}),
+with_lang AS (
+  SELECT p.doc_id, d.lang, p.ppl
+  FROM ppl_scored p JOIN documents d USING (doc_id)),
+bucketed AS (
+  SELECT lang, ppl,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS bucket
+  FROM with_lang)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ppl), 4) AS mean_ppl,
+       bucket <= 2 AS kept
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
+def _ppl_bucket_sql() -> str:
+    from stockify_spark.registry_ext8 import _PPL_SQL
+
+    return _PPL_BUCKET_SQL.format(ppl_sql=_PPL_SQL)
+
+
+@register("pipeline_ppl_buckets", _ppl_bucket_sql())
+def pipeline_ppl_buckets(spark, sf_dir):
+    """Per-language perplexity terciles (head=1 / middle=2 / tail=3)
+    and the CCNet keep rule (tail dropped).
+
+    Scale shape: the LM scoring inherits text_perplexity's plan (one
+    checkpointed trigram stream, count tables joined back on their
+    keys); bucketing here uses NTILE over (lang) for EXACT tercile
+    parity with the oracle — a per-language sort, bounded by the
+    largest language. The 100 TB form replaces the sort with
+    percentile_approx cutoffs per language (two bounded aggregates,
+    no global order) at the cost of approximate boundaries; CCNet
+    itself uses fixed percentile cutoffs computed once on a sample,
+    which is exactly that form. Output is |langs| x 3 rows."""
+    from stockify_spark.registry_ext8 import text_perplexity
+    from stockify_spark.registry import _t
+    from pyspark.sql import Window
+
+    ppl = text_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucketed = ppl.join(docs, "doc_id").select(
+        "lang", "ppl", F.ntile(3).over(w).alias("bucket")
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+    ).select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "mean_ppl",
+        (F.col("bucket") <= 2).alias("kept"),
+    )

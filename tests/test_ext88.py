@@ -65,3 +65,20 @@ def test_temperature_mix_flattens_distribution(spark):
     by_raw = sorted(rows, key=lambda r: r.p_raw)
     by_alpha = sorted(rows, key=lambda r: r.p_alpha)
     assert [r.lang for r in by_raw] == [r.lang for r in by_alpha]
+
+
+def test_ppl_buckets_monotone_and_kept(spark):
+    """Terciles must be ppl-monotone within each language (head mean
+    <= middle mean <= tail mean) and the keep rule drops exactly
+    bucket 3."""
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_ppl_buckets"](spark, SF).collect()
+    langs = {r.lang for r in rows}
+    assert len(langs) == 5 and len(rows) == 15
+    for lang in langs:
+        by_bucket = sorted((r for r in rows if r.lang == lang),
+                           key=lambda r: r.bucket)
+        means = [r.mean_ppl for r in by_bucket]
+        assert means == sorted(means), (lang, means)
+        assert [r.kept for r in by_bucket] == [True, True, False]
