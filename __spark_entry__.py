@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/type_audit.py) against DuckDB DECIMAL/HUGEINT affinity.
 _PRIORITY = [
     'media_mp3_decode', 'pipeline_dsir_weights', 'pipeline_temperature_mix',
-    'pipeline_ppl_buckets', 'dq_dp_counts', 'media_h264_probe', 'media_flac_decode',
+    'pipeline_ppl_buckets', 'agg_countmin_sketch', 'pipeline_gumbel_topk',
+    'dq_dp_counts', 'media_h264_probe', 'media_flac_decode',
     'txlog_restore', 'txlog_zorder', 'pipeline_gzip_ingest',
     'txlog_bloom_lookup', 'window_interpolate', 'events_anomaly_mad',
     'geo_knn_suppliers', 'pipeline_dedup_incremental', 'agg_winsorized_stats',

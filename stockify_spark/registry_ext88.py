@@ -414,3 +414,184 @@ def pipeline_ppl_buckets(spark, sf_dir):
         "mean_ppl",
         (F.col("bucket") <= 2).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the streaming-frequency summary (Cormode &
+# Muthukrishnan 2005): d independent hash rows of w counters; a key's
+# frequency estimate is the MIN of its d counters, which can only
+# OVERestimate (one-sided error <= eps*N with prob 1-delta). Built
+# with the repo's seeded-md5 hash discipline so the estimate is
+# cross-engine exact, and probed against the true counts so the
+# no-underestimate guarantee is part of the hashed answer.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row; sketch state = 1024 cells total
+
+_CMS_SQL = f"""
+WITH rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+cells AS (
+  SELECT r.r,
+         CAST(CONCAT('0x', substr(md5(CONCAT(r.r, '|', o_custkey)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS b,
+         COUNT(*) AS cnt
+  FROM orders, rows_ r GROUP BY 1, 2),
+probe AS (SELECT unnest(range(1, 21)) AS k),
+exact AS (
+  SELECT p.k, CAST(COUNT(o.o_orderkey) AS BIGINT) AS exact_cnt
+  FROM probe p LEFT JOIN orders o ON o.o_custkey = p.k GROUP BY p.k),
+pc AS (
+  SELECT p.k, r.r,
+         CAST(CONCAT('0x', substr(md5(CONCAT(r.r, '|', p.k)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS b
+  FROM probe p, rows_ r),
+est AS (
+  SELECT pc.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM pc LEFT JOIN cells c ON c.r = pc.r AND c.b = pc.b
+  GROUP BY pc.k)
+SELECT e.k AS probe_key, x.exact_cnt, e.cms_est,
+       e.cms_est >= x.exact_cnt AS no_underestimate
+FROM est e JOIN exact x ON x.k = e.k
+"""
+
+
+@register("agg_countmin_sketch", _CMS_SQL)
+def agg_countmin_sketch(spark, sf_dir):
+    """Count-Min over orders.o_custkey (d=4, w=256), probed on keys
+    1..20 against their exact counts.
+
+    Scale shape: the build is ONE map pass that explodes each row to
+    its d (row, bucket) cells and a groupBy over at most d*w = 1024
+    cells — map-side combine collapses the stream to sketch-sized
+    partials, so the shuffle carries counters, never keys (the whole
+    point of a sketch at 100 TB). The probe side broadcasts the
+    1024-cell sketch and the 20-key exact counts are a pushed-down
+    semi-scan. The min-of-d-counters estimate can only overestimate;
+    that guarantee is emitted as a column so a broken hash or a lost
+    cell fails the value hash, not just an eyeball."""
+    from stockify_spark.registry import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+    cells = (
+        orders.select("o_custkey")
+        .crossJoin(F.broadcast(rows_))
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("r"), F.col("o_custkey"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = spark.range(1, 21).select(F.col("id").alias("k"))
+    exact = (
+        probe.join(
+            orders.select("o_custkey"), probe.k == F.col("o_custkey"), "left"
+        )
+        .groupBy("k")
+        .agg(F.count("o_custkey").cast("long").alias("exact_cnt"))
+    )
+    probe_cells = probe.crossJoin(F.broadcast(rows_)).select(
+        "k",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("r"), F.col("k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("b"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["r", "b"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias("probe_key"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel top-k — weighted sampling WITHOUT replacement as a single
+# top-k: score s_i = ln(w_i) + Gumbel_i and take the k largest (the
+# Gumbel-max trick; Efraimidis-Spirakis equivalent). The Gumbel draw
+# is seed-keyed through the repo's md5-uniform discipline, so the
+# "random" sample is deterministic, replayable, and cross-engine
+# exact — the property production samplers need for auditable
+# data-selection runs.
+# ---------------------------------------------------------------------------
+
+_GUMBEL_SEED = "gumbel-v1"
+_GUMBEL_K = 20
+
+_GUMBEL_SQL = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (CAST(CONCAT('0x', substr(md5(CONCAT('{_GUMBEL_SEED}', '|', doc_id)),
+               1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS uu
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln(CAST(n_chars AS DOUBLE)) + (-ln(-ln(uu))), 6) AS score
+  FROM u)
+SELECT doc_id, n_chars, score
+FROM s ORDER BY score DESC, doc_id LIMIT {_GUMBEL_K}
+"""
+
+
+@register("pipeline_gumbel_topk", _GUMBEL_SQL)
+def pipeline_gumbel_topk(spark, sf_dir):
+    """Seeded Gumbel top-20 of documents with weight = n_chars.
+
+    Scale shape: scoring is pure per-row arithmetic on the scan (no
+    Python, no shuffle) and selection is ORDER BY + LIMIT —
+    TakeOrderedAndProject's per-partition top-k, so the only thing
+    that moves is k rows per partition. The +0.5 in the uniform keeps
+    u strictly inside (0,1) so neither ln is singular. Exactly the
+    shape a 100 TB budgeted sampler wants: one pass, k rows out,
+    fully replayable from the seed."""
+    from stockify_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_GUMBEL_SEED), F.lit("|"), F.col("doc_id"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(F.col("n_chars").cast("double")) + (-F.log(-F.log(uu))), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_GUMBEL_K)

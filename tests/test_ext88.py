@@ -82,3 +82,32 @@ def test_ppl_buckets_monotone_and_kept(spark):
         means = [r.mean_ppl for r in by_bucket]
         assert means == sorted(means), (lang, means)
         assert [r.kept for r in by_bucket] == [True, True, False]
+
+
+def test_countmin_never_underestimates_and_is_tight_for_present_keys(spark):
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["agg_countmin_sketch"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r.no_underestimate for r in rows)
+    present = [r for r in rows if r.exact_cnt > 0]
+    assert present, "probe keys should include present customers"
+    # with d=4 rows of 256 buckets over a small corpus the estimate
+    # is exact or near-exact; the guarantee is one-sided regardless
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+
+def test_gumbel_topk_is_seeded_and_weight_biased(spark):
+    """Same seed twice -> identical sample; the weighted sample's
+    mean n_chars must exceed the corpus mean (weights = n_chars)."""
+    from stockify_spark.registry import QUERIES
+    from stockify_spark.sources.io import load_table
+
+    a = QUERIES["pipeline_gumbel_topk"](spark, SF).collect()
+    b = QUERIES["pipeline_gumbel_topk"](spark, SF).collect()
+    assert a == b and len(a) == 20
+    corpus_mean = (
+        load_table(spark, SF, "documents").agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean
