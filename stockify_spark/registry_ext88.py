@@ -595,3 +595,91 @@ def pipeline_gumbel_topk(spark, sf_dir):
         ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(_GUMBEL_K)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the two-period, two-group causal
+# estimator: DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre),
+# with the classic four cell means and a pooled standard error. The
+# one causal-inference table every experimentation platform computes
+# when randomization is absent and a parallel-trends assumption is on
+# the table. Treatment: even user_id; post: ts at or after the
+# midpoint of the observed window.
+# ---------------------------------------------------------------------------
+
+_DID_SQL = """
+WITH span AS (
+  SELECT epoch_ms(MIN(ts)) AS lo, epoch_ms(MAX(ts)) AS hi FROM events),
+cells AS (
+  SELECT CAST(user_id % 2 = 0 AS INTEGER) AS treated,
+         CAST(epoch_ms(ts) >= (span.lo + span.hi) / 2 AS INTEGER) AS post,
+         value
+  FROM events, span),
+m AS (
+  SELECT treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(value) AS mean_v,
+         VAR_SAMP(value) AS var_v
+  FROM cells GROUP BY treated, post),
+w AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS tp,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS tq,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS cp,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS cq,
+    SUM(var_v / n) AS var_did
+  FROM m)
+SELECT CAST(m.treated AS BIGINT) AS treated,
+       CAST(m.post AS BIGINT) AS post,
+       m.n,
+       ROUND(m.mean_v, 6) AS mean_v,
+       ROUND((w.tp - w.tq) - (w.cp - w.cq), 6) AS did,
+       ROUND(SQRT(w.var_did), 6) AS se_did
+FROM m, w
+"""
+
+
+@register("stats_diff_in_diff", _DID_SQL)
+def stats_diff_in_diff(spark, sf_dir):
+    """2x2 DiD over events.value: four group-period cell means in ONE
+    map-side-combined aggregate (the window midpoint is a 2-scalar
+    broadcast from a min/max pre-pass), the estimate and its pooled
+    SE = sqrt(Σ var_i/n_i) derived on the 4-row model table and
+    repeated per cell row so the full table hashes. Nothing beyond
+    the two scans and one 4-group shuffle at any corpus size."""
+    from pyspark.sql import Window
+
+    from stockify_spark.registry import _t
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.unix_millis(F.min("ts")).alias("lo"),
+        F.unix_millis(F.max("ts")).alias("hi"),
+    )
+    cells = ev.crossJoin(F.broadcast(span)).select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        (
+            F.unix_millis(F.col("ts")) >= (F.col("lo") + F.col("hi")) / 2
+        ).cast("int").alias("post"),
+        "value",
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    w = m.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("mean_v"))).alias("tp"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("mean_v"))).alias("tq"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("mean_v"))).alias("cp"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("mean_v"))).alias("cq"),
+        F.sum(F.col("var_v") / F.col("n")).alias("var_did"),
+    )
+    return m.crossJoin(F.broadcast(w)).select(
+        F.col("treated").cast("long").alias("treated"),
+        F.col("post").cast("long").alias("post"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round((F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")), 6).alias("did"),
+        F.round(F.sqrt("var_did"), 6).alias("se_did"),
+    )

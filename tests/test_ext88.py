@@ -111,3 +111,19 @@ def test_gumbel_topk_is_seeded_and_weight_biased(spark):
     )
     sample_mean = sum(r.n_chars for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_did_identity_and_cells(spark):
+    """The DiD estimate must equal the four cell means' double
+    difference exactly, repeated on all four rows; SE positive."""
+    from stockify_spark.registry import QUERIES
+
+    rows = QUERIES["stats_diff_in_diff"](spark, SF).collect()
+    assert len(rows) == 4
+    cell = {(r.treated, r.post): r.mean_v for r in rows}
+    did = rows[0].did
+    expect = (cell[(1, 1)] - cell[(1, 0)]) - (cell[(0, 1)] - cell[(0, 0)])
+    assert abs(did - expect) < 2e-6
+    assert len({r.did for r in rows}) == 1
+    assert all(r.se_did > 0 for r in rows)
+    assert sum(r.n for r in rows) > 0
