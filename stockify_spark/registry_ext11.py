@@ -674,17 +674,38 @@ SELECT c_custkey, s_suppkey, dist_km, rk FROM r WHERE rk <= 3
 @register("geo_knn_suppliers", _KNN_GEO_SQL)
 def geo_knn_suppliers(spark, sf_dir):
     """Exact 3-nearest suppliers per customer (haversine over the
-    geo fixture family's key-derived coordinates). Scale shape: the
-    supplier side is a DIMENSION — it broadcasts, the customer
-    stream maps over it, and the per-customer candidate set is
-    dim-bounded, so the pair stream is |customers| x |suppliers|
-    with no data-sized shuffle on the build side; the top-3 rank is
-    one customer-keyed window (at true 100 TB the window's pair
-    shuffle collapses further into a map-side partial top-k over the
-    broadcast dim — the ml_knn_classify pattern). Cross-engine
-    discipline: trig libraries may differ by an ulp between engines,
-    so distances are ROUNDed to 6dp BEFORE the rank and ties broken
-    by s_suppkey (the orders_pareto lesson applied to ordering)."""
+    geo fixture family's key-derived coordinates) — WITHOUT the
+    oracle's cross join.
+
+    Round-9 rewrite: BOTH sides here scale with the corpus, so the
+    original broadcast-cross-join was the repo's one measured
+    superlinear query (SCALING.md r9: 33x on 10x data — the |C|x|S|
+    pair stream showing). The scale path is grid pruning with an
+    EXACT certificate and per-customer fallback:
+
+      * suppliers land in one 10-degree (lat, lon) cell each;
+        customers probe their 3x3 wrapped cell neighborhood (polar
+        customers, |lat| > 70, probe the +-1 LAT BANDS across all
+        longitudes — the lon metric degenerates there), as cell
+        equi-joins. Any supplier OUTSIDE the probe set differs by
+        >= 10 degrees in lat, or by >= 10 degrees in lon within
+        +-10 degrees of lat — which lower-bounds its distance by
+        d_lat = R*radians(10) or
+        d_lon(phi) = 2R*asin(sin(5 deg)*sqrt(cos phi * cos(max(0,
+        |phi|-10)))) (the haversine identity with hav(dphi)=0 and
+        the largest cosine product reachable in the band).
+      * a customer is CERTIFIED when its candidate top-3 exists and
+        d3 + 1e-3 km < bound (the margin absorbs the 6dp output
+        rounding and suppkey tie-breaks); certified answers are
+        exact by the bound argument, never by sampling luck.
+      * uncertified customers — sparse cells, polar edge cases —
+        take the brute broadcast scan, but only they do.
+
+    Pair volume drops from |C|x|S| to ~|C|x|S|x(9/648) + polar band
+    probes + the fallback residue; the certificate keeps the result
+    bit-identical to the cross-join oracle (parity is pinned on two
+    SFs in tests/test_ext88.py). Cross-engine discipline unchanged:
+    distances ROUNDed to 6dp BEFORE the rank, ties by s_suppkey."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -697,25 +718,137 @@ def geo_knn_suppliers(spark, sf_dir):
 
     from stockify_spark.registry_ext10 import _haversine_km
 
+    CELL = 10.0  # degrees; 18 lat bands x 36 lon cells
+    N_LON = 36
+    POLAR = 70.0
+    R_KM = 6371.0
+    import math
+
+    D_LAT_BOUND = R_KM * math.radians(CELL)  # ~1111.95 km
+
     cust = pts(_t(spark, sf_dir, "customer"), "c_custkey")
     sup = pts(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
         "s_suppkey",
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
+        F.floor((F.col("lat") + 90.0) / CELL).alias("s_clat"),
+        F.floor((F.col("lon") + 180.0) / CELL).alias("s_clon"),
     )
-    d = cust.crossJoin(F.broadcast(sup)).select(
+
+    dlat_off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlat")
+    dlon_off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlon")
+    base = cust.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90.0) / CELL).alias("clat"),
+        F.floor((F.col("lon") + 180.0) / CELL).alias("clon"),
+    )
+    nonpolar = base.filter(F.abs(F.col("lat")) <= POLAR)
+    polar = base.filter(F.abs(F.col("lat")) > POLAR)
+    # 3x3 probes, lon wrapped; polar: +-1 lat bands, every lon cell
+    probes_np = (
+        nonpolar.select("*", dlat_off)
+        .select("*", dlon_off)
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("clat") + F.col("dlat")).alias("p_clat"),
+            ((F.col("clon") + F.col("dlon") + N_LON) % N_LON).alias("p_clon"),
+        )
+    )
+    lon_cells = F.explode(
+        F.sequence(F.lit(0), F.lit(N_LON - 1))
+    ).alias("p_clon")
+    probes_po = (
+        polar.select("*", dlat_off)
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("clat") + F.col("dlat")).alias("p_clat"),
+            lon_cells,
+        )
+    )
+    probes = probes_np.unionByName(probes_po)
+    cand = probes.join(
+        sup,
+        (probes.p_clat == sup.s_clat) & (probes.p_clon == sup.s_clon),
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "s_suppkey",
+        _haversine_km(
+            F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+        ).alias("d_exact"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.round("d_exact", 6), "s_suppkey"
+    )
+    # candidate top-3 is consumed THREE times (certificate, certified
+    # output, fallback anti-join); at 3 rows/customer it is
+    # model-sized, so pin it once instead of re-running the cell join
+    # per consumer (the text_perplexity localCheckpoint lesson)
+    top = (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .localCheckpoint()
+    )
+    # certificate per customer: 3 candidates found AND the 3rd
+    # distance clears the excluded-supplier lower bound with margin
+    phi = F.radians(F.abs(F.col("lat")))
+    phi_in = F.radians(F.greatest(F.abs(F.col("lat")) - CELL, F.lit(0.0)))
+    d_lon_bound = (
+        2.0
+        * R_KM
+        * F.asin(
+            F.least(
+                F.lit(1.0),
+                F.lit(math.sin(math.radians(CELL / 2)))
+                * F.sqrt(F.cos(phi) * F.cos(phi_in)),
+            )
+        )
+    )
+    bound = F.when(
+        F.abs(F.col("lat")) > POLAR, F.lit(D_LAT_BOUND)
+    ).otherwise(F.least(F.lit(D_LAT_BOUND), d_lon_bound))
+    per_cust = top.groupBy("c_custkey", "lat").agg(
+        F.count(F.lit(1)).alias("n3"), F.max("d_exact").alias("d3")
+    )
+    certified = per_cust.filter(
+        (F.col("n3") == 3) & (F.col("d3") + 1e-3 < bound)
+    ).select("c_custkey").localCheckpoint()
+    fallback_cust = base.join(certified, "c_custkey", "left_anti").select(
+        "c_custkey", "lat", "lon"
+    )
+    fb = fallback_cust.crossJoin(
+        F.broadcast(sup.select("s_suppkey", "s_lat", "s_lon"))
+    ).select(
         "c_custkey",
         "s_suppkey",
-        F.round(
-            _haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
-            6,
-        ).alias("dist_km"),
+        _haversine_km(
+            F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+        ).alias("d_exact"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
-    return (
-        d.withColumn("rk", F.row_number().over(w).cast("long"))
+    fb_top = (
+        fb.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        .select("c_custkey", "s_suppkey", "dist_km", "rk")
+    )
+    keep = top.join(certified, "c_custkey").select(
+        "c_custkey", "s_suppkey", "d_exact", "rk"
+    )
+    return (
+        keep.unionByName(
+            fb_top.select("c_custkey", "s_suppkey", "d_exact", "rk")
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round("d_exact", 6).alias("dist_km"),
+            "rk",
+        )
     )
 
 

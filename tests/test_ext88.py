@@ -127,3 +127,42 @@ def test_did_identity_and_cells(spark):
     assert len({r.did for r in rows}) == 1
     assert all(r.se_did > 0 for r in rows)
     assert sum(r.n for r in rows) > 0
+
+
+def test_geo_knn_grid_matches_brute_force(spark):
+    """r9 superlinear fix: the grid-pruned + certified kNN must be
+    BIT-IDENTICAL to the brute cross-join on every row, at two SFs
+    (sparse cells at sf0.001 exercise the fallback path; sf0.01 the
+    certified path)."""
+    from pyspark.sql import Window
+    from stockify_spark.registry import QUERIES, _t
+    from stockify_spark.registry_ext10 import _haversine_km
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        def pts(df, key):
+            return df.select(
+                key,
+                (((F.col(key) * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+                (((F.col(key) * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+            )
+
+        cust = pts(_t(spark, sf, "customer"), "c_custkey")
+        sup = pts(_t(spark, sf, "supplier"), "s_suppkey").select(
+            "s_suppkey", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
+        )
+        d = cust.crossJoin(F.broadcast(sup)).select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(
+                _haversine_km(F.col("lat"), F.col("lon"),
+                              F.col("s_lat"), F.col("s_lon")), 6
+            ).alias("dist_km"),
+        )
+        w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+        brute = (
+            d.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+        )
+        got = {tuple(r) for r in QUERIES["geo_knn_suppliers"](spark, sf).collect()}
+        want = {tuple(r) for r in brute.collect()}
+        assert got == want, f"mismatch at {sf}: {len(got ^ want)} rows differ"
