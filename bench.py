@@ -141,6 +141,15 @@ BENCH_QUERIES = [
     "orders_holt_forecast",
     "graph_assortativity",
     "pipeline_containment_dedup",
+    # round-9 representatives with real two-sided cost: hashed-ngram
+    # importance weighting (token bucketing + broadcast scoring on
+    # both engines), the Count-Min build (1024-counter sketch
+    # aggregate), and the grid-pruned exact geo kNN whose oracle
+    # stays the full cross join (the r9 superlinear fix — Spark
+    # answers from ~1/20 of the pair stream)
+    "pipeline_dsir_weights",
+    "agg_countmin_sketch",
+    "geo_knn_suppliers",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

@@ -27,8 +27,8 @@ _ANN = math.sqrt(252.0)
 _RISK_SQL = f"""
 WITH s AS (
   SELECT event_type,
-         value / LAG(value) OVER (PARTITION BY event_type
-                                  ORDER BY ts, event_id) - 1 AS r
+         value / NULLIF(LAG(value) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id), 0) - 1 AS r
   FROM events),
 d AS (SELECT event_type, r FROM s WHERE r IS NOT NULL),
 m AS (
@@ -67,9 +67,14 @@ def stocks_risk_ratios(spark, sf_dir):
         "event_type", "ts", "event_id", "value"
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # NULLIF guards a zero base price: at sf0.1 the events fixture
+    # contains value == 0 rows, and ANSI mode makes the bare divide
+    # fatal (found by the r9 full-registry scaling sweep — the sf0.01
+    # driver gate never sees a zero). A zero-base return is undefined,
+    # so both engines drop it via the same r IS NOT NULL filter.
     d = ev.select(
         "event_type",
-        (F.col("value") / F.lag("value").over(w) - 1).alias("r"),
+        (F.col("value") / F.nullif(F.lag("value").over(w), F.lit(0)) - 1).alias("r"),
     ).filter(F.col("r").isNotNull())
     m = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
