@@ -688,3 +688,37 @@ def test_bpe_batched_10x_fewer_jobs_on_diverse_symbols(spark):
     got = [(r.lhs, r.rhs) for r in sorted(learned, key=lambda r: r.rn)]
     want = [(alphabet[2 * i], alphabet[2 * i + 1]) for i in range(25)]
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=14), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=2),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp3_silence_decode_roundtrip_property(bits, sr_idx, rng):
+    """r9: for ANY bitrate sequence, sample rate, and per-granule
+    gain/count1 assignment, the silence stream decodes with the exact
+    closed-form side digest and all-zero PCM of the right length."""
+    from stockify_spark.llm.mp3 import decode_mp3, encode_mp3_silence
+
+    gains = {}
+    sels = {}
+
+    def gain_fn(j, g, c):
+        return gains.setdefault((j, g, c), rng.randrange(256))
+
+    def count1_fn(j, g, c):
+        return sels.setdefault((j, g, c), rng.randrange(2))
+
+    data = encode_mp3_silence(bits, sr_idx=sr_idx,
+                              gain_fn=gain_fn, count1_fn=count1_fn)
+    out = decode_mp3(data)
+    assert out["n_frames"] == len(bits)
+    assert len(out["samples"]) == len(bits) * 1152
+    assert not any(out["samples"])
+    expect = sum(
+        gains[(j, g, c)] * (1 + 2 * g + c) + sels[(j, g, c)]
+        for j in range(len(bits)) for g in range(2) for c in range(2)
+    )
+    assert out["side_digest"] == expect
