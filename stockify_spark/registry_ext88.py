@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from stockify_spark.registry import register
+from stockify_spark.registry import register, _t
 
 _MP3_N = 18  # media ids; sr cycles all three MPEG-1 rates
 
@@ -683,3 +683,68 @@ def stats_diff_in_diff(spark, sf_dir):
         F.round((F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")), 6).alias("did"),
         F.round(F.sqrt("var_did"), 6).alias("se_did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DV-aware change data feed — driver-facing evidence for the round-9
+# ADVICE fixes: a merge-on-read delete commit must EMIT its rows as
+# deletes in the CDF (previously it raised 'commit touched no
+# files'), a restore that retires the sidecar must emit them back as
+# inserts, and metadata COUNT must track both transitions.
+# ---------------------------------------------------------------------------
+
+_DV_CDF_SQL = """
+SELECT CAST(1 AS BIGINT) AS version, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       'delete' AS _change_type
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       'insert' AS _change_type
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+@register("txlog_dv_change_feed", _DV_CDF_SQL)
+def txlog_dv_change_feed(spark, sf_dir):
+    """Change feed across a MOR-delete commit and the restore that
+    rolls it back. Build: create → delete_where_dv(k%7=0) at v1 →
+    restore(0) at v2 (a pure remove_dv commit). The build asserts
+    the metadata row count tracks both transitions (table_stats
+    subtracts active DVs — the r9 overcount fix) and that restore's
+    head snapshot equals v0 exactly; the oracle pins the feed
+    semantics row-for-row: v1 emits exactly the deleted rows as
+    deletes, v2 emits exactly the same rows back as inserts.
+
+    Scale shape: changes() reads only the DV sidecars (sized by
+    deleted rows, broadcast) plus the files live at both versions —
+    never a snapshot diff; the restore commit itself is O(log)."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        n_all = o.count()
+        n_del = o.filter(F.col("o_orderkey") % 7 == 0).count()
+        txlog.create(o.repartitionByRange(2, "o_orderkey"), path)
+        v1 = txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 7 == 0)
+        assert v1 == 1, v1
+        assert txlog.table_stats(path)["rows"] == n_all - n_del
+        v2 = txlog.restore(path, 0)
+        assert v2 == 2, v2  # a files-only diff would no-op here
+        assert txlog.table_stats(path)["rows"] == n_all
+        assert txlog.snapshot(spark, path).count() == n_all
+
+    path = _scratch_table(sf_dir, "dvcdf", build)
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            txlog.changes(spark, path, v).select(
+                F.lit(v).cast("long").alias("version"),
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                "_change_type",
+            )
+        )
+    return parts[0].unionByName(parts[1])
