@@ -844,10 +844,28 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     deletes = r_df.exceptAll(a_df) if (a_df is not None and r_df is not None) else r_df
 
     # DV-level diff on files live at BOTH versions: pairs newly
-    # active are row deletes, pairs newly retired are row inserts
+    # active are row deletes, pairs newly retired are row inserts.
+    # Only files the commit's own sidecars TARGET can carry a delta,
+    # so read the sidecars' file names driver-side (sidecars are
+    # deleted-rows-sized) and open just those data files — the CDF
+    # stays O(commit), never O(table).
     if has_dv_actions:
+        import pyarrow.parquet as pq
+
+        touched: set = set()
+        for a in commit["actions"]:
+            dv = a.get("add_dv") or a.get("remove_dv")
+            if dv and os.path.exists(_abs(path, dv["path"])):
+                names = pq.read_table(
+                    _abs(path, dv["path"]), columns=["_dv_file"]
+                ).column("_dv_file").to_pylist()
+                touched.update(names)
         prev_live = set(_live_rel(path, version - 1))
-        both = [p for p in _live_rel(path, version) if p in prev_live]
+        both = [
+            p
+            for p in _live_rel(path, version)
+            if p in prev_live and os.path.basename(p) in touched
+        ]
         if both:
             empty = None
             t = _tagged([_abs(path, p) for p in both])
