@@ -748,3 +748,84 @@ def txlog_dv_change_feed(spark, sf_dir):
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance — COUNT/SUM per customer
+# maintained through append, COW delete, MOR delete, and restore by
+# applying each commit's change feed as a group delta (classic IVM:
+# COUNT and SUM are self-maintainable, so no commit rescans the base
+# table). The build asserts the maintained view equals a fresh
+# recompute at head; the oracle states the final state in closed
+# form.
+# ---------------------------------------------------------------------------
+
+_MV_SQL = """
+WITH final AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_totalprice >= 50000)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total
+FROM final GROUP BY o_custkey
+"""
+
+
+@register("txlog_mv_incremental", _MV_SQL)
+def txlog_mv_incremental(spark, sf_dir):
+    """Commit history: v0 create (orderkey % 3 != 0) → v1 append the
+    rest → v2 COW delete (totalprice < 50000) → v3 MOR delete
+    (orderkey % 10 = 0) → v4 restore(2), which retires v3's sidecar —
+    so the final state is exactly `totalprice >= 50000` and the view
+    must walk forward AND backward through deletes. Values aggregate
+    as CENTS (exact int64) per the float policy: incremental
+    subtraction re-orders reductions, which is only safe in integer
+    space.
+
+    Scale shape: each maintenance step costs O(rows the commit
+    changed) — the v1 append delta is the appended rows, the v2 delta
+    the deleted rows, v3/v4 the DV'd rows read from sidecars — and
+    the view state carried between steps is one row per live group.
+    The 100 TB form persists the view as its own txlog table with
+    merge_upsert applying the same delta algebra."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_totalprice",
+        )
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                2, "o_orderkey"
+            ),
+            path,
+        )
+        txlog.append(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        txlog.delete_where(spark, path, F.col("o_totalprice") < 50000)
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 0)
+        v4 = txlog.restore(path, 2)
+        assert v4 == 4, v4
+        # the maintained view must equal a fresh recompute at head
+        mv = txlog.incremental_mv(
+            spark, path, ["o_custkey"], "cents", 0, v4
+        )
+        fresh = (
+            txlog.snapshot(spark, path)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total"),
+            )
+        )
+        assert mv.exceptAll(fresh).isEmpty() and fresh.exceptAll(mv).isEmpty()
+
+    path = _scratch_table(sf_dir, "mvinc", build)
+    return txlog.incremental_mv(
+        spark, path, ["o_custkey"], "cents", 0, txlog.current_version(path)
+    ).select("o_custkey", "n_rows", "total")

@@ -743,3 +743,35 @@ def test_dv_delete_skips_already_deleted_rows(spark, tmp_path):
     v2 = txlog.delete_where_dv(spark, path, F.col("k") < 10)  # subset
     assert v2 == v1  # nothing new to delete
     assert txlog.snapshot(spark, path).count() == 80
+
+
+def test_incremental_mv_tracks_every_commit_type(spark, tmp_path):
+    """r9: COUNT/SUM view maintained from change feeds equals a fresh
+    recompute after create/append/COW-delete/MOR-delete/restore/
+    compaction — including the no-op feeds (compaction) and
+    metadata-only commits (constraints are skipped)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3).cast("long").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    txlog.create(df.filter(F.col("rid") < 120).repartition(2), path)
+    txlog.append(df.filter(F.col("rid") >= 120), path)           # v1
+    txlog.set_constraint(path, "v_nonneg", "v >= 0")             # v2 (metadata)
+    txlog.delete_where(spark, path, F.col("rid") % 4 == 0)       # v3 COW
+    txlog.delete_where_dv(spark, path, F.col("rid") % 5 == 0)    # v4 MOR
+    txlog.restore(path, 3)                                       # v5 un-MOR
+    txlog.delete_where_dv(spark, path, F.col("rid") % 6 == 0)    # v6 MOR again
+    txlog.materialize_dvs(spark, path)                           # v7 fold (empty feed)
+    txlog.compact(spark, path, target_partitions=1)              # v8 (empty feed)
+    head = txlog.current_version(path)
+    mv = txlog.incremental_mv(spark, path, ["k"], "v", 0, head)
+    fresh = txlog.snapshot(spark, path).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("total"),
+    )
+    got = sorted(tuple(r) for r in mv.collect())
+    want = sorted(tuple(r) for r in fresh.collect())
+    assert got == want and got  # non-empty and identical
