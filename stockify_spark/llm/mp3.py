@@ -154,6 +154,8 @@ class _BitWriter:
         self.bits: list[int] = []
 
     def u(self, value: int, n: int) -> None:
+        if not 0 <= value < (1 << n):
+            raise ValueError(f"value {value} does not fit in {n} bits")
         for i in range(n - 1, -1, -1):
             self.bits.append((value >> i) & 1)
 
@@ -303,11 +305,22 @@ def decode_mp3(data: bytes) -> dict:
     data = bytes(data)
     frames = parse_frames(data)
     first = frames[0][0]
-    if data[first + 3] >> 6 != 0b00:
-        raise NotImplementedError("only stereo streams are sample-decoded")
     sr = SAMPLE_RATES[(data[first + 2] >> 2) & 0x3]
     digest = 0
     for off, n, _kbps in frames:
+        # per-FRAME header checks (mode and protection can vary
+        # mid-stream): non-stereo frames have 17-byte side info and
+        # CRC-protected frames (protection_bit == 0) carry a 16-bit
+        # CRC before the side info — parsing either at the stereo
+        # no-CRC offset would shift every field (r9 review finding),
+        # so refuse rather than mis-parse
+        if data[off + 3] >> 6 != 0b00:
+            raise NotImplementedError("only stereo streams are sample-decoded")
+        if not data[off + 1] & 0x01:
+            raise NotImplementedError(
+                "CRC-protected frames are not sample-decoded (side info "
+                "offset differs); strip or re-encode without CRC"
+            )
         if n < 4 + SIDE_INFO_BYTES_STEREO:
             raise ValueError(f"corrupt MP3: frame at {off} shorter than side info")
         info = parse_side_info_stereo(data[off : off + n])

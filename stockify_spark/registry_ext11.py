@@ -691,9 +691,11 @@ def geo_knn_suppliers(spark, sf_dir):
         >= 10 degrees in lat, or by >= 10 degrees in lon within
         +-10 degrees of lat — which lower-bounds its distance by
         d_lat = R*radians(10) or
-        d_lon(phi) = 2R*asin(sin(5 deg)*sqrt(cos phi * cos(max(0,
-        |phi|-10)))) (the haversine identity with hav(dphi)=0 and
-        the largest cosine product reachable in the band).
+        d_lon(phi) = 2R*asin(sin(5 deg)*sqrt(cos phi * cos(min(90,
+        |phi|+10)))) (the haversine identity with the hav(dphi)
+        term dropped and the SMALLEST cosine product reachable in
+        the band — both relaxations only loosen the bound downward,
+        so it is a true lower bound).
       * a customer is CERTIFIED when its candidate top-3 exists and
         d3 + 1e-3 km < bound (the margin absorbs the 6dp output
         rounding and suppkey tie-breaks); certified answers are
@@ -797,9 +799,20 @@ def geo_knn_suppliers(spark, sf_dir):
         .localCheckpoint()
     )
     # certificate per customer: 3 candidates found AND the 3rd
-    # distance clears the excluded-supplier lower bound with margin
+    # distance clears the excluded-supplier lower bound with margin.
+    # For a supplier excluded by LONGITUDE (dlon >= 10 deg, dlat in
+    # [0, 10)), haversine gives hav(d/R) = hav(dphi) + cos(phi1)
+    # cos(phi2) hav(dlon) >= cos(phi1) cos(phi2) sin^2(5 deg); the
+    # LOWER bound must therefore use the MINIMUM cos(phi2) reachable
+    # in the +-10-deg band, cos(|phi1| + 10 deg) — r9 review finding:
+    # the first draft used the band MAXIMUM, which exceeds the true
+    # distance of a same-latitude excluded supplier and could certify
+    # a customer whose real 3rd-nearest was outside the probe set.
+    # Non-polar customers have |phi1| <= 70, so cos(|phi1|+10) >=
+    # cos(80 deg) and the bound stays useful; dropping the hav(dphi)
+    # term only loosens it downward (safe).
     phi = F.radians(F.abs(F.col("lat")))
-    phi_in = F.radians(F.greatest(F.abs(F.col("lat")) - CELL, F.lit(0.0)))
+    phi_out = F.radians(F.least(F.abs(F.col("lat")) + CELL, F.lit(90.0)))
     d_lon_bound = (
         2.0
         * R_KM
@@ -807,7 +820,7 @@ def geo_knn_suppliers(spark, sf_dir):
             F.least(
                 F.lit(1.0),
                 F.lit(math.sin(math.radians(CELL / 2)))
-                * F.sqrt(F.cos(phi) * F.cos(phi_in)),
+                * F.sqrt(F.cos(phi) * F.cos(phi_out)),
             )
         )
     )

@@ -455,6 +455,46 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     return _with_dvs(spark, path, base, version)
 
 
+def _dv_pair_df(
+    spark: SparkSession, path: str, version: int | None
+) -> DataFrame | None:
+    """ACTIVE deletion pairs as of ``version``: distinct (file name,
+    row position) rows from every live sidecar, restricted to live
+    target files — the single definition of "which rows are MOR-
+    deleted" that every consumer (reads, CDF, new deletes,
+    materialize) must share, or the read paths diverge (r9 review:
+    this was five inline copies). None when no DVs are active.
+
+    A DV row is active only while its target file is live; a later
+    materialize/COW rewrite removed the file and the rewrite already
+    applied the deletions."""
+    dvs = _live_dvs(path, version)
+    if not dvs:
+        return None
+    live_names = {os.path.basename(f) for f in live_files(path, version)}
+    if not live_names:
+        return None
+    return (
+        spark.read.parquet(*[_abs(path, p) for p in dvs])
+        .filter(F.col("_dv_file").isin(*sorted(live_names)))
+        .select("_dv_file", "_dv_pos")
+        .distinct()
+    )
+
+
+def _tag_positions(base: DataFrame) -> DataFrame:
+    """Prefix a parquet-read DataFrame with the (_dv_file, _dv_pos)
+    identity columns DV pairs join on, from the scan's own
+    ``_metadata`` — no data column is touched."""
+    return base.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "_dv_file"
+        ),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "*",
+    )
+
+
 def _with_dvs(
     spark: SparkSession, path: str, base: DataFrame, version: int | None
 ) -> DataFrame:
@@ -463,27 +503,10 @@ def _with_dvs(
     through this, including the pruned/point readers: a raw read of
     a DV'd table resurrects deleted rows. Pruning composes freely:
     DV rows for files a reader skipped simply never match."""
-    dvs = _live_dvs(path, version)
-    if not dvs:
+    dv = _dv_pair_df(spark, path, version)
+    if dv is None:
         return base
-    live_names = {os.path.basename(f) for f in live_files(path, version)}
-    dv = (
-        spark.read.parquet(*[_abs(path, p) for p in dvs])
-        # a DV row is active only while its target file is live; a
-        # later materialize/COW rewrite removed the file and the
-        # rewrite already applied the deletions
-        .filter(F.col("_dv_file").isin(*sorted(live_names)))
-        .select("_dv_file", "_dv_pos")
-        .distinct()
-    )
-    tagged = base.select(
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-            "_dv_file"
-        ),
-        F.col("_metadata.row_index").alias("_dv_pos"),
-        "*",
-    )
-    return tagged.join(
+    return _tag_positions(base).join(
         F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
     ).drop("_dv_file", "_dv_pos")
 
@@ -797,34 +820,12 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     if not added and not removed and not has_dv_actions:
         raise ValueError(f"commit {version} touched no files")
 
-    def _dv_pairs(v: int) -> DataFrame | None:
-        """Active (file, pos) delete pairs as of version ``v``,
-        restricted to files live at ``v`` — the exact set the read
-        path anti-joins."""
-        rels = _live_dvs(path, v)
-        if not rels:
-            return None
-        names = {os.path.basename(p) for p in _live_rel(path, v)}
-        if not names:
-            return None
-        return (
-            spark.read.parquet(*[_abs(path, p) for p in rels])
-            .filter(F.col("_dv_file").isin(*sorted(names)))
-            .select("_dv_file", "_dv_pos")
-            .distinct()
-        )
-
-    dv_before = _dv_pairs(version - 1) if version > 0 else None
-    dv_after = _dv_pairs(version)
+    dv_before = _dv_pair_df(spark, path, version - 1) if version > 0 else None
+    dv_after = _dv_pair_df(spark, path, version)
 
     def _tagged(files: list[str]) -> DataFrame:
-        base = spark.read.option("mergeSchema", "true").parquet(*files)
-        return base.select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "_dv_file"
-            ),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-            "*",
+        return _tag_positions(
+            spark.read.option("mergeSchema", "true").parquet(*files)
         )
 
     def _minus_dvs(files: list[str], dv: DataFrame | None) -> DataFrame | None:
@@ -1190,13 +1191,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
     hits = (
-        base.select(
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("_dv_file"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-            "*",
-        )
+        _tag_positions(base)
         .filter(predicate)
         .select("_dv_file", "_dv_pos")
     )
@@ -1204,15 +1199,8 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
     # recorded again: the read path's distinct() would keep results
     # correct anyway, but the sidecar's cardinality (and the change
     # feed's add_dv delta) should describe NEWLY deleted rows only
-    prior = _live_dvs(path)
-    if prior:
-        live_names = {os.path.basename(f) for f in files}
-        prev = (
-            spark.read.parquet(*[_abs(path, p) for p in prior])
-            .filter(F.col("_dv_file").isin(*sorted(live_names)))
-            .select("_dv_file", "_dv_pos")
-            .distinct()
-        )
+    prev = _dv_pair_df(spark, path, None)
+    if prev is not None:
         hits = hits.join(F.broadcast(prev), ["_dv_file", "_dv_pos"], "left_anti")
     n = hits.count()
     if n == 0:
@@ -1242,17 +1230,10 @@ def materialize_dvs(spark: SparkSession, path: str) -> int:
     rows; those ops refuse while DVs are active (_require_no_dvs).
 
     Returns the commit version (unchanged if no DVs are active)."""
-    dvs = _live_dvs(path)
-    if not dvs:
+    dv = _dv_pair_df(spark, path, None)
+    if dv is None:
         return current_version(path)
-    live = _live_rel(path)
-    live_names = {os.path.basename(p): p for p in live}
-    dv = (
-        spark.read.parquet(*[_abs(path, p) for p in dvs])
-        .filter(F.col("_dv_file").isin(*sorted(live_names)))
-        .select("_dv_file", "_dv_pos")
-        .distinct()
-    )
+    live_names = {os.path.basename(p): p for p in _live_rel(path)}
     touched = sorted({r["_dv_file"] for r in dv.select("_dv_file").distinct().collect()})
     actions: list[dict] = []
     for fname in touched:
@@ -1341,6 +1322,13 @@ def incremental_mv(
             )
         )
     for v in range(from_version + 1, to_version + 1):
+        # a MISSING version must fail loudly (a silent skip would
+        # return a view labeled as maintained through to_version that
+        # actually stopped at the head — r9 review finding); only
+        # metadata-only commits (constraints, bloom indexes) are
+        # legitimate no-ops
+        if not os.path.exists(_commit_path(path, v)):
+            raise ValueError(f"version {v} not found at {path}")
         try:
             cdf = changes(spark, path, v)
         except ValueError:

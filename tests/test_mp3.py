@@ -144,3 +144,26 @@ def test_decode_refuses_main_data_and_reservoir():
     with pytest.raises(NotImplementedError, match="reservoir"):
         decode_mp3(bytes(data))
     assert SIDE_INFO_BYTES_STEREO == 32
+
+
+def test_decode_refuses_crc_protected_frames():
+    """protection_bit=0 puts a 16-bit CRC before the side info; the
+    decoder must refuse rather than parse every field 2 bytes early
+    (r9 review finding)."""
+    import pytest
+
+    from stockify_spark.llm.mp3 import decode_mp3, encode_mp3_silence
+
+    data = bytearray(encode_mp3_silence([5, 5]))
+    data[1] &= 0xFE  # clear protection_bit -> CRC present
+    with pytest.raises(NotImplementedError, match="CRC"):
+        decode_mp3(bytes(data))
+
+
+def test_bitwriter_rejects_out_of_range_fields():
+    import pytest
+
+    from stockify_spark.llm.mp3 import encode_mp3_silence
+
+    with pytest.raises(ValueError, match="does not fit"):
+        encode_mp3_silence([5], gain_fn=lambda j, g, c: 256)

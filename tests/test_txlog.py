@@ -775,3 +775,19 @@ def test_incremental_mv_tracks_every_commit_type(spark, tmp_path):
     got = sorted(tuple(r) for r in mv.collect())
     want = sorted(tuple(r) for r in fresh.collect())
     assert got == want and got  # non-empty and identical
+
+
+def test_incremental_mv_rejects_missing_versions(spark, tmp_path):
+    """A silent skip of a nonexistent version would return a view
+    labeled as fresher than it is (r9 review finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    txlog.create(
+        spark.range(10).select((F.col("id") % 2).alias("k"),
+                               F.col("id").alias("v")),
+        path,
+    )
+    with pytest.raises(ValueError, match="not found"):
+        txlog.incremental_mv(spark, path, ["k"], "v", 0, 5)
