@@ -684,20 +684,16 @@ def geo_knn_suppliers(spark, sf_dir):
     EXACT certificate and per-customer fallback:
 
       * suppliers land in one 10-degree (lat, lon) cell each;
-        customers probe their 3x3 wrapped cell neighborhood (polar
-        customers, |lat| > 70, probe the +-1 LAT BANDS across all
-        longitudes — the lon metric degenerates there), as cell
-        equi-joins. Any supplier OUTSIDE the probe set differs by
-        >= 10 degrees in lat, or by >= 10 degrees in lon within
-        +-10 degrees of lat — which lower-bounds its distance by
-        d_lat = R*radians(10) or
-        d_lon(phi) = 2R*asin(sin(5 deg)*sqrt(cos phi * cos(min(90,
-        |phi|+10)))) (the haversine identity with the hav(dphi)
-        term dropped and the SMALLEST cosine product reachable in
-        the band — both relaxations only loosen the bound downward,
-        so it is a true lower bound).
+        customers probe +-1 lat cells x a LATITUDE-ADAPTIVE +-k_lon
+        lon span (k_lon <= 5, chosen so the excluded-by-longitude
+        haversine lower bound — computed with the SMALLEST cosine
+        product reachable in the band, the honest direction — is at
+        least D_LAT = R*radians(10); polar customers, |lat| > 70,
+        probe the +-1 LAT BANDS across all longitudes, where the
+        lon metric degenerates), as cell equi-joins. Any supplier
+        OUTSIDE the probe set is therefore provably >= D_LAT away.
       * a customer is CERTIFIED when its candidate top-3 exists and
-        d3 + 1e-3 km < bound (the margin absorbs the 6dp output
+        d3 + 1e-3 km < D_LAT (the margin absorbs the 6dp output
         rounding and suppkey tie-breaks); certified answers are
         exact by the bound argument, never by sampling luck.
       * uncertified customers — sparse cells, polar edge cases —
@@ -738,7 +734,6 @@ def geo_knn_suppliers(spark, sf_dir):
     )
 
     dlat_off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlat")
-    dlon_off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlon")
     base = cust.select(
         "c_custkey",
         "lat",
@@ -748,10 +743,33 @@ def geo_knn_suppliers(spark, sf_dir):
     )
     nonpolar = base.filter(F.abs(F.col("lat")) <= POLAR)
     polar = base.filter(F.abs(F.col("lat")) > POLAR)
-    # 3x3 probes, lon wrapped; polar: +-1 lat bands, every lon cell
+    # LATITUDE-ADAPTIVE longitude probe span: a supplier excluded by
+    # k lon cells has dlon > 10k deg, hence distance >=
+    # 2R*asin(sin(5k deg)*sqrt(cos phi * cos(|phi|+10))). Choose the
+    # smallest k making that >= D_LAT (= 2R*asin(sin 5 deg)), i.e.
+    # sin(5k) >= sin(5)/sqrt(cos phi * cos(|phi|+10)) — then the
+    # certificate bound is uniformly D_LAT and high-latitude
+    # customers stop flunking certification into the brute fallback
+    # (at sf0.1 the fixed 3x3 probe sent 45% of non-polar customers
+    # to the fallback because the honest lon bound shrinks with
+    # latitude). For |phi| <= 70 the needed k is at most 5, so the
+    # wrapped span 2k+1 <= 11 < 36 never self-overlaps.
+    phi_np = F.radians(F.abs(F.col("lat")))
+    phi_out_np = F.radians(F.least(F.abs(F.col("lat")) + CELL, F.lit(90.0)))
+    need = F.lit(math.sin(math.radians(CELL / 2))) / F.sqrt(
+        F.cos(phi_np) * F.cos(phi_out_np)
+    )
+    k_lon = F.least(
+        F.ceil(F.degrees(F.asin(F.least(F.lit(1.0), need))) / (CELL / 2)),
+        F.lit(5),
+    ).cast("int")
     probes_np = (
-        nonpolar.select("*", dlat_off)
-        .select("*", dlon_off)
+        nonpolar.withColumn("k_lon", k_lon)
+        .select("*", dlat_off)
+        .select(
+            "*",
+            F.explode(F.sequence(-F.col("k_lon"), F.col("k_lon"))).alias("dlon"),
+        )
         .select(
             "c_custkey",
             "lat",
@@ -800,38 +818,19 @@ def geo_knn_suppliers(spark, sf_dir):
     )
     # certificate per customer: 3 candidates found AND the 3rd
     # distance clears the excluded-supplier lower bound with margin.
-    # For a supplier excluded by LONGITUDE (dlon >= 10 deg, dlat in
-    # [0, 10)), haversine gives hav(d/R) = hav(dphi) + cos(phi1)
-    # cos(phi2) hav(dlon) >= cos(phi1) cos(phi2) sin^2(5 deg); the
-    # LOWER bound must therefore use the MINIMUM cos(phi2) reachable
-    # in the +-10-deg band, cos(|phi1| + 10 deg) — r9 review finding:
-    # the first draft used the band MAXIMUM, which exceeds the true
-    # distance of a same-latitude excluded supplier and could certify
-    # a customer whose real 3rd-nearest was outside the probe set.
-    # Non-polar customers have |phi1| <= 70, so cos(|phi1|+10) >=
-    # cos(80 deg) and the bound stays useful; dropping the hav(dphi)
-    # term only loosens it downward (safe).
-    phi = F.radians(F.abs(F.col("lat")))
-    phi_out = F.radians(F.least(F.abs(F.col("lat")) + CELL, F.lit(90.0)))
-    d_lon_bound = (
-        2.0
-        * R_KM
-        * F.asin(
-            F.least(
-                F.lit(1.0),
-                F.lit(math.sin(math.radians(CELL / 2)))
-                * F.sqrt(F.cos(phi) * F.cos(phi_out)),
-            )
-        )
-    )
-    bound = F.when(
-        F.abs(F.col("lat")) > POLAR, F.lit(D_LAT_BOUND)
-    ).otherwise(F.least(F.lit(D_LAT_BOUND), d_lon_bound))
+    # Exclusion from the probe set means dlat >= 10 deg (distance >=
+    # D_LAT directly) or, for non-polar customers, dlon > 10*k_lon
+    # deg — whose haversine lower bound (with the MINIMUM cosine
+    # product reachable in the +-10-deg band, the r9 review fix; the
+    # first draft used the band MAXIMUM and could wrongly certify)
+    # is >= D_LAT by the construction of k_lon above. Polar
+    # customers probe every longitude, so only the lat bound
+    # applies. The bound is therefore uniformly D_LAT.
     per_cust = top.groupBy("c_custkey", "lat").agg(
         F.count(F.lit(1)).alias("n3"), F.max("d_exact").alias("d3")
     )
     certified = per_cust.filter(
-        (F.col("n3") == 3) & (F.col("d3") + 1e-3 < bound)
+        (F.col("n3") == 3) & (F.col("d3") + 1e-3 < F.lit(D_LAT_BOUND))
     ).select("c_custkey").localCheckpoint()
     fallback_cust = base.join(certified, "c_custkey", "left_anti").select(
         "c_custkey", "lat", "lon"
