@@ -1234,20 +1234,25 @@ def materialize_dvs(spark: SparkSession, path: str) -> int:
     if dv is None:
         return current_version(path)
     live_names = {os.path.basename(p): p for p in _live_rel(path)}
+    # bounded collect: one file NAME per DV-touched file
     touched = sorted({r["_dv_file"] for r in dv.select("_dv_file").distinct().collect()})
-    actions: list[dict] = []
-    for fname in touched:
-        rel = live_names[fname]
-        part = spark.read.parquet(_abs(path, rel)).select(
-            F.col("_metadata.row_index").alias("_dv_pos"), "*"
-        )
-        keep = part.join(
-            F.broadcast(dv.filter(F.col("_dv_file") == fname).select("_dv_pos")),
-            "_dv_pos",
-            "left_anti",
-        ).drop("_dv_pos")
-        actions.append({"remove": {"path": rel}})
-        actions.extend(_write_data_files(keep, path))
+    # rewrite every touched file in ONE job (read together, one
+    # anti-join, one write) instead of a read+write job pair PER
+    # file — the per-file loop cost 16 sequential jobs on a 16-file
+    # table (14.7 s in the bench's E2d extra) for work that is a
+    # single scan's worth of data. Untouched files are never read.
+    keep = _with_dvs(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(
+            *[_abs(path, live_names[f]) for f in touched]
+        ),
+        None,
+    )
+    actions: list[dict] = [
+        {"remove": {"path": live_names[f]}} for f in touched
+    ]
+    actions.extend(_write_data_files(keep, path))
     return _commit(path, actions)
 
 
