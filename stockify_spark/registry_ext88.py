@@ -647,8 +647,6 @@ def stats_diff_in_diff(spark, sf_dir):
     SE = sqrt(Σ var_i/n_i) derived on the 4-row model table and
     repeated per cell row so the full table hashes. Nothing beyond
     the two scans and one 4-group shuffle at any corpus size."""
-    from pyspark.sql import Window
-
     from stockify_spark.registry import _t
 
     ev = _t(spark, sf_dir, "events")
