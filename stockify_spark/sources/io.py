@@ -373,3 +373,45 @@ def write_parquet_observed(
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).parquet(path)
     return obs.get
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema'd JSON-lines reader with an EXPLICIT malformed-record
+    policy — the raw-crawl ingestion surface (WARC extractions, API
+    dumps) where some fraction of lines is always broken and the
+    pipeline must choose, not inherit, what happens to them:
+
+    * ``PERMISSIVE`` (default): malformed lines become rows whose
+      data columns are NULL and whose raw text lands in
+      ``corrupt_col`` (added to the schema here if absent) — the
+      quarantine-and-continue shape: route ``corrupt_col IS NOT
+      NULL`` rows to a reject sink and keep the good ones flowing.
+    * ``DROPMALFORMED``: silently discard broken lines (acceptable
+      only when a loss metric is recorded elsewhere).
+    * ``FAILFAST``: abort on the first broken line (reference-data
+      loads where corruption means the upload itself failed).
+
+    Schema is REQUIRED, never inferred: inference needs an extra
+    full pass over 100 TB and silently widens types per batch.
+
+    Spark quirk, pinned in tests: a query referencing ONLY the
+    corrupt column is disallowed (the parser would never be
+    exercised) — select data columns alongside it, or cache first.
+    """
+    from pyspark.sql import types as T
+
+    s = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in s.fieldNames():
+        s = s.add(T.StructField(corrupt_col, T.StringType(), True))
+    return (
+        spark.read.schema(s)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
