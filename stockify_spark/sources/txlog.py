@@ -1236,6 +1236,11 @@ def materialize_dvs(spark: SparkSession, path: str) -> int:
     live_names = {os.path.basename(p): p for p in _live_rel(path)}
     # bounded collect: one file NAME per DV-touched file
     touched = sorted({r["_dv_file"] for r in dv.select("_dv_file").distinct().collect()})
+    if not touched:
+        # sidecars are registered but none targets a live file (all
+        # targets already rewritten away — e.g. a COW delete emptied
+        # the table after the MOR delete): nothing to fold
+        return current_version(path)
     # rewrite every touched file in ONE job (read together, one
     # anti-join, one write) instead of a read+write job pair PER
     # file — the per-file loop cost 16 sequential jobs on a 16-file

@@ -722,3 +722,89 @@ def test_mp3_silence_decode_roundtrip_property(bits, sr_idx, rng):
         for j in range(len(bits)) for g in range(2) for c in range(2)
     )
     assert out["side_digest"] == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=5),
+       st.integers(min_value=2, max_value=11))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_mv_equals_recompute_under_random_histories(
+    spark, tmp_path_factory, ops, mod
+):
+    """r9: for ANY sequence of append / COW delete / MOR delete /
+    restore commits, the change-feed-maintained COUNT/SUM view equals
+    a fresh recompute at head."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources import txlog
+
+    path = str(tmp_path_factory.mktemp("mvp") / "t")
+    df = spark.range(120).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 7).cast("long").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    txlog.create(df.filter(F.col("rid") < 60).repartition(2), path)
+    next_rid = 60
+    for op in ops:
+        if op == 0 and next_rid < 120:  # append a fresh slice
+            txlog.append(
+                df.filter((F.col("rid") >= next_rid) & (F.col("rid") < next_rid + 20)),
+                path,
+            )
+            next_rid += 20
+        elif op == 1:
+            if txlog._live_dvs(path):
+                txlog.materialize_dvs(spark, path)
+            txlog.delete_where(spark, path, F.col("rid") % mod == 0)
+        elif op == 2:
+            txlog.delete_where_dv(spark, path, F.col("rid") % mod == 1)
+        else:  # restore to the middle of history
+            txlog.restore(path, txlog.current_version(path) // 2)
+    head = txlog.current_version(path)
+    mv = txlog.incremental_mv(spark, path, ["k"], "v", 0, head)
+    fresh = txlog.snapshot(spark, path).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("total"),
+    )
+    assert sorted(map(tuple, mv.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=2, max_value=6))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_countmin_one_sided_error_property(spark, seed, d):
+    """Count-Min never underestimates, for any seed-shifted key
+    distribution and any number of hash rows."""
+    from pyspark.sql import functions as F
+
+    n_keys, w = 40, 32
+    df = spark.range(600).select(
+        ((F.col("id") * F.lit(seed % 97 + 3)) % n_keys).alias("key")
+    )
+    rows_ = spark.range(d).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.col("r"), F.col("key"))), 1, 8), 16, 10)
+        .cast("long") % w
+    )
+    cells = (
+        df.crossJoin(F.broadcast(rows_))
+        .select("r", bucket.alias("b"))
+        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = spark.range(n_keys).select(F.col("id").alias("key"))
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    pc = probe.crossJoin(F.broadcast(rows_)).select(
+        "key", "r",
+        (F.conv(F.substring(F.md5(F.concat_ws("|", F.col("r"), F.col("key"))), 1, 8), 16, 10)
+         .cast("long") % w).alias("b"),
+    )
+    est = (
+        pc.join(F.broadcast(cells), ["r", "b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    joined = est.join(exact, "key", "left").select(
+        "key", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+    ).collect()
+    assert joined and all(r.est >= r.exact for r in joined)
