@@ -54,6 +54,7 @@ _PRIORITY = [
     'media_mp3_decode', 'pipeline_dsir_weights', 'pipeline_temperature_mix',
     'pipeline_ppl_buckets', 'agg_countmin_sketch', 'pipeline_gumbel_topk',
     'stats_diff_in_diff', 'txlog_dv_change_feed', 'txlog_mv_incremental',
+    'txlog_idempotent_ingest',
     'dq_dp_counts', 'media_h264_probe', 'media_flac_decode',
     'txlog_restore', 'txlog_zorder', 'pipeline_gzip_ingest',
     'txlog_bloom_lookup', 'window_interpolate', 'events_anomaly_mad',

@@ -827,3 +827,51 @@ def txlog_mv_incremental(spark, sf_dir):
     return txlog.incremental_mv(
         spark, path, ["o_custkey"], "cents", 0, txlog.current_version(path)
     ).select("o_custkey", "n_rows", "total")
+
+
+# ---------------------------------------------------------------------------
+# Idempotent streaming ingest — the exactly-once foreachBatch sink
+# face of the table format (Delta's txnAppId/txnVersion): every
+# batch is appended through append_idempotent WITH deliberate
+# replays of already-committed batch ids interleaved; if any replay
+# were applied, the oracle's row count and hash would catch the
+# duplicates.
+# ---------------------------------------------------------------------------
+
+_IDEMPOTENT_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+"""
+
+
+@register("txlog_idempotent_ingest", _IDEMPOTENT_SQL)
+def txlog_idempotent_ingest(spark, sf_dir):
+    """Ingest orders in three batches keyed (app='ingest', version =
+    0,1,2) with each batch REPLAYED once after commit — the
+    at-least-once delivery window a foreachBatch sink lives in. The
+    idempotency markers ride the same commit as the file adds, so
+    the final state is exactly one copy of every row; a log
+    checkpoint mid-history pins that the markers survive collapse.
+    Scale shape: a replayed batch costs one driver-side log replay
+    and zero data work."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        for ver, residue in ((0, 1), (1, 2)):
+            batch = o.filter(F.col("o_orderkey") % 3 == residue)
+            v = txlog.append_idempotent(batch, path, "ingest", ver)
+            # replay: same (app, version) must be a version no-op
+            assert txlog.append_idempotent(batch, path, "ingest", ver) == v
+            if ver == 0:
+                txlog.checkpoint_log(path)  # markers survive collapse
+        assert txlog.last_txn_version(path, "ingest") == 1
+        n_all = o.count()
+        assert txlog.snapshot(spark, path).count() == n_all
+
+    path = _scratch_table(sf_dir, "idem", build)
+    return txlog.snapshot(spark, path).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

@@ -140,9 +140,22 @@ def checkpoint_log(path: str) -> int:
         for (p, _), idx in sorted(blooms.items())
         if p in live_paths  # an index on a removed file is dead metadata
     ]
+    # idempotency markers are metadata too: dropping txn actions at
+    # the collapse would let a replayed streaming batch (append_
+    # idempotent) re-apply and duplicate rows. Latest version per app
+    # suffices — replays are monotone.
+    txns: dict[str, int] = {}
+    for commit in commits:
+        for a in commit["actions"]:
+            t = a.get("txn")
+            if t:
+                txns[t["app"]] = max(txns.get(t["app"], t["version"]), t["version"])
+    txn_actions = [
+        {"txn": {"app": app, "version": v}} for app, v in sorted(txns.items())
+    ]
     ck = {
         "version": version,
-        "actions": cons + dvs + idxs + [{"add": a} for a in adds],
+        "actions": cons + dvs + idxs + txn_actions + [{"add": a} for a in adds],
     }
     tmp = _checkpoint_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
@@ -1367,3 +1380,61 @@ def incremental_mv(
             .localCheckpoint()  # view-sized, keeps lineage O(1) per commit
         )
     return mv
+
+
+# ---------------------------------------------------------------------------
+# Idempotent appends — the exactly-once streaming sink contract
+# ---------------------------------------------------------------------------
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest transaction version committed by ``app_id`` (None if
+    the app never wrote). One driver-side log replay — the same read
+    the snapshot already does."""
+    best: int | None = None
+    for c in _read_log(path):
+        for a in c["actions"]:
+            t = a.get("txn")
+            if t and t["app"] == app_id:
+                best = t["version"] if best is None else max(best, t["version"])
+    return best
+
+
+def append_idempotent(
+    df: DataFrame, path: str, app_id: str, txn_version: int
+) -> int:
+    """Append that commits AT MOST ONCE per (app_id, txn_version) —
+    the Delta txnAppId/txnVersion idempotent-writes contract that
+    makes a Structured Streaming ``foreachBatch`` sink exactly-once:
+    the batch id is the transaction version, so a replayed batch
+    (failure between the sink write and the checkpoint commit — the
+    classic at-least-once window) sees its version already in the
+    log and becomes a no-op instead of duplicate rows.
+
+    The ``txn`` action rides the SAME commit as the file adds, so
+    the data and the idempotency marker are atomic: a crash before
+    the commit leaves neither, a crash after leaves both. Replays
+    must be monotone per app (Structured Streaming batch ids are);
+    one active writer per app_id is the streaming engine's own
+    guarantee, which is what makes check-then-commit sufficient.
+
+    Returns the commit version (current version unchanged when the
+    batch was already applied)."""
+    known = last_txn_version(path, app_id)
+    if known is not None and txn_version <= known:
+        return current_version(path)
+    _validate_constraints(df, path)
+    actions = _write_data_files(df, path)
+    actions.append({"txn": {"app": app_id, "version": int(txn_version)}})
+    return _commit(path, actions)
+
+
+def foreach_batch_sink(path: str, app_id: str):
+    """Adapter for ``writeStream.foreachBatch``: routes every micro-
+    batch through :func:`append_idempotent` keyed on the engine's
+    batch id, turning the at-least-once foreachBatch contract into
+    exactly-once table state."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_idempotent(batch_df, path, app_id, batch_id)
+
+    return sink

@@ -791,3 +791,67 @@ def test_incremental_mv_rejects_missing_versions(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not found"):
         txlog.incremental_mv(spark, path, ["k"], "v", 0, 5)
+
+
+def test_append_idempotent_skips_replayed_batches(spark, tmp_path):
+    """r9: the exactly-once sink contract — a replayed (app, batch)
+    pair is a no-op, a new batch commits atomically with its marker,
+    independent apps do not interfere, and the marker survives a log
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    txlog.create(b(0, 10), path)
+    v1 = txlog.append_idempotent(b(10, 20), path, "ingest", 0)
+    assert txlog.snapshot(spark, path).count() == 20
+    # replay of batch 0: no new version, no duplicate rows
+    assert txlog.append_idempotent(b(10, 20), path, "ingest", 0) == v1
+    assert txlog.snapshot(spark, path).count() == 20
+    # next batch applies; a second app has its own version space
+    txlog.append_idempotent(b(20, 30), path, "ingest", 1)
+    txlog.append_idempotent(b(30, 35), path, "other", 0)
+    assert txlog.snapshot(spark, path).count() == 35
+    assert txlog.last_txn_version(path, "ingest") == 1
+    assert txlog.last_txn_version(path, "other") == 0
+    # markers survive the checkpoint collapse
+    txlog.checkpoint_log(path)
+    assert txlog.append_idempotent(b(20, 30), path, "ingest", 1) \
+        == txlog.current_version(path)
+    assert txlog.snapshot(spark, path).count() == 35
+
+
+def test_foreach_batch_sink_is_exactly_once(spark, tmp_path):
+    """End-to-end streaming face: a foreachBatch writer into the
+    table, then the same batches replayed through the sink (the
+    at-least-once window), leaves exactly-once table state."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    txlog.create(
+        spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        path,
+    )
+    src = str(tmp_path / "src")
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(2).write.parquet(src)
+    sink = txlog.foreach_batch_sink(path, "stream-app")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    stream.awaitTermination(120)
+    n1 = txlog.snapshot(spark, path).count()
+    assert n1 == 50
+    # simulate the failure-replay window: re-deliver every batch id
+    # the stream already committed
+    replay = spark.read.parquet(src)
+    sink(replay, 0)
+    assert txlog.snapshot(spark, path).count() == 50
