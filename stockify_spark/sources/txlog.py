@@ -1086,6 +1086,19 @@ def restore(path: str, version: int) -> int:
             f"cannot restore {path} to version {version}: "
             f"{len(missing)} data file(s) vacuumed (e.g. {missing[0]})"
         )
+    # sidecars the restore would re-register must exist too — vacuum
+    # reclaims retired ones below the retention window, same contract
+    # as data files
+    missing_dv = sorted(
+        d["path"]
+        for d in _live_dv_adds(path, version)
+        if not os.path.exists(_abs(path, d["path"]))
+    )
+    if missing_dv:
+        raise FileNotFoundError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing_dv)} DV sidecar(s) vacuumed (e.g. {missing_dv[0]})"
+        )
     actions: list[dict] = [
         {"remove": {"path": p}} for p in sorted(current) if p not in target
     ]
@@ -1141,6 +1154,19 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
                 removed_at.pop(a["add"]["path"], None)
             elif "remove" in a:
                 removed_at[a["remove"]["path"]] = c["version"]
+            # DV sidecars follow the same retention rule: a sidecar
+            # retired (remove_dv, from restore) before the retention
+            # window can never be read by a retained version, and a
+            # restore below the window already raises on missing
+            # files — so it is reclaimable exactly like a removed
+            # data file. REGISTERED-ness is the criterion (not
+            # live-target activity, which would need sidecar reads):
+            # conservative, keeps strictly more.
+            elif "add_dv" in a:
+                added_at.setdefault(a["add_dv"]["path"], c["version"])
+                removed_at.pop(a["add_dv"]["path"], None)
+            elif "remove_dv" in a:
+                removed_at[a["remove_dv"]["path"]] = c["version"]
     deleted = []
     for rel, rv in removed_at.items():
         # referenced by some retained version v in [cutoff, current]

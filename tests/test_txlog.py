@@ -855,3 +855,42 @@ def test_foreach_batch_sink_is_exactly_once(spark, tmp_path):
     replay = spark.read.parquet(src)
     sink(replay, 0)
     assert txlog.snapshot(spark, path).count() == 50
+
+
+def test_vacuum_reclaims_retired_dv_sidecars(spark, tmp_path):
+    """r9: a restore-retired sidecar below the retention window is
+    reclaimable like any removed data file; restore past it raises
+    instead of resurrecting a snapshot with a dangling sidecar."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)                 # v0
+    v_dv = txlog.delete_where_dv(spark, path, F.col("k") < 50)   # v1
+    sidecar = txlog._live_dvs(path)[0]
+    txlog.restore(path, 0)                              # v2 retires it
+    txlog.append(spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")), path)    # v3
+    assert os.path.exists(txlog._abs(path, sidecar))
+    deleted = txlog.vacuum(path, keep_last=1)           # window: v3 only
+    assert sidecar in deleted
+    assert not os.path.exists(txlog._abs(path, sidecar))
+    # head still reads (110 rows: restore resurrected all 100)
+    assert txlog.snapshot(spark, path).count() == 110
+    # restore back to the MOR-delete version now raises loudly
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        txlog.restore(path, v_dv)
+
+
+def test_vacuum_keeps_active_dv_sidecars(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = _dv_fixture(spark, tmp_path)
+    txlog.delete_where_dv(spark, path, F.col("k") < 50)
+    txlog.append(spark.range(100, 105).select(
+        F.col("k").alias("k") if False else F.col("id").alias("k"),
+        F.lit(0.0).alias("v")), path)
+    deleted = txlog.vacuum(path, keep_last=1)
+    assert all("dv/" not in d for d in deleted)
+    assert txlog.snapshot(spark, path).count() == 55
