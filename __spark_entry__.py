@@ -44,11 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget lands entirely on never-checked queries; ~93 remain for r10.
 # After them, every previously-checked query sorted oldest-evidence-
 # first (r2, r3, r5, r6, r7, r8 vintage; alphabetical within one).
-# All 395 were re-proven locally this round (tools/check_oracle.py:
-# 394/394 in the full run + the last-added txlog_dv_change_feed
-# gated individually), and the full oracle set passed a
+# All 397 were re-proven locally this round — the CLOSING full run
+# of tools/check_oracle.py passed 397/397 after every round-9 change
+# (earlier full runs: 394/394 mid-round), the closing pytest run is
+# 496 passed / 1 documented skip, and the full oracle set passed a
 # DESCRIBE-level type audit (tools/type_audit.py) against DuckDB
-# DECIMAL/HUGEINT affinity. The 8 round-9 queries lead so they gain
+# DECIMAL/HUGEINT affinity. The 11 round-9 queries lead so they gain
 # driver rows immediately.
 _PRIORITY = [
     'media_mp3_decode', 'pipeline_dsir_weights', 'pipeline_temperature_mix',
