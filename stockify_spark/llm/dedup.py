@@ -755,46 +755,60 @@ def connected_components(
     transitive closure.
 
     Min-label propagation WITH pointer jumping (path doubling):
-    each round every node first takes the min of its label and its
-    neighbors' labels (one hop), then jumps to its current label's
-    label — so the propagation horizon DOUBLES per round and a
-    diameter-d graph converges in O(log d) rounds, not d. Both steps
-    only ever assign ids of reachable nodes (a neighbor's label and
-    a reachable node's label are both reachable), so the fixpoint is
-    exactly component = min reachable id. Each round is two
-    shuffled joins + one partial-aggregated groupBy; labels are
-    persisted across rounds and lineage is truncated with
-    localCheckpoint every 5 rounds so Catalyst's analysis cost stays
-    bounded however many rounds run. max_iters=20 therefore covers
-    graphs of diameter ~2^19 — far beyond any near-dup cluster.
+    each round every node takes the min label over itself and its
+    neighbors (self-loops fold "keep my own label" into the SAME
+    join+groupBy as neighbor propagation — one join fewer per round
+    than a separate left-join merge), then jumps to its current
+    label's label — so the propagation horizon DOUBLES per round and
+    a diameter-d graph converges in O(log d) rounds, not d. Both
+    steps only ever assign ids of reachable nodes (a neighbor's
+    label and a reachable node's label are both reachable), so the
+    fixpoint is exactly component = min reachable id.
+
+    Round structure (tuned on the r9→r10 driver-variance finding —
+    dedup_clusters measured 15.7s driver vs 2.9s builder on
+    identical code): near-dup graphs are near-cliques, so pointer
+    jumping reaches the fixpoint in round 0 and round 1 verifies —
+    measured 2 rounds at sf0.1. Extra rounds are NOT cheap (each is
+    2 shuffled joins + a groupBy over the full label set), so the
+    loop checks convergence EVERY round but (a) skips the provably
+    redundant round-0 check (a nonempty edge set always lowers some
+    label in round 0), and (b) eagerly localCheckpoints each round's
+    node-sized result, so the check is a count between two CACHED
+    frames and lineage/plan depth stays O(1) regardless of round
+    count. max_iters=20 covers diameter ~2^19 — far beyond any
+    near-dup cluster.
     """
-    # materialize the symmetric edge list ONCE: it is joined every
-    # round, and without this each round's plan re-derives it from
-    # the caller's source — for an edge list produced by a near-dup
-    # detector that means re-running candidate generation per round
-    # (the plan census showed 8 scans for dedup_embedding_clusters)
+    # materialize the symmetric edge list ONCE, before anything
+    # references it twice: adj below uses sym both directly and under
+    # the node-distinct — without this checkpoint each reference
+    # re-runs the caller's candidate generation (the expensive pair
+    # detection; the plan census showed 8 scans for
+    # dedup_embedding_clusters before this checkpoint existed)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
-    # every endpoint appears as a src in the symmetric set
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).persist()
-    labels.count()
+    # adjacency WITH self-loops, checkpointed as the per-round join
+    # input (built from the cached sym — one distinct shuffle, once)
+    adj = sym.union(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # initial labels: one row per distinct node (nodes re-reads the
+    # CACHED sym — a genuine self-edge in the input would make the
+    # adj self-loop rows non-unique, so don't derive labels from adj)
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(
+        eager=True
+    )
     for it in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
+        # one-hop min INCLUDING own label (self-loop supplies it)
+        hop = (
+            adj.join(labels, adj["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("component").alias("_nmin"))
-        )
-        hop = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["src"], "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "node")
         )
         # pointer jump: component <- label(component). labels(it) holds
         # the previous round's fixpoint-so-far; composing it with this
@@ -810,22 +824,25 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_jc"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            # eager + node-sized: truncates lineage every round (plan
+            # depth stays O(1)) and makes the convergence count below
+            # a cache-read job. Checkpointed RDDs are reclaimed by
+            # ContextCleaner on GC.
+            .localCheckpoint(eager=True)
         )
-        # persist() keeps the DATA hot but the logical plan still
-        # accretes one join+agg per round; Catalyst analysis/optimizer
-        # time grows superlinearly with plan depth on long-chain
-        # graphs. localCheckpoint truncates lineage every 5 rounds so
-        # plan depth stays bounded regardless of graph diameter.
-        if (it + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        if it == 0:
+            # a nonempty edge set ALWAYS changes labels in round 0
+            # (for any edge (u,v) with u<v, v's label drops to <= u),
+            # so the check would be a wasted job; an empty edge set
+            # makes every frame here empty and round 1 terminates.
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") < F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

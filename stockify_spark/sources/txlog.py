@@ -375,18 +375,50 @@ def table_stats(path: str, version: int | None = None) -> dict:
     # no-DV case stays a pure log read.
     dv_rels = _live_dvs(path, version)
     if dv_rels:
+        # distinct-(file,pos) count WITHOUT a Python set of tuples —
+        # a set costs ~150 B/pair, so a large MOR backlog could
+        # exhaust driver memory for a "metadata read" (r9 advisor
+        # finding). Two tiers:
+        #   * sidecars ≤ 256 MB on disk: pyarrow concat + columnar
+        #     group-by (dictionary-encoded file names + int64
+        #     positions, ~10-20 B/pair — an order of magnitude under
+        #     the set, still driver-side and fast);
+        #   * larger backlogs: delegate the distinct count to Spark
+        #     (executor-side shuffle, O(1) driver memory). Such a
+        #     table has GBs of deletions — a cluster job is the only
+        #     honest answer, and materialize_dvs is overdue anyway.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         live_names = {os.path.basename(a["path"]) for a in adds}
-        pairs: set = set()
-        for rel in dv_rels:
-            t = pq.read_table(_abs(path, rel), columns=["_dv_file", "_dv_pos"])
-            files = t.column("_dv_file").to_pylist()
-            poss = t.column("_dv_pos").to_pylist()
-            pairs.update(
-                (f, p) for f, p in zip(files, poss) if f in live_names
+        abs_rels = [_abs(path, rel) for rel in dv_rels]
+        total_bytes = sum(os.path.getsize(p) for p in abs_rels)
+        if total_bytes <= 256 * 1024 * 1024:
+            t = pa.concat_tables(
+                pq.read_table(p, columns=["_dv_file", "_dv_pos"])
+                for p in abs_rels
             )
-        rows -= len(pairs)
+            t = t.filter(
+                pa.compute.is_in(
+                    t.column("_dv_file"),
+                    value_set=pa.array(sorted(live_names)),
+                )
+            )
+            rows -= t.group_by(["_dv_file", "_dv_pos"]).aggregate([]).num_rows
+        else:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "table_stats: DV sidecars exceed the driver-side "
+                    "budget and no active SparkSession is available "
+                    "for the distributed distinct count"
+                )
+            dv = spark.read.parquet(*abs_rels).where(
+                F.col("_dv_file").isin(*sorted(live_names))
+            )
+            rows -= dv.select("_dv_file", "_dv_pos").distinct().count()
     mins: dict = {}
     maxs: dict = {}
     common: set | None = None
@@ -435,6 +467,21 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         for d in _live_dv_adds(src, version)
     ]
     actions += [{"constraint": c} for c in _constraints(src, version)]
+    # idempotency markers survive the clone too (same rule as
+    # checkpoint_log): an exactly-once ingest resumed against a clone
+    # that dropped them would see last_txn_version()=None and
+    # re-apply every committed batch, duplicating rows (r9 advisor
+    # finding). Latest version per app suffices — replays are
+    # monotone.
+    txns: dict[str, int] = {}
+    for c in _read_log(src, version):
+        for a in c["actions"]:
+            t = a.get("txn")
+            if t:
+                txns[t["app"]] = max(txns.get(t["app"], t["version"]), t["version"])
+    actions += [
+        {"txn": {"app": app, "version": v}} for app, v in sorted(txns.items())
+    ]
     # bloom indexes key on the add's logged path — rebase to match
     clone_paths = {a["add"]["path"] for a in actions if "add" in a}
     seen_idx: dict[tuple, dict] = {}
@@ -869,7 +916,19 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         touched: set = set()
         for a in commit["actions"]:
             dv = a.get("add_dv") or a.get("remove_dv")
-            if dv and os.path.exists(_abs(path, dv["path"])):
+            if dv:
+                # fail LOUDLY on a vacuumed sidecar, mirroring
+                # restore()'s contract: silently skipping it would
+                # omit the MOR-deleted/resurrected rows from a
+                # historical feed — an incremental consumer would
+                # record the commit as applied while missing its
+                # deletes (r9 advisor finding)
+                if not os.path.exists(_abs(path, dv["path"])):
+                    raise FileNotFoundError(
+                        f"DV sidecar vacuumed: {dv['path']} (commit "
+                        f"{version}); historical change feed for this "
+                        "version is unrecoverable"
+                    )
                 names = pq.read_table(
                     _abs(path, dv["path"]), columns=["_dv_file"]
                 ).column("_dv_file").to_pylist()
@@ -1378,10 +1437,20 @@ def incremental_mv(
         # legitimate no-ops
         if not os.path.exists(_commit_path(path, v)):
             raise ValueError(f"version {v} not found at {path}")
-        try:
-            cdf = changes(spark, path, v)
-        except ValueError:
+        # decide "metadata-only" by INSPECTING the commit's actions,
+        # not by catching ValueError around changes(): JSONDecodeError
+        # subclasses ValueError, so a try/except here would silently
+        # skip a CORRUPT commit file and return a view labeled as
+        # maintained through to_version that missed a data commit —
+        # the exact failure the missing-version check above exists to
+        # prevent (r9 advisor finding). A malformed commit now raises.
+        with open(_commit_path(path, v)) as f:
+            acts = json.load(f)["actions"]
+        if not any(
+            k in a for a in acts for k in ("add", "remove", "add_dv", "remove_dv")
+        ):
             continue  # metadata-only commit: nothing to maintain
+        cdf = changes(spark, path, v)
         ins = F.col("_change_type") == "insert"
         delta = cdf.groupBy(*keys).agg(
             F.sum(F.when(ins, 1).otherwise(-1)).cast("long").alias("_d_n"),
