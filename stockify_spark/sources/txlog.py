@@ -123,6 +123,11 @@ def checkpoint_log(path: str) -> int:
     # minus remove_dv) is carried, so a restore-retired sidecar does
     # not resurrect through the collapse either.
     dvs = [{"add_dv": a} for a in _live_dv_adds(path)]
+    # column renames are metadata too: dropping them at the collapse
+    # would silently revert every logical name to its physical one
+    # for readers replaying from the checkpoint. Order is preserved —
+    # the mapping fold is order-sensitive (rename chains).
+    rens = [{"rename": r} for r in _renames(path)]
     # bloom indexes are metadata too: dropping ``index`` actions at
     # the collapse silently degrades snapshot_point from skip-by-
     # filter to open-every-file (results stay correct, skipping is
@@ -155,7 +160,7 @@ def checkpoint_log(path: str) -> int:
     ]
     ck = {
         "version": version,
-        "actions": cons + dvs + idxs + txn_actions + [{"add": a} for a in adds],
+        "actions": cons + dvs + rens + idxs + txn_actions + [{"add": a} for a in adds],
     }
     tmp = _checkpoint_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
@@ -304,8 +309,12 @@ def create(df: DataFrame, path: str) -> int:
 
 
 def append(df: DataFrame, path: str) -> int:
+    # constraints validate on the LOGICAL batch (renaming a
+    # constrained column is rejected, so constraint names are always
+    # identity-mapped); files are written with PHYSICAL names so
+    # every file of the table shares one footer naming scheme
     _validate_constraints(df, path)
-    return _commit(path, _write_data_files(df, path))
+    return _commit(path, _write_data_files(_to_physical(df, _mapping(path)), path))
 
 
 class ConstraintViolation(RuntimeError):
@@ -431,7 +440,12 @@ def table_stats(path: str, version: int | None = None) -> dict:
             mx = a["stats"]["max"][name]
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {"rows": rows, "min": mins, "max": maxs}
+    rev = {p: lg for lg, p in _mapping(path, version).items()}
+    return {
+        "rows": rows,
+        "min": {rev.get(k, k): v for k, v in mins.items()},
+        "max": {rev.get(k, k): v for k, v in maxs.items()},
+    }
 
 
 def clone(src: str, dst: str, version: int | None = None) -> int:
@@ -482,6 +496,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     actions += [
         {"txn": {"app": app, "version": v}} for app, v in sorted(txns.items())
     ]
+    # column renames carry over IN ORDER (the mapping fold is
+    # order-sensitive); physical file names are shared with the
+    # source, so the clone must translate identically
+    actions += [{"rename": r} for r in _renames(src, version)]
     # bloom indexes key on the add's logged path — rebase to match
     clone_paths = {a["add"]["path"] for a in actions if "add" in a}
     seen_idx: dict[tuple, dict] = {}
@@ -500,6 +518,96 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     return _commit(dst, actions)
 
 
+# ---------------------------------------------------------------------------
+# Column mapping — rename without rewrite (Delta's column-mapping mode)
+# ---------------------------------------------------------------------------
+#
+# Files keep their ORIGINAL ("physical") column names forever; a
+# ``rename`` log action only changes the logical name readers see.
+# A rename is therefore one tiny log write — never a 100 TB rewrite —
+# and every historical file stays readable. Translation happens at
+# exactly two boundaries: physical→logical when a snapshot leaves the
+# scan (``_to_logical``), logical→physical when a write batch enters
+# the file layer (``_to_physical``). Stats skipping keeps working
+# because per-file min/max are keyed by physical names and the pruned
+# read translates its column argument before consulting them.
+# Mirroring Delta, renaming a column referenced by an active CHECK
+# constraint is REJECTED (constraints therefore always bind to stable
+# names and need no translation).
+
+
+def _renames(path: str, version: int | None = None) -> list[dict]:
+    """Rename actions in log order (checkpoint-aware via _read_log)."""
+    out = []
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "rename" in a:
+                out.append(a["rename"])
+    return out
+
+
+def _mapping(path: str, version: int | None = None) -> dict:
+    """logical name -> physical name for every column whose names
+    differ (identity columns are omitted)."""
+    m: dict[str, str] = {}
+    for r in _renames(path, version):
+        physical = m.pop(r["from"], r["from"])
+        m[r["to"]] = physical
+    return {k: v for k, v in m.items() if k != v}
+
+
+def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+    """Rename physical columns to their logical names in ONE select —
+    sequential withColumnRenamed could collide when one column's
+    logical name equals another's physical name. Columns not in the
+    mapping (including _dv_* tags) pass through unchanged."""
+    if not m:
+        return df
+    rev = {p: lg for lg, p in m.items()}
+    return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
+
+
+def _to_physical(df: DataFrame, m: dict) -> DataFrame:
+    """Inverse of :func:`_to_logical` for write batches."""
+    if not m:
+        return df
+    return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting any data file: commits one
+    ``rename`` action; all reads from this version translate the
+    file-level (physical) name to ``new`` and writes translate back.
+    Raises if ``old`` doesn't exist, ``new`` collides with a current
+    logical name, or an active CHECK constraint references ``old``
+    (Delta's rule — constraints bind by name and a silent retarget
+    would change what they enforce)."""
+    import pyarrow.parquet as pq
+    import re
+
+    files = live_files(path)
+    if not files:
+        raise FileNotFoundError(f"empty txlog table at {path}")
+    m = _mapping(path)
+    physical_cols: set = set()
+    for f in files:
+        physical_cols.update(pq.read_schema(f).names)
+    rev = {p: lg for lg, p in m.items()}
+    logical_cols = {rev.get(p, p) for p in physical_cols}
+    if old not in logical_cols:
+        raise ValueError(f"column {old!r} does not exist (have {sorted(logical_cols)})")
+    if new in logical_cols:
+        raise ValueError(f"column {new!r} already exists")
+    for c in _constraints(path):
+        if re.search(rf"\b{re.escape(old)}\b", c["predicate"]):
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint {c['name']!r} "
+                f"references it ({c['predicate']!r}); drop or rewrite the "
+                "constraint first"
+            )
+    return _commit(path, [{"rename": {"from": old, "to": new}}])
+
+
 def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time
     travel is just replaying less of the log. ``mergeSchema`` unions
@@ -507,12 +615,14 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     on older files (additive schema evolution; parquet's footer
     schema per immutable file is the source of truth). Active
     deletion vectors (merge-on-read deletes) are applied as one
-    anti-join on (file name, row position)."""
+    anti-join on (file name, row position). Column renames active at
+    ``version`` translate physical file names to logical ones —
+    time travel to a pre-rename version sees the old names."""
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
-    return _with_dvs(spark, path, base, version)
+    return _to_logical(_with_dvs(spark, path, base, version), _mapping(path, version))
 
 
 def _dv_pair_df(
@@ -597,6 +707,8 @@ def snapshot_pruned(
     still applied, so the result is exact regardless of stats."""
     from pyspark.sql import functions as F
 
+    m = _mapping(path, version)
+    column = m.get(column, column)  # stats are keyed by PHYSICAL name
     keep = []
     for a in _live_adds(path, version):
         st = a.get("stats", {})
@@ -613,7 +725,9 @@ def snapshot_pruned(
         spark.read.option("mergeSchema", "true").parquet(*keep),
         version,
     )
-    return df.filter((F.col(column) >= lower) & (F.col(column) <= upper))
+    return _to_logical(
+        df.filter((F.col(column) >= lower) & (F.col(column) <= upper)), m
+    )
 
 
 def delete_where(spark: SparkSession, path: str, predicate) -> int:
@@ -621,10 +735,12 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     matching rows are rewritten; untouched files stay shared between
     the old and new snapshots."""
     _require_no_dvs(path, "delete_where")
+    m = _mapping(path)
     actions: list[dict] = []
     for rel in _live_rel(path):
         part = spark.read.parquet(_abs(path, rel))
-        keep = part.filter(~predicate)
+        # predicate binds LOGICAL names; files carry physical ones
+        keep = _to_physical(_to_logical(part, m).filter(~predicate), m)
         if keep.count() == part.count():
             continue  # file untouched — shared with prior versions
         actions.append({"remove": {"path": rel}})
@@ -658,6 +774,10 @@ def merge_upsert(
 
     from urllib.parse import unquote, urlparse
 
+    m = _mapping(path)
+    # source arrives in LOGICAL names; the whole merge runs physical
+    source = _to_physical(source, m)
+    key_cols = [m.get(k, k) for k in key_cols]
     rels = _live_rel(path)
     src = source.localCheckpoint()  # read twice: key probe + data write
     snap = spark.read.option("mergeSchema", "true").parquet(
@@ -775,6 +895,11 @@ def compact(
     _require_no_dvs(path, "compact")
     if sort_by is not None and zorder_by is not None:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
+    m = _mapping(path)
+    if sort_by is not None:
+        sort_by = m.get(sort_by, sort_by)  # files carry physical names
+    if zorder_by is not None:
+        zorder_by = [m.get(c, c) for c in zorder_by]
     rels = _live_rel(path)
     df = spark.read.option("mergeSchema", "true").parquet(*[_abs(path, r) for r in rels])
     if zorder_by is not None:
@@ -810,6 +935,8 @@ def snapshot_pruned_multi(
     regardless), different files_read."""
     from pyspark.sql import functions as F
 
+    m = _mapping(path, version)
+    preds = [(m.get(c, c), lo, hi) for c, lo, hi in preds]  # physical stats keys
     residual = None
     keep = []
     for a in _live_adds(path, version):
@@ -828,12 +955,15 @@ def snapshot_pruned_multi(
         residual = cond if residual is None else (residual & cond)
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
-    return _with_dvs(
-        spark,
-        path,
-        spark.read.option("mergeSchema", "true").parquet(*keep),
-        version,
-    ).filter(residual)
+    return _to_logical(
+        _with_dvs(
+            spark,
+            path,
+            spark.read.option("mergeSchema", "true").parquet(*keep),
+            version,
+        ).filter(residual),
+        m,
+    )
 
 
 def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -976,7 +1106,8 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # feed rows surface the LOGICAL names active at this version
+    return _to_logical(out, _mapping(path, version))
 
 
 def attach_bloom(
@@ -1010,6 +1141,7 @@ def attach_bloom(
 
     if bits is not None and bits & (bits - 1):
         raise ValueError("bits must be a power of two")
+    column = _mapping(path).get(column, column)  # index keys physical names
     actions = []
     for rel in _live_rel(path):
         df = spark.read.parquet(_abs(path, rel)).select(
@@ -1088,6 +1220,8 @@ def snapshot_point(
 
     from pyspark.sql import functions as F
 
+    m = _mapping(path, version)
+    column = m.get(column, column)  # bloom indexes key physical names
     blooms = _bloom_indexes(path, column, version)
     import hashlib as _hashlib
 
@@ -1110,12 +1244,15 @@ def snapshot_point(
         keep.append(_abs(path, a["path"]))
     if not keep:
         return snapshot(spark, path, version).filter(F.lit(False))
-    return _with_dvs(
-        spark,
-        path,
-        spark.read.option("mergeSchema", "true").parquet(*keep),
-        version,
-    ).filter(F.col(column) == value)
+    return _to_logical(
+        _with_dvs(
+            spark,
+            path,
+            spark.read.option("mergeSchema", "true").parquet(*keep),
+            version,
+        ).filter(F.col(column) == value),
+        m,
+    )
 
 
 def restore(path: str, version: int) -> int:
@@ -1289,8 +1426,8 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
     hits = (
-        _tag_positions(base)
-        .filter(predicate)
+        _to_logical(_tag_positions(base), _mapping(path))
+        .filter(predicate)  # predicate binds LOGICAL names
         .select("_dv_file", "_dv_pos")
     )
     # rows already MOR-deleted by an earlier sidecar must not be
@@ -1514,11 +1651,16 @@ def append_idempotent(
 
     Returns the commit version (current version unchanged when the
     batch was already applied)."""
+    # bootstrap: a foreachBatch sink's FIRST batch may target a table
+    # that doesn't exist yet — commit 0 is then that batch plus its
+    # marker, still one atomic commit
+    os.makedirs(_log_dir(path), exist_ok=True)
+    os.makedirs(_data_dir(path), exist_ok=True)
     known = last_txn_version(path, app_id)
     if known is not None and txn_version <= known:
         return current_version(path)
     _validate_constraints(df, path)
-    actions = _write_data_files(df, path)
+    actions = _write_data_files(_to_physical(df, _mapping(path)), path)
     actions.append({"txn": {"app": app_id, "version": int(txn_version)}})
     return _commit(path, actions)
 
@@ -1533,3 +1675,77 @@ def foreach_batch_sink(path: str, app_id: str):
         append_idempotent(batch_df, path, app_id, batch_id)
 
     return sink
+
+
+def create_empty(path: str) -> int:
+    """Table birth as a metadata-only commit 0 (no data files) — the
+    seed for pipelines whose FIRST batch must already be atomic with
+    an idempotency marker (:func:`replicate_changes`): data+marker
+    ride commit 1+, so a crash between table creation and the first
+    delivery leaves a clean resume point instead of a half-applied
+    batch. Reading an empty table raises (same contract as a missing
+    table) until the first data commit lands."""
+    if os.path.exists(_log_dir(path)) and _read_log(path):
+        raise FileExistsError(f"txlog table already exists at {path}")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    return _commit(path, [])
+
+
+def replicate_changes(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    app_id: str,
+    to_version: int | None = None,
+) -> int:
+    """Exactly-once change-feed replication — the end-to-end pipeline
+    the streaming CDF source + idempotent sink compose into: every
+    unprocessed commit of ``src`` is delivered to ``dst`` as one
+    atomic batch of audit rows (src schema + ``_change_type`` +
+    ``_src_version``), keyed idempotently on (``app_id``, src
+    version).
+
+    Resume is pure log metadata: the last delivered src version IS
+    ``last_txn_version(dst, app_id)``, so a crashed or replayed run
+    re-derives its position from ``dst``'s own log — no side channel,
+    and a re-delivery of an already-committed version is a no-op
+    (the at-least-once window closes exactly as in
+    :func:`append_idempotent`). Metadata-only src commits deliver no
+    rows but still advance the marker with a metadata-only commit,
+    so progress is monotone across them.
+
+    Per-call cost: O(commits delivered) driver log reads + each
+    commit's :func:`changes` feed (proportional to rows the commit
+    touched, never table size). At 100 TB this is the tail-the-table
+    loop a scheduler runs per trigger; the same call is directly
+    usable inside ``foreachBatch``.
+
+    Returns the src version delivered through (= the new marker)."""
+    if to_version is None:
+        to_version = current_version(src)
+    done = last_txn_version(dst, app_id)
+    start = 0 if done is None else done + 1
+    if not os.path.exists(_log_dir(dst)):
+        create_empty(dst)
+    for v in range(start, to_version + 1):
+        if not os.path.exists(_commit_path(src, v)):
+            raise ValueError(f"version {v} not found at {src}")
+        with open(_commit_path(src, v)) as f:
+            acts = json.load(f)["actions"]
+        has_data = any(
+            k in a for a in acts for k in ("add", "remove", "add_dv", "remove_dv")
+        )
+        if has_data:
+            batch = changes(spark, src, v).withColumn(
+                "_src_version", F.lit(v).cast("long")
+            )
+            append_idempotent(batch, dst, app_id, v)
+        else:
+            # metadata-only commit: advance the marker atomically so
+            # resume never re-inspects it (an idle marker commit is
+            # one tiny log write)
+            known = last_txn_version(dst, app_id)
+            if known is None or v > known:
+                _commit(dst, [{"txn": {"app": app_id, "version": int(v)}}])
+    return to_version

@@ -1,0 +1,213 @@
+"""Streaming SOURCE over the txlog commit log — the Delta streaming
+read, built on PySpark 4's Python Data Source API (north-star
+extension; the reference engine is strictly one-shot batch,
+stockify.cu:196-743, SURVEY §2.6).
+
+A 100 TB pipeline doesn't poll snapshots — it TAILS tables: every
+commit becomes a micro-batch, offsets are commit versions, and the
+log (not a file listing) is the discovery mechanism. This module
+supplies that face:
+
+  * ``TxlogStreamDataSource`` — ``spark.readStream.format(...)``
+    source emitting each commit's APPENDED rows tagged with
+    ``_commit_version``. Offsets are ``{"version": N}`` (all commits
+    <= N delivered), so recovery from a streaming checkpoint replays
+    deterministically — composed with
+    :func:`stockify_spark.sources.txlog.foreach_batch_sink` the
+    table-to-table pipeline is exactly-once end to end.
+  * The same planning code exposes a BATCH reader (``spark.read``)
+    over a version range, so the driver's differential oracle checks
+    the identical partition/read path the stream executes.
+
+Scale shape: planning is one driver-side log read per trigger
+(O(commits in the batch), never O(table)); each added file is one
+input partition read executor-side with pyarrow as Arrow record
+batches — no row-at-a-time Python, no driver collect of data.
+
+Non-append commits (COW rewrites, deletion vectors) follow Delta's
+streaming contract: the source RAISES by default — silently treating
+a rewrite's re-added files as inserts would duplicate rows
+downstream — and ``skip_change_commits=true`` (Delta's
+``skipChangeCommits``) opts into ignoring them. Row-level
+insert/delete feeds for such commits are the batch CDF's job
+(:func:`stockify_spark.sources.txlog.changes` /
+:func:`stockify_spark.sources.txlog.replicate_changes`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+from stockify_spark.sources import txlog
+
+
+class _FilePartition(InputPartition):
+    """One added data file of one commit. Picklable; carries
+    everything ``read`` needs so executors never touch the log."""
+
+    def __init__(self, abs_path: str, version: int):
+        self.abs_path = abs_path
+        self.version = version
+
+
+def _plan_commits(
+    path: str, start_after: int, end: int, skip_change_commits: bool
+) -> list[_FilePartition]:
+    """Driver-side planning: one partition per file added by commits
+    in ``(start_after, end]``. Cost is O(commits planned) log reads."""
+    parts: list[_FilePartition] = []
+    for v in range(start_after + 1, end + 1):
+        cpath = txlog._commit_path(path, v)
+        if not os.path.exists(cpath):
+            raise ValueError(f"version {v} not found at {path}")
+        with open(cpath) as f:
+            actions = json.load(f)["actions"]
+        is_change = any("remove" in a or "add_dv" in a or "remove_dv" in a for a in actions)
+        if is_change:
+            if skip_change_commits:
+                continue
+            raise ValueError(
+                f"commit {v} at {path} rewrites or deletes data; the "
+                "append stream cannot represent it as inserts. Use "
+                "skip_change_commits=true to ignore such commits, or "
+                "the batch change feed (txlog.changes / "
+                "txlog.replicate_changes) for row-level deltas."
+            )
+        parts.extend(
+            _FilePartition(txlog._abs(path, a["add"]["path"]), v)
+            for a in actions
+            if "add" in a
+        )
+    return parts
+
+
+def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
+    """Executor-side: one parquet file → Arrow record batches with a
+    ``_commit_version`` column appended. ``n_cols`` pins the data
+    column count so a file written before an additive schema change
+    fails loudly instead of mis-aligning positionally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(partition.abs_path)
+    if table.num_columns != n_cols:
+        raise ValueError(
+            f"file {partition.abs_path} has {table.num_columns} columns, "
+            f"stream schema expects {n_cols}; the append stream does not "
+            "support schema evolution mid-stream — restart the stream to "
+            "pick up the widened schema"
+        )
+    ver = pa.array([partition.version] * table.num_rows, type=pa.int64())
+    table = table.append_column("_commit_version", ver)
+    yield from table.to_batches()
+
+
+def _table_schema(path: str) -> StructType:
+    """Table schema from a live file's parquet footer (the txlog
+    source of truth — parquet footers per immutable file), plus the
+    stream's ``_commit_version``. One footer read, driver-side."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = txlog.live_files(path)
+    if not files:
+        raise FileNotFoundError(f"empty txlog table at {path}")
+    spark_schema = from_arrow_schema(pq.read_schema(files[-1]))
+    return StructType(
+        list(spark_schema.fields) + [StructField("_commit_version", LongType(), False)]
+    )
+
+
+class _TxlogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        if "path" not in options:
+            raise ValueError("txlog_stream requires a 'path' option")
+        self._path = options["path"]
+        # starting_version is INCLUSIVE (Delta's startingVersion);
+        # default 0 replays the table's whole append history
+        self._start = int(options.get("starting_version", 0))
+        self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
+        self._n_cols = len(schema.fields) - 1  # minus _commit_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": txlog.current_version(self._path)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return _plan_commits(
+            self._path, int(start["version"]), int(end["version"]), self._skip_changes
+        )
+
+    def read(self, partition: InputPartition) -> Iterator:
+        return _read_partition(partition, self._n_cols)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the engine's streaming checkpoint; the log
+        # itself is immutable — nothing to reclaim
+        pass
+
+
+class _TxlogBatchReader(DataSourceReader):
+    """Batch face over the SAME plan/read path: appended rows for
+    commits in [starting_version, end_version] — how the driver's
+    differential oracle pins the stream's per-commit semantics."""
+
+    def __init__(self, schema: StructType, options: dict):
+        if "path" not in options:
+            raise ValueError("txlog_stream requires a 'path' option")
+        self._path = options["path"]
+        self._start = int(options.get("starting_version", 0))
+        end = options.get("end_version")
+        self._end = int(end) if end is not None else txlog.current_version(options["path"])
+        self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
+        self._n_cols = len(schema.fields) - 1
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _plan_commits(self._path, self._start - 1, self._end, self._skip_changes)
+
+    def read(self, partition: InputPartition) -> Iterator:
+        return _read_partition(partition, self._n_cols)
+
+
+class TxlogStreamDataSource(DataSource):
+    """``txlog_stream`` format: register once per session with
+    ``spark.dataSource.register(TxlogStreamDataSource)``, then
+
+        spark.readStream.format("txlog_stream")
+             .option("path", table_path).load()
+
+    Options: ``path`` (required), ``starting_version`` (inclusive,
+    default 0), ``skip_change_commits`` (default false — raise on
+    COW/DV commits), and for the batch face ``end_version``
+    (inclusive, default: table head at planning time)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_stream"
+
+    def schema(self) -> StructType:
+        return _table_schema(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _TxlogStreamReader(schema, self.options)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TxlogBatchReader(schema, self.options)
+
+
+def register_txlog_stream(spark) -> None:
+    """Idempotent per-session registration of the format."""
+    spark.dataSource.register(TxlogStreamDataSource)

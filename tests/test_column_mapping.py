@@ -1,0 +1,142 @@
+"""Column-mapping schema evolution (txlog.rename_column) — rename
+without rewriting data, Delta's column-mapping mode re-expressed over
+the JSON commit log (round-10; reference has no schema concept at
+all, stockify.cu:647-657 hardcodes its two columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stockify_spark.sources import txlog
+
+from tests.conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_orders(spark).repartitionByRange(4, "o_orderkey"), path)
+    return path
+
+
+class TestRename:
+    def test_rename_is_metadata_only(self, spark, table):
+        files_before = sorted(txlog.live_files(table))
+        v = txlog.rename_column(table, "o_totalprice", "price")
+        assert v == 1
+        assert sorted(txlog.live_files(table)) == files_before  # zero rewrite
+        snap = txlog.snapshot(spark, table)
+        assert snap.columns == ["o_orderkey", "price"]
+        assert snap.count() == _orders(spark).count()
+
+    def test_time_travel_sees_old_names(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        assert txlog.snapshot(spark, table, 0).columns == [
+            "o_orderkey",
+            "o_totalprice",
+        ]
+
+    def test_rename_chain(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        txlog.rename_column(table, "price", "total_cents_ish")
+        assert txlog.snapshot(spark, table).columns == [
+            "o_orderkey",
+            "total_cents_ish",
+        ]
+
+    def test_rejections(self, spark, table):
+        with pytest.raises(ValueError, match="does not exist"):
+            txlog.rename_column(table, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            txlog.rename_column(table, "o_totalprice", "o_orderkey")
+        txlog.set_constraint(table, "pos", "o_totalprice >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            txlog.rename_column(table, "o_totalprice", "price")
+
+
+class TestReadsAndWrites:
+    def test_pruned_read_after_rename(self, spark, table):
+        """The verdict's acceptance case: stats skipping must survive
+        the rename — pruning consults PHYSICAL stat keys."""
+        txlog.compact(spark, table, target_partitions=4, sort_by="o_totalprice")
+        txlog.rename_column(table, "o_totalprice", "price")
+        n_live = len(txlog.live_files(table))
+        pruned = txlog.snapshot_pruned(spark, table, "price", 1000.0, 20000.0)
+        assert pruned.columns == ["o_orderkey", "price"]
+        assert len(pruned.inputFiles()) < n_live  # files actually skipped
+        expect = _orders(spark).filter(
+            (F.col("o_totalprice") >= 1000.0) & (F.col("o_totalprice") <= 20000.0)
+        )
+        assert pruned.count() == expect.count()
+
+    def test_append_and_delete_with_logical_names(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        o = _orders(spark)
+        extra = o.limit(10).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.col("o_totalprice").alias("price"),
+        )
+        txlog.append(extra, table)
+        snap = txlog.snapshot(spark, table)
+        assert snap.count() == o.count() + 10
+        # files written by the post-rename append carry PHYSICAL names
+        import pyarrow.parquet as pq
+
+        names = set()
+        for f in txlog.live_files(table):
+            names.update(pq.read_schema(f).names)
+        assert names == {"o_orderkey", "o_totalprice"}
+        # logical predicate drives the COW delete
+        txlog.delete_where(spark, table, F.col("o_orderkey") >= 10_000_000)
+        assert txlog.snapshot(spark, table).count() == o.count()
+
+    def test_mor_delete_and_cdf_logical(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        v = txlog.delete_where_dv(spark, table, F.col("price") < 30000.0)
+        n_low = _orders(spark).filter(F.col("o_totalprice") < 30000.0).count()
+        feed = txlog.changes(spark, table, v)
+        assert feed.count() == n_low
+        assert set(feed.columns) == {"o_orderkey", "price", "_change_type"}
+        assert txlog.snapshot(spark, table).count() == _orders(
+            spark
+        ).count() - n_low
+
+    def test_merge_upsert_logical(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        o = _orders(spark)
+        src = o.limit(20).select("o_orderkey", F.lit(123.45).alias("price"))
+        txlog.merge_upsert(spark, table, src, ["o_orderkey"])
+        snap = txlog.snapshot(spark, table)
+        assert snap.count() == o.count()
+        assert snap.filter(F.col("price") == 123.45).count() == 20
+
+    def test_table_stats_and_bloom_logical(self, spark, table):
+        txlog.rename_column(table, "o_totalprice", "price")
+        st = txlog.table_stats(table)
+        assert "price" in st["min"] and "o_totalprice" not in st["min"]
+        txlog.attach_bloom(spark, table, "price")
+        key = _orders(spark).agg(F.min("o_totalprice")).first()[0]
+        got = txlog.snapshot_point(spark, table, "price", key)
+        assert got.columns == ["o_orderkey", "price"]
+        assert got.count() >= 1
+
+    def test_checkpoint_and_clone_carry_renames(self, spark, table, tmp_path):
+        txlog.rename_column(table, "o_totalprice", "price")
+        txlog.checkpoint_log(table)
+        txlog.append(_orders(spark).limit(1).withColumnRenamed("o_totalprice", "price"), table)
+        # replay from the checkpoint still translates
+        assert txlog.snapshot(spark, table).columns == ["o_orderkey", "price"]
+        dst = str(tmp_path / "clone")
+        txlog.clone(table, dst)
+        assert txlog.snapshot(spark, dst).columns == ["o_orderkey", "price"]

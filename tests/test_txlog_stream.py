@@ -1,0 +1,237 @@
+"""Streaming change-data source over the txlog commit log
+(sources/txlog_stream.py) + the exactly-once replication pipeline
+(txlog.replicate_changes) — round-10 north-star extensions (the
+reference is strictly one-shot batch, stockify.cu:196-743).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stockify_spark.sources import txlog
+from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def _append_history(spark, path):
+    """v0 create %4==0, v1..v3 append the other residues."""
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") % 4 == 0).coalesce(1), path)
+    for r in (1, 2, 3):
+        txlog.append(o.filter(F.col("o_orderkey") % 4 == r).coalesce(1), path)
+    return o
+
+
+class TestBatchFace:
+    def test_versions_and_rows(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)
+        register_txlog_stream(spark)
+        df = spark.read.format("txlog_stream").option("path", path).load()
+        assert df.count() == o.count()
+        per_v = {
+            r["_commit_version"]: r["n"]
+            for r in df.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+        }
+        expect = {
+            v: o.filter(F.col("o_orderkey") % 4 == v).count() for v in range(4)
+        }
+        assert per_v == expect
+        # rows themselves match the residue of their version
+        bad = df.filter(F.col("o_orderkey") % 4 != F.col("_commit_version")).count()
+        assert bad == 0
+
+    def test_version_range(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)
+        register_txlog_stream(spark)
+        df = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("starting_version", "1")
+            .option("end_version", "2")
+            .load()
+        )
+        assert df.count() == o.filter(
+            (F.col("o_orderkey") % 4 == 1) | (F.col("o_orderkey") % 4 == 2)
+        ).count()
+        assert set(
+            r["_commit_version"]
+            for r in df.select("_commit_version").distinct().collect()
+        ) == {1, 2}
+
+    def test_change_commit_raises_and_skips(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)
+        txlog.delete_where(spark, path, F.col("o_totalprice") < 50000.0)
+        register_txlog_stream(spark)
+        with pytest.raises(Exception, match="skip_change_commits"):
+            spark.read.format("txlog_stream").option("path", path).load().count()
+        n = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("skip_change_commits", "true")
+            .load()
+            .count()
+        )
+        assert n == o.count()  # appends only; the COW commit ignored
+
+
+class TestStreamingFace:
+    def test_available_now_replays_all_commits(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)
+        register_txlog_stream(spark)
+        sdf = spark.readStream.format("txlog_stream").option("path", path).load()
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("txs_all")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("txs_all")
+        assert got.count() == o.count()
+        assert got.select("_commit_version").distinct().count() == 4
+
+    def test_checkpoint_resume_tails_new_commits(self, spark, tmp):
+        """Stop after the initial history, append a new commit, restart
+        from the SAME checkpoint: only the new commit is delivered —
+        offsets (commit versions) live in the streaming checkpoint."""
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+
+        def run_once():
+            sdf = spark.readStream.format("txlog_stream").option("path", path).load()
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        n1 = spark.read.parquet(out).count()
+        assert n1 == o.count()
+        txlog.append(o.limit(7), path)  # v4
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == n1 + 7
+        assert got.filter(F.col("_commit_version") == 4).count() == 7
+
+    def test_foreach_batch_exactly_once_roundtrip(self, spark, tmp):
+        """txlog stream → foreach_batch_sink(txlog) — source offsets
+        are deterministic versions and the sink dedups on batch id, so
+        re-running from the same checkpoint cannot duplicate rows."""
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        o = _append_history(spark, src)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        sink = txlog.foreach_batch_sink(dst, "rt")
+
+        def run_once():
+            sdf = spark.readStream.format("txlog_stream").option("path", src).load()
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert txlog.snapshot(spark, dst).count() == o.count()
+        # deliberate replay of batch 0 outside the engine: idempotent
+        first = txlog.snapshot(spark, dst).limit(3)
+        txlog.append_idempotent(first, dst, "rt", 0)
+        assert txlog.snapshot(spark, dst).count() == o.count()
+        # restart from the same checkpoint with nothing new: no-op
+        run_once()
+        assert txlog.snapshot(spark, dst).count() == o.count()
+
+
+class TestReplicateChanges:
+    def _history(self, spark, path):
+        o = _orders(spark)
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(2, "o_orderkey"),
+            path,
+        )
+        txlog.append(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        txlog.delete_where(spark, path, F.col("o_totalprice") < 30000.0)
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 0)
+        txlog.restore(path, 2)
+        return o
+
+    def test_full_feed_and_resume(self, spark, tmp):
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        o = self._history(spark, src)
+        # partial delivery, then resume picks up exactly the rest
+        assert txlog.replicate_changes(spark, src, dst, "cdf", to_version=2) == 2
+        mid = txlog.snapshot(spark, dst)
+        assert mid.select(F.max("_src_version")).first()[0] == 2
+        assert txlog.replicate_changes(spark, src, dst, "cdf") == 4
+        feed = txlog.snapshot(spark, dst)
+        # closed forms per version
+        hi = F.col("o_totalprice") >= 30000.0
+        exp = {
+            (0, "insert"): o.filter(F.col("o_orderkey") % 3 != 0).count(),
+            (1, "insert"): o.filter(F.col("o_orderkey") % 3 == 0).count(),
+            (2, "delete"): o.filter(~hi).count(),
+            (3, "delete"): o.filter(hi & (F.col("o_orderkey") % 10 == 0)).count(),
+            (4, "insert"): o.filter(hi & (F.col("o_orderkey") % 10 == 0)).count(),
+        }
+        got = {
+            (r["_src_version"], r["_change_type"]): r["n"]
+            for r in feed.groupBy("_src_version", "_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == exp
+        # replay is a no-op (idempotent markers)
+        n = feed.count()
+        txlog.replicate_changes(spark, src, dst, "cdf")
+        assert txlog.snapshot(spark, dst).count() == n
+
+    def test_metadata_only_commit_advances_marker(self, spark, tmp):
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        o = _orders(spark)
+        txlog.create(o.coalesce(1), src)
+        txlog.set_constraint(src, "pos", "o_totalprice >= 0")  # metadata-only v1
+        assert txlog.replicate_changes(spark, src, dst, "cdf") == 1
+        assert txlog.last_txn_version(dst, "cdf") == 1
+        # resume after the idle marker does not re-inspect v1
+        txlog.append(o.limit(5), src)  # v2
+        assert txlog.replicate_changes(spark, src, dst, "cdf") == 2
+        assert txlog.snapshot(spark, dst).filter(
+            F.col("_src_version") == 2
+        ).count() == 5
