@@ -993,3 +993,89 @@ def fuzzy_set_join(
         .withColumn("jaccard", F.round(inter / union, 6))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span covered by some verbatim repeat of >= ``min_tokens`` tokens
+    anywhere in the corpus — the spans that paper removes.
+
+    Returns (id, span_start, span_end, span_tokens), positions
+    1-based inclusive over the whitespace token sequence.
+
+    Spark-first design note: the paper builds ONE suffix array over
+    the concatenated corpus (single-node, memory-resident). The
+    distributed re-expression here uses the covering-window identity
+    instead: a position is inside a repeated span of length >= L iff
+    it is inside a repeated window of length EXACTLY L (any >= L
+    repeat contains exactly-L repeats covering every position of it,
+    and any exactly-L repeat IS a >= L repeat). So the operator is:
+
+      1. slide exactly-L token windows per doc — map-side
+         (sequence/transform/slice, no explode of tokens);
+      2. count window occurrences corpus-wide — ONE shuffle keyed on
+         the window text (at 100 TB: key on xxhash64(window) and
+         carry positions only; equal-hash groups are verified by the
+         span text itself at removal time);
+      3. keep positions of windows occurring > 1 time, merge
+         overlapping windows per doc into maximal spans — a per-doc
+         sort inside one more shuffle keyed by doc.
+
+    Every stage is linear in corpus tokens with map-side partial
+    aggregation, versus O(log n) prefix-doubling rounds (each a full
+    shuffle of the position space) for a distributed suffix array —
+    same output set, asymptotically cheaper plan. A suffix array
+    additionally yields the repeats' internal structure, which this
+    operator does not need: the output contract is the removal spans.
+    """
+    L = min_tokens
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(starts, lambda i: F.struct(
+                i.alias("sp"), F.concat_ws(" ", F.slice(t, i, L)).alias("w")
+            ))
+        ).alias("x"),
+    ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.w")
+    # corpus-wide occurrence count per window — one shuffle on the
+    # window; count > 1 marks the position as inside a repeat
+    dup_hits = (
+        wins.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("w")))
+        .filter(F.col("n_occ") > 1)
+        .select("_id", "sp")
+    )
+    # merge overlapping/adjacent windows into maximal spans: classic
+    # interval merge as a per-doc window — a window starting past the
+    # running max end of its predecessors opens a new span
+    wd = W.partitionBy("_id").orderBy("sp")
+    prev_max_end = F.max(F.col("sp") + L - 1).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = dup_hits.withColumn(
+        "new_span",
+        F.when(F.col("sp") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(wd))
+    return (
+        flagged.groupBy("_id", "span_id")
+        .agg(
+            F.min("sp").alias("span_start"),
+            (F.max("sp") + L - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -158,6 +158,13 @@ def checkpoint_log(path: str) -> int:
     txn_actions = [
         {"txn": {"app": app, "version": v}} for app, v in sorted(txns.items())
     ]
+    # multi-table manifest markers are idempotency metadata too:
+    # recover_multi probes the log for them, and a collapse that
+    # dropped one would let recovery RE-APPLY a completed transaction
+    mtxns = sorted(
+        {a["mtxn"] for commit in commits for a in commit["actions"] if "mtxn" in a}
+    )
+    txn_actions += [{"mtxn": m} for m in mtxns]
     ck = {
         "version": version,
         "actions": cons + dvs + rens + idxs + txn_actions + [{"add": a} for a in adds],
@@ -1749,3 +1756,119 @@ def replicate_changes(
             if known is None or v > known:
                 _commit(dst, [{"txn": {"app": app_id, "version": int(v)}}])
     return to_version
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic transactions — WAL/redo two-phase commit
+# ---------------------------------------------------------------------------
+#
+# Neither Delta nor Iceberg offers multi-table transactions in the
+# open format; the standard production answer (and the shape Delta's
+# coordinated-commits work standardizes) is an OUTER write-ahead
+# manifest plus per-table redo. A pipeline's "write features AND
+# update the index" becomes all-or-nothing:
+#
+#   phase 1  stage every table's data files (invisible until a
+#            commit references them);
+#   phase 2  atomically publish ONE manifest listing every intended
+#            per-table commit — this rename is the transaction's
+#            commit point;
+#   phase 3  apply each table's commit, tagged with the manifest id;
+#   phase 4  mark the manifest done.
+#
+# A crash before phase 2 leaves only orphaned staged files (vacuum
+# fodder) — the transaction never happened. A crash during phase 3/4
+# leaves a pending manifest; :func:`recover_multi` REDOES the missing
+# per-table commits idempotently (each table's log is checked for the
+# manifest id before re-applying), after which every table contains
+# the transaction. Readers get eventual all-or-nothing: the manifest
+# directory is the source of truth for transaction completeness, and
+# `pending_multi` exposes in-doubt transactions for barriers.
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_mtxn")
+
+
+def commit_multi(
+    appends: list[tuple[DataFrame, str]],
+    txn_root: str,
+    _fail_after: int | None = None,
+) -> str:
+    """Atomically append one batch to EACH listed table. ``txn_root``
+    hosts the manifest directory (typically the tables' common
+    parent). Returns the manifest id.
+
+    ``_fail_after`` is a fault-injection hook for tests: crash after
+    applying that many per-table commits (phases 1-2 complete), so
+    recovery paths are provable — the Delta fault-injection testing
+    pattern."""
+    import uuid as _uuid
+
+    mdir = _manifest_dir(txn_root)
+    os.makedirs(mdir, exist_ok=True)
+    mid = _uuid.uuid4().hex
+    # phase 1: stage data files per table (no table-log commits yet)
+    entries = []
+    for df, path in appends:
+        os.makedirs(_log_dir(path), exist_ok=True)
+        os.makedirs(_data_dir(path), exist_ok=True)
+        _validate_constraints(df, path)
+        actions = _write_data_files(_to_physical(df, _mapping(path)), path)
+        entries.append({"table": os.path.abspath(path), "actions": actions})
+    # phase 2: publish the manifest — THE atomic commit point
+    tmp = os.path.join(mdir, f".{mid}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"id": mid, "entries": entries}, f)
+    os.rename(tmp, os.path.join(mdir, f"{mid}.json"))
+    # phase 3: per-table redo (identical to what recover_multi replays)
+    for i, e in enumerate(entries):
+        if _fail_after is not None and i >= _fail_after:
+            return mid  # simulated crash mid-redo; manifest stays pending
+        _commit(e["table"], e["actions"] + [{"mtxn": mid}])
+    # phase 4: done marker (idempotent flag file, not a rename — a
+    # recovering process may race the original writer harmlessly)
+    with open(os.path.join(mdir, f"{mid}.done"), "w") as f:
+        f.write("")
+    return mid
+
+
+def _has_mtxn(path: str, mid: str) -> bool:
+    return any(
+        a.get("mtxn") == mid for c in _read_log(path) for a in c["actions"]
+    )
+
+
+def pending_multi(txn_root: str) -> list[str]:
+    """Manifest ids published but not marked done — in-doubt
+    transactions a barrier should resolve via :func:`recover_multi`."""
+    mdir = _manifest_dir(txn_root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json") and not name.startswith("."):
+            mid = name[: -len(".json")]
+            if not os.path.exists(os.path.join(mdir, f"{mid}.done")):
+                out.append(mid)
+    return out
+
+
+def recover_multi(txn_root: str) -> list[str]:
+    """Redo every pending transaction: apply each manifest entry
+    whose table log does not yet carry the manifest id, then mark the
+    manifest done. Idempotent and crash-safe — rerunning after any
+    partial recovery converges to every table containing every
+    published transaction. Returns the recovered manifest ids."""
+    mdir = _manifest_dir(txn_root)
+    done = []
+    for mid in pending_multi(txn_root):
+        with open(os.path.join(mdir, f"{mid}.json")) as f:
+            manifest = json.load(f)
+        for e in manifest["entries"]:
+            if not _has_mtxn(e["table"], mid):
+                _commit(e["table"], e["actions"] + [{"mtxn": mid}])
+        with open(os.path.join(mdir, f"{mid}.done"), "w") as f:
+            f.write("")
+        done.append(mid)
+    return done

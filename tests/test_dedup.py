@@ -189,3 +189,50 @@ def test_connected_components_long_chain_matches_recursive_cte(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_repeated_substring_spans_exact(spark):
+    """Hand-built corpus: one shared 6-token phrase across two docs
+    (and twice in one of them, overlapping nothing) must produce
+    exactly the covering maximal spans; unique text produces none."""
+    from stockify_spark.llm.dedup import repeated_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} unrelated tail words here and {shared}"),
+        (3, "completely unique text with no repeats anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_substring_spans(df, "text", "doc_id", 6).collect()
+    }
+    # doc 1: tokens 3..8; doc 2: tokens 1..6 and 12..17 (1-based)
+    assert out == {(1, 3, 8, 6), (2, 1, 6, 6), (2, 12, 17, 6)}
+
+
+def test_repeated_substring_spans_merges_overlaps(spark):
+    """A 8-token repeat with L=6 yields THREE overlapping repeated
+    windows that must merge into one maximal span."""
+    from stockify_spark.llm.dedup import repeated_substring_spans
+
+    rep = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, f"x {rep} y"), (2, f"p q {rep}")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_substring_spans(df, "text", "doc_id", 6).collect()
+    }
+    assert out == {(1, 2, 9), (2, 3, 10)}
+
+
+def test_repeated_substring_spans_short_docs(spark):
+    """Docs shorter than L tokens produce no windows and no error."""
+    from stockify_spark.llm.dedup import repeated_substring_spans
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    assert repeated_substring_spans(df, "text", "doc_id", 6).count() == 0

@@ -281,3 +281,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_fact_dim_join_prunes_at_runtime(spark, tmp_path):
+    """Dynamic partition pruning (r10): a dim-side filter reaching
+    the partitioned fact only through the join must surface as a
+    dynamicpruningexpression in the fact scan's PartitionFilters —
+    runtime directory pruning, not a static filter."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources.io import load_table, write_date_partitioned
+
+    path = str(tmp_path / "ev_by_day")
+    write_date_partitioned(load_table(spark, SF_DIR, "events"), path, "ts", "day")
+    fact = spark.read.parquet(path)
+    days = [r["p_date"] for r in fact.select("p_date").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, d.day) for d in sorted(days)], "p_date date, dom int"
+    )
+    j = (
+        fact.join(F.broadcast(dim.filter(F.col("dom") <= 7)), "p_date")
+        .groupBy("p_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = j._jdf.queryExecution().explainString(jmode)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "dynamicpruning" in part_lines[0].lower(), plan
+    # and the pruning is semantically right
+    got = {r["p_date"].day for r in j.collect()}
+    assert got and all(d <= 7 for d in got)
