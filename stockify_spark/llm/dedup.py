@@ -1079,3 +1079,52 @@ def repeated_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Apply exact substring dedup (the output Lee et al. 2022
+    actually ship): cut every token covered by a corpus-repeated
+    >= ``min_tokens`` span out of every document. Returns
+    (id, clean_text, n_tokens_removed, n_tokens_kept); documents
+    with nothing removed pass through with their token stream
+    re-joined (single-space normalized — same normalization the
+    span detector applied).
+
+    This removes ALL occurrences of a repeated span. The keep-one
+    variant (retain the occurrence with the smallest (doc, pos)) is
+    a deterministic post-filter on the span table — excluded here so
+    the operator composes: filter the spans you want gone, then cut.
+
+    Scale shape: :func:`repeated_substring_spans`'s two linear
+    shuffles + one doc-keyed join of the span table (rows = spans,
+    far smaller than the corpus) + a map-side lambda cut — the
+    filter runs inside JVM higher-order functions, no Python."""
+    spans = repeated_substring_spans(df, text_col, id_col, min_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = tokens(text_col)
+    out = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<span_start:long,span_end:long>>"
+        )).alias("_spans"),
+        t.alias("_t"),
+    )
+    # keep token i (1-based) iff NO span covers it — pure JVM lambda
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (F.lit(i) >= s["span_start"]) & (F.lit(i) <= s["span_end"]),
+    )
+    kept = F.filter(F.col("_t"), lambda x, i: ~covered(i + F.lit(1)))
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )

@@ -406,3 +406,69 @@ def join_dpp_dates(spark, sf_dir):
     )
     assert "dynamicpruning" in plan.lower(), plan  # the pruning is real
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup, APPLIED — the corpus Lee et al. actually
+# ship: every covered token cut, per-doc removal accounting.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_APPLY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i AS sp, array_to_string(t[i:i+{_SUBSTR_L - 1}], ' ') AS w
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(t) - {_SUBSTR_L} + 2, 1))) AS i)),
+dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) > 1),
+hits AS (SELECT wins.doc_id, wins.sp FROM wins JOIN dup USING (w)),
+flags AS (
+  SELECT doc_id, sp,
+         CASE WHEN sp > COALESCE(MAX(sp + {_SUBSTR_L - 1}) OVER (
+                PARTITION BY doc_id ORDER BY sp
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nf
+  FROM hits),
+grp AS (
+  SELECT doc_id, sp, SUM(nf) OVER (PARTITION BY doc_id ORDER BY sp) AS gid
+  FROM flags),
+spans AS (
+  SELECT doc_id, MIN(sp) AS s, MAX(sp) + {_SUBSTR_L - 1} AS e
+  FROM grp GROUP BY doc_id, gid),
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS tk
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tk
+  FROM tok k LEFT JOIN spans s
+    ON k.doc_id = s.doc_id AND k.pos BETWEEN s.s AND s.e
+  WHERE s.doc_id IS NULL),
+agg AS (
+  SELECT doc_id,
+         string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT toks.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(toks.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM toks LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_substring_apply", _SUBSTR_APPLY_SQL)
+def dedup_substring_apply(spark, sf_dir):
+    """Cut every token covered by a corpus-repeated >= 15-token span
+    out of every document — the deduplicated-corpus output of the
+    exact-substring method, with per-doc removal accounting. The
+    oracle rebuilds every cleaned text token-by-token through the
+    independent span derivation, so an off-by-one at either span
+    edge changes clean_text and fails the value hash.
+
+    Scale shape: the span detector's two linear shuffles + one join
+    of the span table (rows = spans << corpus) + a map-side JVM
+    higher-order cut; no Python, no explode of the token stream."""
+    from stockify_spark.llm.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, "text", "doc_id", _SUBSTR_L)

@@ -1872,3 +1872,70 @@ def recover_multi(txn_root: str) -> list[str]:
             f.write("")
         done.append(mid)
     return done
+
+
+def vacuum_orphans(
+    path: str, min_age_seconds: float = 3600.0, txn_root: str | None = None
+) -> list[str]:
+    """Delete data-dir files the log has NEVER referenced and whose
+    mtime is older than ``min_age_seconds`` — the debris of crashed
+    writers (a :func:`commit_multi` that died in phase 1, an append
+    killed between staging rename and commit). Regular :func:`vacuum`
+    deliberately refuses these (it is clock-free and only reclaims
+    log-recorded removals); orphan reclamation is inherently
+    clock-based, exactly like Delta's modification-time horizon: the
+    age gate is what keeps an IN-FLIGHT writer's freshly renamed
+    file safe, so the horizon must exceed the longest plausible
+    stage→commit window. Sidecar (dv/) orphans from aborted MOR
+    deletes are reclaimed by the same rule.
+
+    Files staged by a PENDING multi-table transaction are not yet in
+    the table's log but ARE referenced by a published manifest that
+    :func:`recover_multi` will redo — deleting them would corrupt
+    recovery. Manifests are discovered via ``txn_root`` (default:
+    the table's parent directory, :func:`commit_multi`'s typical
+    root) and their entries for this table count as referenced,
+    whether pending or done. Returns the table-relative paths
+    deleted, sorted."""
+    import time
+
+    referenced: set = set()
+    for c in _read_log(path):
+        for a in c["actions"]:
+            for k in ("add", "remove", "add_dv", "remove_dv"):
+                if k in a:
+                    referenced.add(os.path.normpath(a[k]["path"]))
+    if txn_root is None:
+        txn_root = os.path.dirname(os.path.abspath(path))
+    mdir = _manifest_dir(txn_root)
+    if os.path.isdir(mdir):
+        me = os.path.abspath(path)
+        for name in os.listdir(mdir):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                for e in json.load(f)["entries"]:
+                    if os.path.abspath(e["table"]) == me:
+                        referenced.update(
+                            os.path.normpath(a["add"]["path"])
+                            for a in e["actions"]
+                            if "add" in a
+                        )
+    now = time.time()
+    deleted = []
+    for sub in ("data", "dv"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            full = os.path.join(d, name)
+            rel = os.path.join(sub, name)
+            if not os.path.isfile(full):
+                continue  # staging DIRS belong to live writers
+            if os.path.normpath(rel) in referenced:
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue  # inside the in-flight horizon
+            os.remove(full)
+            deleted.append(rel)
+    return sorted(deleted)

@@ -236,3 +236,22 @@ def test_repeated_substring_spans_short_docs(spark):
         [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
     )
     assert repeated_substring_spans(df, "text", "doc_id", 6).count() == 0
+
+
+def test_remove_repeated_spans_cuts_and_accounts(spark):
+    from stockify_spark.llm.dedup import remove_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} tail words"),
+        (3, "unique text here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"], r["n_tokens_kept"])
+        for r in remove_repeated_spans(df, "text", "doc_id", 6).collect()
+    }
+    assert got[1] == ("one two three four", 6, 4)
+    assert got[2] == ("tail words", 6, 2)
+    assert got[3] == ("unique text here entirely", 0, 4)

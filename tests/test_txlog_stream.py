@@ -235,3 +235,61 @@ class TestReplicateChanges:
         assert txlog.snapshot(spark, dst).filter(
             F.col("_src_version") == 2
         ).count() == 5
+
+
+class TestMultiTableTxn:
+    def test_commit_recover_and_orphan_safety(self, spark, tmp):
+        import time
+
+        o = _orders(spark)
+        feat, idx = os.path.join(tmp, "feat"), os.path.join(tmp, "idx")
+        b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+        b1 = o.filter(F.col("o_orderkey") % 2 == 1)
+        d = lambda b: b.groupBy().agg(F.count("*").cast("long").alias("n"))  # noqa: E731
+        txlog.commit_multi([(b0, feat), (d(b0), idx)], tmp)
+        assert txlog.pending_multi(tmp) == []
+        # crash between the two table commits
+        txlog.commit_multi([(b1, feat), (d(b1), idx)], tmp, _fail_after=1)
+        assert len(txlog.pending_multi(tmp)) == 1
+        assert txlog.snapshot(spark, feat).count() == o.count()
+        assert txlog.snapshot(spark, idx).count() == 1  # only b0's delta
+        # the staged-but-uncommitted idx file must SURVIVE orphan
+        # vacuum (a pending manifest references it)
+        deleted = txlog.vacuum_orphans(idx, min_age_seconds=0.0, txn_root=tmp)
+        assert deleted == []
+        assert txlog.recover_multi(tmp) != []
+        assert txlog.snapshot(spark, idx).agg(F.sum("n")).first()[0] == o.count()
+        assert txlog.recover_multi(tmp) == []  # idempotent
+
+    def test_vacuum_orphans_age_gate(self, spark, tmp):
+        import time
+
+        o = _orders(spark)
+        path = os.path.join(tmp, "t")
+        txlog.create(o.coalesce(1), path)
+        # a true orphan (never referenced anywhere)
+        orphan = os.path.join(path, "data", "deadbeef_orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        # fresh: inside the in-flight horizon, kept
+        assert txlog.vacuum_orphans(path, min_age_seconds=3600) == []
+        # aged out: reclaimed; live files untouched
+        os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+        got = txlog.vacuum_orphans(path, min_age_seconds=3600)
+        assert got == [os.path.join("data", "deadbeef_orphan.parquet")]
+        assert txlog.snapshot(spark, path).count() == o.count()
+
+    def test_crash_before_manifest_leaves_no_transaction(self, spark, tmp):
+        """_fail_after=0: manifest IS published (phase 2 completes),
+        zero table commits — recovery must still complete it; the
+        all-or-nothing point is the manifest rename."""
+        o = _orders(spark)
+        feat, idx = os.path.join(tmp, "feat"), os.path.join(tmp, "idx")
+        txlog.commit_multi(
+            [(o.limit(10), feat), (o.limit(5), idx)], tmp, _fail_after=0
+        )
+        assert len(txlog.pending_multi(tmp)) == 1
+        txlog.recover_multi(tmp)
+        assert txlog.snapshot(spark, feat).count() == 10
+        assert txlog.snapshot(spark, idx).count() == 5
+        assert txlog.pending_multi(tmp) == []
