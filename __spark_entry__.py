@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate results in PROGRESS.jsonl) plus a DESCRIBE-level type audit
 # (tools/type_audit.py, 0 mismatches).
 _PRIORITY = [
+    'dedup_substring_apply', 'txlog_drop_column',
     'txlog_stream_appends', 'txlog_stream_cdf', 'txlog_column_mapping',
     'txlog_multi_txn', 'dedup_substring_exact', 'join_dpp_dates',
     'stats_mann_kendall', 'ml_ridge_closed_form', 'text_readability',

@@ -472,3 +472,61 @@ def dedup_substring_apply(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return remove_repeated_spans(docs, "text", "doc_id", _SUBSTR_L)
+
+
+# ---------------------------------------------------------------------------
+# Drop column — the second half of column-mapping schema evolution:
+# a metadata-only tombstone, reads exclude, time travel keeps, and
+# the tombstoned physical name is write-protected.
+# ---------------------------------------------------------------------------
+
+_DROPCOL_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, ROUND(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("txlog_drop_column", _DROPCOL_SQL)
+def txlog_drop_column(spark, sf_dir):
+    """Create (o_orderkey, o_custkey, o_totalprice) → DROP o_custkey
+    (the build asserts zero files rewritten, time travel to v0 still
+    carries the column, and re-adding a column named o_custkey is
+    REJECTED — without field ids it would resurrect the dropped
+    bytes on old files) → append new rows in the narrowed logical
+    schema. The snapshot must surface exactly the two surviving
+    columns over both file generations.
+
+    Scale shape: the drop is one log write at any table size; reads
+    exclude the tombstoned physical column in the same zero-cost
+    select that translates renames."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        txlog.create(o.repartition(2), path)
+        files_before = sorted(txlog.live_files(path))
+        assert txlog.drop_column(path, "o_custkey") == 1
+        assert sorted(txlog.live_files(path)) == files_before  # metadata-only
+        assert "o_custkey" in txlog.snapshot(spark, path, 0).columns
+        try:
+            txlog.append(
+                o.limit(1).select("o_orderkey", "o_custkey", "o_totalprice"), path
+            )
+            raise AssertionError("tombstoned physical name must be rejected")
+        except ValueError as e:
+            assert "tombstoned" in str(e)
+        extra = o.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        txlog.append(extra, path)
+
+    path = _scratch_table(sf_dir, "dropcol", build)
+    snap = txlog.snapshot(spark, path)
+    assert snap.columns == ["o_orderkey", "o_totalprice"]
+    return snap.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))

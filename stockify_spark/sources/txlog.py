@@ -123,11 +123,12 @@ def checkpoint_log(path: str) -> int:
     # minus remove_dv) is carried, so a restore-retired sidecar does
     # not resurrect through the collapse either.
     dvs = [{"add_dv": a} for a in _live_dv_adds(path)]
-    # column renames are metadata too: dropping them at the collapse
-    # would silently revert every logical name to its physical one
-    # for readers replaying from the checkpoint. Order is preserved —
-    # the mapping fold is order-sensitive (rename chains).
-    rens = [{"rename": r} for r in _renames(path)]
+    # column renames/drops are metadata too: dropping them at the
+    # collapse would silently revert every logical name to its
+    # physical one (and resurrect dropped columns) for readers
+    # replaying from the checkpoint. Order is preserved — the fold
+    # is order-sensitive across both action kinds.
+    rens = list(_renames(path))
     # bloom indexes are metadata too: dropping ``index`` actions at
     # the collapse silently degrades snapshot_point from skip-by-
     # filter to open-every-file (results stay correct, skipping is
@@ -321,6 +322,7 @@ def append(df: DataFrame, path: str) -> int:
     # identity-mapped); files are written with PHYSICAL names so
     # every file of the table shares one footer naming scheme
     _validate_constraints(df, path)
+    _reject_tombstoned(df, path)
     return _commit(path, _write_data_files(_to_physical(df, _mapping(path)), path))
 
 
@@ -447,11 +449,12 @@ def table_stats(path: str, version: int | None = None) -> dict:
             mx = a["stats"]["max"][name]
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    rev = {p: lg for lg, p in _mapping(path, version).items()}
+    m, dropped = _fold_schema(path, version)
+    rev = {p: lg for lg, p in m.items()}
     return {
         "rows": rows,
-        "min": {rev.get(k, k): v for k, v in mins.items()},
-        "max": {rev.get(k, k): v for k, v in maxs.items()},
+        "min": {rev.get(k, k): v for k, v in mins.items() if k not in dropped},
+        "max": {rev.get(k, k): v for k, v in maxs.items() if k not in dropped},
     }
 
 
@@ -503,10 +506,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     actions += [
         {"txn": {"app": app, "version": v}} for app, v in sorted(txns.items())
     ]
-    # column renames carry over IN ORDER (the mapping fold is
+    # column renames/drops carry over IN ORDER (the fold is
     # order-sensitive); physical file names are shared with the
     # source, so the clone must translate identically
-    actions += [{"rename": r} for r in _renames(src, version)]
+    actions += list(_renames(src, version))
     # bloom indexes key on the add's logged path — rebase to match
     clone_paths = {a["add"]["path"] for a in actions if "add" in a}
     seen_idx: dict[tuple, dict] = {}
@@ -544,34 +547,61 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
 
 
 def _renames(path: str, version: int | None = None) -> list[dict]:
-    """Rename actions in log order (checkpoint-aware via _read_log)."""
+    """Schema-evolution actions (rename + drop_column) in log order —
+    order matters: the fold below is order-sensitive across BOTH
+    action kinds (checkpoint-aware via _read_log; checkpoints carry
+    the combined ordered list)."""
     out = []
     for c in _read_log(path, version):
         for a in c["actions"]:
             if "rename" in a:
-                out.append(a["rename"])
+                out.append({"rename": a["rename"]})
+            elif "drop_column" in a:
+                out.append({"drop_column": a["drop_column"]})
     return out
+
+
+def _fold_schema(path: str, version: int | None = None) -> tuple[dict, set]:
+    """Fold the ordered rename/drop stream into (logical -> physical
+    mapping, tombstoned physical names). A dropped column's physical
+    name is TOMBSTONED: its bytes stay in old files (time travel
+    still sees them pre-drop) but current reads exclude it and
+    re-adding a column with that physical name is rejected — without
+    unique column ids, re-adding would resurrect the old values on
+    old files (Delta solves this with field ids; the tombstone is
+    the honest no-ids equivalent)."""
+    m: dict[str, str] = {}
+    dropped: set = set()
+    for a in _renames(path, version):
+        if "rename" in a:
+            r = a["rename"]
+            physical = m.pop(r["from"], r["from"])
+            m[r["to"]] = physical
+        else:
+            d = a["drop_column"]
+            m.pop(d["logical"], None)
+            dropped.add(d["physical"])
+    return {k: v for k, v in m.items() if k != v}, dropped
 
 
 def _mapping(path: str, version: int | None = None) -> dict:
     """logical name -> physical name for every column whose names
     differ (identity columns are omitted)."""
-    m: dict[str, str] = {}
-    for r in _renames(path, version):
-        physical = m.pop(r["from"], r["from"])
-        m[r["to"]] = physical
-    return {k: v for k, v in m.items() if k != v}
+    return _fold_schema(path, version)[0]
 
 
-def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+def _to_logical(df: DataFrame, m: dict, dropped: set | frozenset = frozenset()) -> DataFrame:
     """Rename physical columns to their logical names in ONE select —
     sequential withColumnRenamed could collide when one column's
-    logical name equals another's physical name. Columns not in the
-    mapping (including _dv_* tags) pass through unchanged."""
-    if not m:
+    logical name equals another's physical name. Tombstoned physical
+    columns (dropped) are excluded; everything else (including _dv_*
+    tags) passes through unchanged."""
+    if not m and not dropped:
         return df
     rev = {p: lg for lg, p in m.items()}
-    return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
+    return df.select(
+        *[F.col(c).alias(rev.get(c, c)) for c in df.columns if c not in dropped]
+    )
 
 
 def _to_physical(df: DataFrame, m: dict) -> DataFrame:
@@ -615,6 +645,59 @@ def rename_column(path: str, old: str, new: str) -> int:
     return _commit(path, [{"rename": {"from": old, "to": new}}])
 
 
+def drop_column(path: str, name: str) -> int:
+    """Drop a column WITHOUT rewriting any data file: commits one
+    ``drop_column`` action tombstoning the physical name. Reads from
+    this version exclude it; time travel below still sees it; a
+    later column with the SAME physical name is rejected at write
+    time (no field ids — re-adding would resurrect the old bytes on
+    old files). Dropping a CHECK-constrained column is rejected,
+    mirroring :func:`rename_column`."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    files = live_files(path)
+    if not files:
+        raise FileNotFoundError(f"empty txlog table at {path}")
+    m, dropped = _fold_schema(path)
+    physical_cols: set = set()
+    for f in files:
+        physical_cols.update(pq.read_schema(f).names)
+    rev = {p: lg for lg, p in m.items()}
+    logical_cols = {rev.get(p, p) for p in physical_cols if p not in dropped}
+    if name not in logical_cols:
+        raise ValueError(f"column {name!r} does not exist (have {sorted(logical_cols)})")
+    if len(logical_cols) == 1:
+        raise ValueError("cannot drop the table's last column")
+    for c in _constraints(path):
+        if re.search(rf"\b{re.escape(name)}\b", c["predicate"]):
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint {c['name']!r} "
+                f"references it ({c['predicate']!r}); drop the constraint first"
+            )
+    physical = m.get(name, name)
+    return _commit(
+        path, [{"drop_column": {"logical": name, "physical": physical}}]
+    )
+
+
+def _reject_tombstoned(df: DataFrame, path: str) -> None:
+    """Write-side guard: a batch column whose PHYSICAL name (after
+    rename translation) collides with a tombstoned dropped column
+    would resurrect the dropped bytes on old files at read time."""
+    m, dropped = _fold_schema(path)
+    if not dropped:
+        return
+    bad = [c for c in df.columns if m.get(c, c) in dropped]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} were dropped from this table; re-adding a "
+            "column with a tombstoned physical name requires a table "
+            "rewrite (no field ids to disambiguate the old bytes)"
+        )
+
+
 def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time
     travel is just replaying less of the log. ``mergeSchema`` unions
@@ -629,7 +712,8 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
-    return _to_logical(_with_dvs(spark, path, base, version), _mapping(path, version))
+    m, dropped = _fold_schema(path, version)
+    return _to_logical(_with_dvs(spark, path, base, version), m, dropped)
 
 
 def _dv_pair_df(
@@ -714,8 +798,10 @@ def snapshot_pruned(
     still applied, so the result is exact regardless of stats."""
     from pyspark.sql import functions as F
 
-    m = _mapping(path, version)
+    m, dropped = _fold_schema(path, version)
     column = m.get(column, column)  # stats are keyed by PHYSICAL name
+    if column in dropped:
+        raise ValueError(f"column {column!r} was dropped")
     keep = []
     for a in _live_adds(path, version):
         st = a.get("stats", {})
@@ -733,7 +819,7 @@ def snapshot_pruned(
         version,
     )
     return _to_logical(
-        df.filter((F.col(column) >= lower) & (F.col(column) <= upper)), m
+        df.filter((F.col(column) >= lower) & (F.col(column) <= upper)), m, dropped
     )
 
 
@@ -742,12 +828,15 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     matching rows are rewritten; untouched files stay shared between
     the old and new snapshots."""
     _require_no_dvs(path, "delete_where")
-    m = _mapping(path)
+    m, dropped = _fold_schema(path)
     actions: list[dict] = []
     for rel in _live_rel(path):
         part = spark.read.parquet(_abs(path, rel))
-        # predicate binds LOGICAL names; files carry physical ones
-        keep = _to_physical(_to_logical(part, m).filter(~predicate), m)
+        # predicate binds LOGICAL names; files carry physical ones.
+        # NOTE: the rewrite drops tombstoned physical columns, so a
+        # pre-drop time travel over rewritten rows reads them as NULL
+        # (same caveat class as vacuum breaking old time travel).
+        keep = _to_physical(_to_logical(part, m, dropped).filter(~predicate), m)
         if keep.count() == part.count():
             continue  # file untouched — shared with prior versions
         actions.append({"remove": {"path": rel}})
@@ -942,8 +1031,10 @@ def snapshot_pruned_multi(
     regardless), different files_read."""
     from pyspark.sql import functions as F
 
-    m = _mapping(path, version)
+    m, dropped = _fold_schema(path, version)
     preds = [(m.get(c, c), lo, hi) for c, lo, hi in preds]  # physical stats keys
+    if any(c in dropped for c, _, _ in preds):
+        raise ValueError("predicate references a dropped column")
     residual = None
     keep = []
     for a in _live_adds(path, version):
@@ -970,6 +1061,7 @@ def snapshot_pruned_multi(
             version,
         ).filter(residual),
         m,
+        dropped,
     )
 
 
@@ -1114,7 +1206,8 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     # feed rows surface the LOGICAL names active at this version
-    return _to_logical(out, _mapping(path, version))
+    m, dropped = _fold_schema(path, version)
+    return _to_logical(out, m, dropped)
 
 
 def attach_bloom(
@@ -1227,8 +1320,10 @@ def snapshot_point(
 
     from pyspark.sql import functions as F
 
-    m = _mapping(path, version)
+    m, dropped = _fold_schema(path, version)
     column = m.get(column, column)  # bloom indexes key physical names
+    if column in dropped:
+        raise ValueError(f"column {column!r} was dropped")
     blooms = _bloom_indexes(path, column, version)
     import hashlib as _hashlib
 
@@ -1259,6 +1354,7 @@ def snapshot_point(
             version,
         ).filter(F.col(column) == value),
         m,
+        dropped,
     )
 
 
@@ -1432,8 +1528,9 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     base = spark.read.option("mergeSchema", "true").parquet(*files)
+    m, dropped = _fold_schema(path)
     hits = (
-        _to_logical(_tag_positions(base), _mapping(path))
+        _to_logical(_tag_positions(base), m, dropped)
         .filter(predicate)  # predicate binds LOGICAL names
         .select("_dv_file", "_dv_pos")
     )
@@ -1667,6 +1764,7 @@ def append_idempotent(
     if known is not None and txn_version <= known:
         return current_version(path)
     _validate_constraints(df, path)
+    _reject_tombstoned(df, path)
     actions = _write_data_files(_to_physical(df, _mapping(path)), path)
     actions.append({"txn": {"app": app_id, "version": int(txn_version)}})
     return _commit(path, actions)
@@ -1814,6 +1912,7 @@ def commit_multi(
         os.makedirs(_log_dir(path), exist_ok=True)
         os.makedirs(_data_dir(path), exist_ok=True)
         _validate_constraints(df, path)
+        _reject_tombstoned(df, path)
         actions = _write_data_files(_to_physical(df, _mapping(path)), path)
         entries.append({"table": os.path.abspath(path), "actions": actions})
     # phase 2: publish the manifest — THE atomic commit point

@@ -31,7 +31,11 @@ downstream — and ``skip_change_commits=true`` (Delta's
 ``skipChangeCommits``) opts into ignoring them. Row-level
 insert/delete feeds for such commits are the batch CDF's job
 (:func:`stockify_spark.sources.txlog.changes` /
-:func:`stockify_spark.sources.txlog.replicate_changes`).
+:func:`stockify_spark.sources.txlog.replicate_changes`) — and FULL
+CDF streaming falls out by composition: replicate_changes renders
+any table's change feed as an APPEND-ONLY audit table, which this
+source streams directly (tests/test_txlog_stream.py::
+TestCdfStreamingComposition).
 """
 
 from __future__ import annotations

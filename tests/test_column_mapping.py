@@ -140,3 +140,91 @@ class TestReadsAndWrites:
         dst = str(tmp_path / "clone")
         txlog.clone(table, dst)
         assert txlog.snapshot(spark, dst).columns == ["o_orderkey", "price"]
+
+
+class TestDropColumn:
+    @pytest.fixture()
+    def table3(self, spark, tmp_path):
+        path = str(tmp_path / "t3")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        txlog.create(o.repartition(2), path)
+        return path
+
+    def test_drop_is_metadata_only_and_reads_exclude(self, spark, table3):
+        files_before = sorted(txlog.live_files(table3))
+        v = txlog.drop_column(table3, "o_custkey")
+        assert v == 1
+        assert sorted(txlog.live_files(table3)) == files_before
+        assert txlog.snapshot(spark, table3).columns == [
+            "o_orderkey",
+            "o_totalprice",
+        ]
+        # time travel below the drop still sees it
+        assert "o_custkey" in txlog.snapshot(spark, table3, 0).columns
+        st = txlog.table_stats(table3)
+        assert "o_custkey" not in st["min"]
+
+    def test_append_without_dropped_and_readd_rejected(self, spark, table3):
+        txlog.drop_column(table3, "o_custkey")
+        o = _orders(spark)
+        n0 = txlog.snapshot(spark, table3).count()
+        txlog.append(
+            o.limit(5).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.col("o_totalprice"),
+            ),
+            table3,
+        )
+        assert txlog.snapshot(spark, table3).count() == n0 + 5
+        with pytest.raises(ValueError, match="tombstoned"):
+            txlog.append(
+                o.limit(1).select(
+                    "o_orderkey", F.lit(7).alias("o_custkey"), "o_totalprice"
+                ),
+                table3,
+            )
+
+    def test_drop_then_rename_other_column(self, spark, table3):
+        txlog.drop_column(table3, "o_custkey")
+        txlog.rename_column(table3, "o_totalprice", "price")
+        snap = txlog.snapshot(spark, table3)
+        assert snap.columns == ["o_orderkey", "price"]
+        pruned = txlog.snapshot_pruned(spark, table3, "price", 1000.0, 50000.0)
+        assert pruned.columns == ["o_orderkey", "price"]
+        with pytest.raises(ValueError, match="dropped"):
+            txlog.snapshot_pruned(spark, table3, "o_custkey", 0, 10)
+
+    def test_drop_rejections(self, spark, table3):
+        with pytest.raises(ValueError, match="does not exist"):
+            txlog.drop_column(table3, "nope")
+        txlog.set_constraint(table3, "pos", "o_totalprice >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            txlog.drop_column(table3, "o_totalprice")
+        txlog.drop_column(table3, "o_custkey")
+        txlog.drop_column(table3, "o_orderkey")
+        with pytest.raises(ValueError, match="last column"):
+            txlog.drop_column(table3, "o_totalprice")
+
+    def test_checkpoint_and_clone_carry_drop(self, spark, table3, tmp_path):
+        txlog.drop_column(table3, "o_custkey")
+        txlog.checkpoint_log(table3)
+        txlog.append(
+            txlog.snapshot(spark, table3).limit(1), table3
+        )  # replay now starts at the checkpoint
+        assert "o_custkey" not in txlog.snapshot(spark, table3).columns
+        dst = str(tmp_path / "clone3")
+        txlog.clone(table3, dst)
+        assert "o_custkey" not in txlog.snapshot(spark, dst).columns
+        with pytest.raises(ValueError, match="tombstoned"):
+            txlog.append(
+                txlog.snapshot(spark, dst).limit(1).withColumn("o_custkey", F.lit(1)),
+                dst,
+            )
+
+    def test_cdf_excludes_dropped(self, spark, table3):
+        txlog.drop_column(table3, "o_custkey")
+        v = txlog.delete_where_dv(spark, table3, F.col("o_totalprice") < 30000.0)
+        feed = txlog.changes(spark, table3, v)
+        assert set(feed.columns) == {"o_orderkey", "o_totalprice", "_change_type"}

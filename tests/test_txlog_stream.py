@@ -293,3 +293,50 @@ class TestMultiTableTxn:
         assert txlog.snapshot(spark, feat).count() == 10
         assert txlog.snapshot(spark, idx).count() == 5
         assert txlog.pending_multi(tmp) == []
+
+
+class TestCdfStreamingComposition:
+    def test_stream_full_cdf_via_replicated_audit_table(self, spark, tmp):
+        """FULL change-feed streaming by composition: replicate_changes
+        turns ANY table's CDF (incl. COW/MOR/restore commits) into an
+        APPEND-ONLY audit table, which txlog_stream CAN stream — so
+        downstream consumers tail row-level inserts AND deletes as a
+        real readStream without the source having to diff rewrites
+        executor-side."""
+        src = os.path.join(tmp, "src")
+        aud = os.path.join(tmp, "aud")
+        o = _orders(spark)
+        txlog.create(o.coalesce(1), src)
+        txlog.delete_where(spark, src, F.col("o_totalprice") < 30000.0)  # COW
+        txlog.delete_where_dv(spark, src, F.col("o_orderkey") % 10 == 0)  # MOR
+        txlog.replicate_changes(spark, src, aud, "cdf")
+        register_txlog_stream(spark)
+        sdf = spark.readStream.format("txlog_stream").option("path", aud).load()
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("cdf_tail")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("cdf_tail")
+        assert got.filter(F.col("_change_type") == "delete").count() > 0
+        assert got.count() == txlog.snapshot(spark, aud).count()
+        # more src commits → replicate → the SAME stream tails them
+        txlog.append(o.limit(9), src)
+        txlog.replicate_changes(spark, src, aud, "cdf")
+        q2 = (
+            spark.readStream.format("txlog_stream")
+            .option("path", aud)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_tail2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert (
+            spark.table("cdf_tail2").filter(F.col("_src_version") == 3).count() == 9
+        )
