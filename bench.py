@@ -435,6 +435,47 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         txlog.materialize_dvs(spark, tx_path)
         t_dv_materialize = time.perf_counter() - t0
+        # E2f dynamic partition pruning: the same fact⋈dim aggregate
+        # over a day-partitioned events layout, with the selective
+        # filter reachable only through the join — timed with the
+        # optimizer's DPP on vs off (the only difference is whether
+        # the fact scan's partition list is pruned at runtime by the
+        # dim subquery). Plan-level proof lives in
+        # tests/test_plans.py::test_dpp_fact_dim_join_prunes_at_runtime;
+        # this records the wall-clock consequence.
+        from stockify_spark.sources.io import load_table as _lt
+        from stockify_spark.sources.io import write_date_partitioned
+
+        dpp_path = os.path.join(tmp, "events_by_day")
+        write_date_partitioned(_lt(spark, sf_dir, "events"), dpp_path, "ts", "day")
+        dpp_fact = spark.read.parquet(dpp_path)
+        dpp_days = [r["p_date"] for r in dpp_fact.select("p_date").distinct().collect()]
+        dpp_dim = spark.createDataFrame(
+            [(d, d.day) for d in sorted(dpp_days)], "p_date date, dom int"
+        )
+
+        def dpp_join():
+            return (
+                dpp_fact.join(F.broadcast(dpp_dim.filter(F.col("dom") <= 7)), "p_date")
+                .groupBy("p_date")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        t_dpp_on = probe(lambda: dpp_join())
+        prev_dpp = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        try:
+            t_dpp_off = probe(lambda: dpp_join())
+        finally:
+            spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev_dpp)
+        dpp_stats = {
+            "dpp_partitions_total": len(dpp_days),
+            "dpp_partitions_matched": sum(1 for d in dpp_days if d.day <= 7),
+            "dpp_on_sec": round(t_dpp_on, 4),
+            "dpp_off_sec": round(t_dpp_off, 4),
+            "dpp_speedup": round(t_dpp_off / t_dpp_on, 3) if t_dpp_on else 0.0,
+        }
+
         dv_stats = {
             "dv_write_sec": round(t_dv_write, 4),
             "dv_read_clean_sec": round(t_read_clean, 4),
@@ -463,6 +504,7 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
             "txlog_ckpt_version": ck_version,
             **zorder_stats,
             **bloom_stats,
+            **dpp_stats,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
