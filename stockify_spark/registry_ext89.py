@@ -389,6 +389,8 @@ def join_dpp_dates(spark, sf_dir):
 
     root = _scratch_table(sf_dir, "dpp", build)
     fact = spark.read.parquet(os.path.join(root, "fact"))
+    # bounded collect: one row per PARTITION DIRECTORY (~30 at this
+    # vintage; at 100 TB a date dim is a catalog table, same shape)
     days = [r["p_date"] for r in fact.select("p_date").distinct().collect()]
     dim = spark.createDataFrame(
         [(d, d.day) for d in sorted(days)], "p_date date, dom int"
