@@ -1998,12 +1998,15 @@ def vacuum_orphans(
     deleted, sorted."""
     import time
 
+    # compare by REAL ABSOLUTE path: legacy logs may record absolute
+    # add paths, and a relative-string comparison against them would
+    # classify a LIVE file as an orphan and delete it
     referenced: set = set()
     for c in _read_log(path):
         for a in c["actions"]:
             for k in ("add", "remove", "add_dv", "remove_dv"):
                 if k in a:
-                    referenced.add(os.path.normpath(a[k]["path"]))
+                    referenced.add(os.path.realpath(_abs(path, a[k]["path"])))
     if txn_root is None:
         txn_root = os.path.dirname(os.path.abspath(path))
     mdir = _manifest_dir(txn_root)
@@ -2016,7 +2019,7 @@ def vacuum_orphans(
                 for e in json.load(f)["entries"]:
                     if os.path.abspath(e["table"]) == me:
                         referenced.update(
-                            os.path.normpath(a["add"]["path"])
+                            os.path.realpath(_abs(path, a["add"]["path"]))
                             for a in e["actions"]
                             if "add" in a
                         )
@@ -2031,7 +2034,7 @@ def vacuum_orphans(
             rel = os.path.join(sub, name)
             if not os.path.isfile(full):
                 continue  # staging DIRS belong to live writers
-            if os.path.normpath(rel) in referenced:
+            if os.path.realpath(full) in referenced:
                 continue
             if now - os.path.getmtime(full) < min_age_seconds:
                 continue  # inside the in-flight horizon

@@ -57,18 +57,26 @@ from stockify_spark.sources import txlog
 
 class _FilePartition(InputPartition):
     """One added data file of one commit. Picklable; carries
-    everything ``read`` needs so executors never touch the log."""
+    everything ``read`` needs (including the column-mapping
+    translation) so executors never touch the log."""
 
-    def __init__(self, abs_path: str, version: int):
+    def __init__(self, abs_path: str, version: int, rename: dict, dropped: list):
         self.abs_path = abs_path
         self.version = version
+        self.rename = rename  # physical -> logical
+        self.dropped = dropped  # tombstoned physical names
 
 
 def _plan_commits(
     path: str, start_after: int, end: int, skip_change_commits: bool
 ) -> list[_FilePartition]:
     """Driver-side planning: one partition per file added by commits
-    in ``(start_after, end]``. Cost is O(commits planned) log reads."""
+    in ``(start_after, end]``. Cost is O(commits planned) log reads.
+    The CURRENT column mapping (renames/drops fold) ships with every
+    partition so the stream surfaces the same logical names a
+    snapshot would."""
+    m, dropped = txlog._fold_schema(path)
+    rename = {p: lg for lg, p in m.items()}
     parts: list[_FilePartition] = []
     for v in range(start_after + 1, end + 1):
         cpath = txlog._commit_path(path, v)
@@ -87,23 +95,37 @@ def _plan_commits(
                 "the batch change feed (txlog.changes / "
                 "txlog.replicate_changes) for row-level deltas."
             )
-        parts.extend(
-            _FilePartition(txlog._abs(path, a["add"]["path"]), v)
-            for a in actions
-            if "add" in a
-        )
+        for a in actions:
+            if "add" not in a:
+                continue
+            f_abs = txlog._abs(path, a["add"]["path"])
+            if not os.path.exists(f_abs):
+                raise FileNotFoundError(
+                    f"data file of commit {v} was vacuumed: {a['add']['path']}; "
+                    "a stream starting below the retention window cannot "
+                    "replay it — raise starting_version past the vacuum"
+                )
+            parts.append(_FilePartition(f_abs, v, rename, sorted(dropped)))
     return parts
 
 
 def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
-    """Executor-side: one parquet file → Arrow record batches with a
-    ``_commit_version`` column appended. ``n_cols`` pins the data
+    """Executor-side: one parquet file → tombstoned columns dropped,
+    physical names renamed to logical, a ``_commit_version`` column
+    appended — Arrow record batches out. ``n_cols`` pins the data
     column count so a file written before an additive schema change
     fails loudly instead of mis-aligning positionally."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.abs_path)
+    drop = [c for c in table.column_names if c in set(partition.dropped)]
+    if drop:
+        table = table.drop_columns(drop)
+    if partition.rename:
+        table = table.rename_columns(
+            [partition.rename.get(c, c) for c in table.column_names]
+        )
     if table.num_columns != n_cols:
         raise ValueError(
             f"file {partition.abs_path} has {table.num_columns} columns, "
@@ -118,8 +140,10 @@ def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
 
 def _table_schema(path: str) -> StructType:
     """Table schema from a live file's parquet footer (the txlog
-    source of truth — parquet footers per immutable file), plus the
-    stream's ``_commit_version``. One footer read, driver-side."""
+    source of truth — parquet footers per immutable file) with the
+    column mapping applied (logical names, tombstoned columns
+    excluded), plus the stream's ``_commit_version``. One footer
+    read, driver-side."""
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -127,9 +151,16 @@ def _table_schema(path: str) -> StructType:
     files = txlog.live_files(path)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
+    m, dropped = txlog._fold_schema(path)
+    rename = {p: lg for lg, p in m.items()}
     spark_schema = from_arrow_schema(pq.read_schema(files[-1]))
+    fields = [
+        StructField(rename.get(f.name, f.name), f.dataType, f.nullable)
+        for f in spark_schema.fields
+        if f.name not in dropped
+    ]
     return StructType(
-        list(spark_schema.fields) + [StructField("_commit_version", LongType(), False)]
+        fields + [StructField("_commit_version", LongType(), False)]
     )
 
 

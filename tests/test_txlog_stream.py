@@ -340,3 +340,56 @@ class TestCdfStreamingComposition:
         assert (
             spark.table("cdf_tail2").filter(F.col("_src_version") == 3).count() == 9
         )
+
+
+class TestColumnMappingStream:
+    def test_stream_surfaces_logical_names(self, spark, tmp):
+        """A renamed + dropped table streams with the SAME logical
+        schema a snapshot shows — translation ships with each
+        partition, old files' physical names never leak."""
+        path = os.path.join(tmp, "t")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        txlog.create(o.coalesce(1), path)
+        txlog.rename_column(path, "o_totalprice", "price")
+        txlog.drop_column(path, "o_custkey")
+        txlog.append(
+            txlog.snapshot(spark, path).limit(5).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "price"
+            ),
+            path,
+        )
+        register_txlog_stream(spark)
+        df = spark.read.format("txlog_stream").option("path", path).load()
+        assert df.columns == ["o_orderkey", "price", "_commit_version"]
+        assert df.count() == o.count() + 5
+        sdf = spark.readStream.format("txlog_stream").option("path", path).load()
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("cm_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("cm_stream")
+        assert got.columns == ["o_orderkey", "price", "_commit_version"]
+        assert got.count() == o.count() + 5
+
+    def test_vacuumed_commit_fails_loud(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _orders(spark)
+        txlog.create(o.limit(50).coalesce(1), path)
+        txlog.append(o.limit(20).coalesce(1), path)
+        txlog.compact(spark, path, target_partitions=1)  # v2 rewrites
+        txlog.vacuum(path, keep_last=1)  # v0/v1 data files reclaimed
+        register_txlog_stream(spark)
+        with pytest.raises(Exception, match="vacuumed"):
+            (
+                spark.read.format("txlog_stream")
+                .option("path", path)
+                .option("end_version", "1")
+                .load()
+                .count()
+            )
