@@ -228,3 +228,46 @@ class TestDropColumn:
         v = txlog.delete_where_dv(spark, table3, F.col("o_totalprice") < 30000.0)
         feed = txlog.changes(spark, table3, v)
         assert set(feed.columns) == {"o_orderkey", "o_totalprice", "_change_type"}
+
+
+class TestFoldSchemaProperty:
+    def test_fold_matches_reference_simulation(self, tmp_path):
+        """Property: for random valid rename/drop sequences, the log
+        fold (txlog._fold_schema) equals a direct simulation over the
+        live logical schema. Pure-python (the fold never opens data),
+        seeded exhaustively over many sequences."""
+        import json
+        import random
+
+        from stockify_spark.sources.txlog import _fold_schema, _log_dir
+
+        rng = random.Random(42)
+        for trial in range(200):
+            cols = {f"c{i}": f"c{i}" for i in range(5)}  # logical -> physical
+            dropped_ref: set = set()
+            actions = []
+            for _ in range(rng.randint(0, 12)):
+                live = sorted(cols)
+                if not live:
+                    break
+                if rng.random() < 0.6:
+                    frm = rng.choice(live)
+                    to = f"n{trial}_{len(actions)}"
+                    actions.append({"rename": {"from": frm, "to": to}})
+                    cols[to] = cols.pop(frm)
+                else:
+                    name = rng.choice(live)
+                    actions.append(
+                        {"drop_column": {"logical": name, "physical": cols[name]}}
+                    )
+                    dropped_ref.add(cols.pop(name))
+            path = str(tmp_path / f"t{trial}")
+            import os
+
+            os.makedirs(_log_dir(path))
+            with open(os.path.join(_log_dir(path), f"{0:016d}.json"), "w") as f:
+                json.dump({"version": 0, "actions": actions}, f)
+            m, dropped = _fold_schema(path)
+            expect_m = {lg: p for lg, p in cols.items() if lg != p}
+            assert m == expect_m, (trial, actions, m, expect_m)
+            assert dropped == dropped_ref, (trial, actions)
