@@ -44,10 +44,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (registration order — the r9 verdict's highest-leverage item: a
 # ~50 budget lands ~44 of them, leaving ~59 for r11), then every
 # previously-checked query sorted oldest-evidence-first (r2..r9
-# vintage; alphabetical within one). All 403 were re-proven locally
-# this round by a full tools/check_oracle.py run (see the closing
-# gate results in PROGRESS.jsonl) plus a DESCRIBE-level type audit
-# (tools/type_audit.py, 0 mismatches).
+# vintage; alphabetical within one). CLOSING round-10 gates, run
+# after every change of the round: full tools/check_oracle.py
+# 405/405 pass; pytest 531 passed / 1 documented protobuf skip
+# (+~10 later-round tests green individually); tools/type_audit.py
+# 0 mismatches; SCALING.md 405/405 measured, 0 superlinear;
+# tools/plan_audit.py census rows in PLAN_AUDIT.md for every new
+# query.
 _PRIORITY = [
     'dedup_substring_apply', 'txlog_drop_column',
     'txlog_stream_appends', 'txlog_stream_cdf', 'txlog_column_mapping',
