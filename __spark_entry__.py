@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/plan_audit.py census rows in PLAN_AUDIT.md for every new
 # query.
 _PRIORITY = [
-    'dedup_substring_apply', 'txlog_drop_column',
+    'dedup_substring_apply', 'txlog_drop_column', 'pipeline_substring_decontam',
     'txlog_stream_appends', 'txlog_stream_cdf', 'txlog_column_mapping',
     'txlog_multi_txn', 'dedup_substring_exact', 'join_dpp_dates',
     'stats_mann_kendall', 'ml_ridge_closed_form', 'text_readability',

@@ -1128,3 +1128,66 @@ def remove_repeated_spans(
         (F.size("_t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
         F.size(kept).cast("long").alias("n_tokens_kept"),
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Cross-set exact-substring decontamination (the Lee et al. 2022
+    measurement applied to train-vs-benchmark leakage): every maximal
+    span of a TRAIN document covered by some verbatim >= L-token
+    window that also occurs ANYWHERE in the eval set — the spans a
+    decontamination pass removes (or flags) before training.
+
+    Same covering-window identity as
+    :func:`repeated_substring_spans`, but membership is an
+    inverted-index equi-join against the eval set's DISTINCT windows
+    instead of a corpus-wide occurrence count: cost is one shuffle
+    keyed on the window text sized by the SMALLER (eval) side's
+    vocabulary — the natural asymmetry of decontamination, where the
+    benchmark suite is millions of tokens against a 100 TB corpus.
+    Returns (id, span_start, span_end, span_tokens), 1-based."""
+    L = min_tokens
+
+    def wins(df: DataFrame) -> DataFrame:
+        t = tokens(text_col)
+        n = F.size(t)
+        starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(starts, lambda i: F.struct(
+                    i.alias("sp"), F.concat_ws(" ", F.slice(t, i, L)).alias("w")
+                ))
+            ).alias("x"),
+        ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.w")
+
+    ev = wins(eval_df).select("w").distinct()
+    hits = wins(train).join(ev, "w").select("_id", "sp")
+    wd = W.partitionBy("_id").orderBy("sp")
+    prev_max_end = F.max(F.col("sp") + L - 1).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("sp") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(wd))
+    return (
+        flagged.groupBy("_id", "span_id")
+        .agg(
+            F.min("sp").alias("span_start"),
+            (F.max("sp") + L - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -532,3 +532,64 @@ def txlog_drop_column(spark, sf_dir):
     snap = txlog.snapshot(spark, path)
     assert snap.columns == ["o_orderkey", "o_totalprice"]
     return snap.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-set exact-substring decontamination — train spans verbatim-
+# covered by the eval set (doc_id % 10 == 0 plays the benchmark).
+# ---------------------------------------------------------------------------
+
+_DECONTAM_L = 10
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i AS sp, array_to_string(t[i:i+{_DECONTAM_L - 1}], ' ') AS w
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(t) - {_DECONTAM_L} + 2, 1))) AS i)),
+ev AS (SELECT DISTINCT w FROM wins WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT wins.doc_id, wins.sp FROM wins JOIN ev USING (w)
+  WHERE wins.doc_id % 10 <> 0),
+flags AS (
+  SELECT doc_id, sp,
+         CASE WHEN sp > COALESCE(MAX(sp + {_DECONTAM_L - 1}) OVER (
+                PARTITION BY doc_id ORDER BY sp
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nf
+  FROM hits),
+grp AS (
+  SELECT doc_id, sp, SUM(nf) OVER (PARTITION BY doc_id ORDER BY sp) AS gid
+  FROM flags)
+SELECT doc_id,
+       CAST(MIN(sp) AS BIGINT) AS span_start,
+       CAST(MAX(sp) + {_DECONTAM_L - 1} AS BIGINT) AS span_end,
+       CAST(MAX(sp) + {_DECONTAM_L - 1} - MIN(sp) + 1 AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+@register("pipeline_substring_decontam", _DECONTAM_SQL)
+def pipeline_substring_decontam(spark, sf_dir):
+    """Exact-substring train/eval decontamination: maximal train-doc
+    spans covered by a verbatim >= 10-token window occurring anywhere
+    in the eval split (doc_id % 10 == 0) — the substring-granular
+    complement of pipeline_contamination's shingle report, and the
+    removal set a decontamination pass feeds to remove_repeated_spans'
+    cut machinery.
+
+    Scale shape: the join is keyed on the EVAL side's distinct
+    windows — benchmark-sized, not corpus-sized — so at 100 TB the
+    eval window set broadcasts and the whole pass is map-side against
+    the train scan, plus one doc-keyed interval merge."""
+    from stockify_spark.llm.dedup import contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        _DECONTAM_L,
+    )

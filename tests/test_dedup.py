@@ -255,3 +255,26 @@ def test_remove_repeated_spans_cuts_and_accounts(spark):
     assert got[1] == ("one two three four", 6, 4)
     assert got[2] == ("tail words", 6, 2)
     assert got[3] == ("unique text here entirely", 0, 4)
+
+
+def test_contaminated_spans_cross_set(spark):
+    """Train spans covered by eval windows only — train-internal
+    repeats must NOT be flagged (that's repeated_substring_spans'
+    job), and eval docs never appear in the output."""
+    from stockify_spark.llm.dedup import contaminated_spans
+
+    bench = "the quick brown fox jumps over the lazy dog today"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} outro words"),   # contaminated
+            (2, "dup dup dup dup dup dup dup dup dup dup dup dup"),  # train-internal only
+            (3, "fully clean text with nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(train, ev, "text", "doc_id", 10).collect()
+    }
+    assert out == {(1, 3, 12)}
