@@ -1920,11 +1920,12 @@ def commit_multi(
     with open(tmp, "w") as f:
         json.dump({"id": mid, "entries": entries}, f)
     os.rename(tmp, os.path.join(mdir, f"{mid}.json"))
-    # phase 3: per-table redo (identical to what recover_multi replays)
+    # phase 3: per-table redo (identical to what recover_multi replays;
+    # the marker-checked commit loop makes writer/recoverer races safe)
     for i, e in enumerate(entries):
         if _fail_after is not None and i >= _fail_after:
             return mid  # simulated crash mid-redo; manifest stays pending
-        _commit(e["table"], e["actions"] + [{"mtxn": mid}])
+        _commit_mtxn(e["table"], e["actions"] + [{"mtxn": mid}], mid)
     # phase 4: done marker (idempotent flag file, not a rename — a
     # recovering process may race the original writer harmlessly)
     with open(os.path.join(mdir, f"{mid}.done"), "w") as f:
@@ -1936,6 +1937,25 @@ def _has_mtxn(path: str, mid: str) -> bool:
     return any(
         a.get("mtxn") == mid for c in _read_log(path) for a in c["actions"]
     )
+
+
+def _commit_mtxn(path: str, actions: list[dict], mid: str) -> None:
+    """Commit a manifest entry AT MOST ONCE, race-free: a recoverer
+    may run while the original writer is still alive (or two
+    recoverers may race), and a plain check-then-commit would
+    double-apply in that window. The O_EXCL version file makes each
+    version single-winner, so looping read→check-mid→try gives the
+    loser a fresh log that already CONTAINS the winner's marker —
+    the standard optimistic-commit shape, specialized to the
+    marker predicate. Entries are pure adds + marker (no removes),
+    so _commit's stale-remove validation is not needed."""
+    while True:
+        commits = _read_log(path)
+        if any(a.get("mtxn") == mid for c in commits for a in c["actions"]):
+            return  # already applied by the writer or another recoverer
+        version = commits[-1]["version"] + 1 if commits else 0
+        if _try_commit(path, version, actions):
+            return
 
 
 def pending_multi(txn_root: str) -> list[str]:
@@ -1965,8 +1985,7 @@ def recover_multi(txn_root: str) -> list[str]:
         with open(os.path.join(mdir, f"{mid}.json")) as f:
             manifest = json.load(f)
         for e in manifest["entries"]:
-            if not _has_mtxn(e["table"], mid):
-                _commit(e["table"], e["actions"] + [{"mtxn": mid}])
+            _commit_mtxn(e["table"], e["actions"] + [{"mtxn": mid}], mid)
         with open(os.path.join(mdir, f"{mid}.done"), "w") as f:
             f.write("")
         done.append(mid)

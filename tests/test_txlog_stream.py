@@ -393,3 +393,28 @@ class TestColumnMappingStream:
                 .load()
                 .count()
             )
+
+
+def test_recover_races_writer_no_double_apply(spark, tmp_path):
+    """A recoverer completing the SAME pending manifest the (slow)
+    writer later finishes must not double-apply: the marker-checked
+    commit loop makes the second attempt a no-op regardless of
+    interleaving."""
+    tmp = str(tmp_path)
+    o = _orders(spark)
+    feat, idx = os.path.join(tmp, "feat"), os.path.join(tmp, "idx")
+    mid = txlog.commit_multi(
+        [(o.limit(10), feat), (o.limit(5), idx)], tmp, _fail_after=1
+    )
+    # recoverer completes the idx entry first...
+    txlog.recover_multi(tmp)
+    assert txlog.snapshot(spark, idx).count() == 5
+    # ...then the "writer wakes up" and retries its own redo step
+    import json
+
+    with open(os.path.join(txlog._manifest_dir(tmp), f"{mid}.json")) as f:
+        manifest = json.load(f)
+    for e in manifest["entries"]:
+        txlog._commit_mtxn(e["table"], e["actions"] + [{"mtxn": mid}], mid)
+    assert txlog.snapshot(spark, feat).count() == 10
+    assert txlog.snapshot(spark, idx).count() == 5  # still exactly once
