@@ -54,6 +54,10 @@ def get_spark(
         # session creation so no per-query code mutates session conf.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-datasource filter pushdown (log-level skipping in
+        # txlog_stream's batch face); readers degrade gracefully to
+        # the no-pushdown class when a session lacks this conf
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

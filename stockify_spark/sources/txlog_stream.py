@@ -67,16 +67,55 @@ class _FilePartition(InputPartition):
         self.dropped = dropped  # tombstoned physical names
 
 
+def _stats_disjoint(add: dict, bounds: dict, m: dict) -> bool:
+    """True iff the file's logged min/max stats PROVE it cannot hold
+    a row satisfying the pushed bounds (per-column closed intervals,
+    logical names). Bounds are relaxed to closed even for strict
+    comparisons and any type mismatch keeps the file — pruning is
+    only ever an optimization, Spark re-applies every filter."""
+    st = add.get("stats", {})
+    for col, (lo, hi) in bounds.items():
+        phys = m.get(col, col)
+        mn = st.get("min", {}).get(phys)
+        mx = st.get("max", {}).get(phys)
+        if mn is None or mx is None:
+            continue  # no stats for this column: conservatively keep
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+        except TypeError:
+            continue  # incomparable types: keep
+    return False
+
+
 def _plan_commits(
-    path: str, start_after: int, end: int, skip_change_commits: bool
+    path: str,
+    start_after: int,
+    end: int,
+    skip_change_commits: bool,
+    bounds: dict | None = None,
 ) -> list[_FilePartition]:
     """Driver-side planning: one partition per file added by commits
     in ``(start_after, end]``. Cost is O(commits planned) log reads.
     The CURRENT column mapping (renames/drops fold) ships with every
     partition so the stream surfaces the same logical names a
-    snapshot would."""
+    snapshot would. ``bounds`` (from the batch face's pushFilters)
+    skips files whose logged min/max stats are provably disjoint —
+    the txlog's log-level data skipping, surfaced through the
+    datasource pushdown API."""
     m, dropped = txlog._fold_schema(path)
     rename = {p: lg for lg, p in m.items()}
+    bounds = bounds or {}
+    # a bound on _commit_version narrows the VERSION loop itself
+    if "_commit_version" in bounds:
+        import math
+
+        lo, hi = bounds["_commit_version"]
+        if lo is not None:
+            start_after = max(start_after, int(math.ceil(lo)) - 1)
+        if hi is not None:
+            end = min(end, int(math.floor(hi)))
+    data_bounds = {c: b for c, b in bounds.items() if c != "_commit_version"}
     parts: list[_FilePartition] = []
     for v in range(start_after + 1, end + 1):
         cpath = txlog._commit_path(path, v)
@@ -98,6 +137,8 @@ def _plan_commits(
         for a in actions:
             if "add" not in a:
                 continue
+            if data_bounds and _stats_disjoint(a["add"], data_bounds, m):
+                continue  # provably no qualifying rows — never opened
             f_abs = txlog._abs(path, a["add"]["path"])
             if not os.path.exists(f_abs):
                 raise FileNotFoundError(
@@ -198,7 +239,14 @@ class _TxlogStreamReader(DataSourceStreamReader):
 class _TxlogBatchReader(DataSourceReader):
     """Batch face over the SAME plan/read path: appended rows for
     commits in [starting_version, end_version] — how the driver's
-    differential oracle pins the stream's per-commit semantics."""
+    differential oracle pins the stream's per-commit semantics.
+    See :class:`_TxlogBatchReaderPushdown` for the filter-pushdown
+    variant (log-level data skipping); Spark REFUSES any reader that
+    merely defines ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the
+    capability lives in a subclass the DataSource picks only when the
+    session has it enabled — a vanilla session gets this plain reader
+    and identical results."""
 
     def __init__(self, schema: StructType, options: dict):
         if "path" not in options:
@@ -209,12 +257,56 @@ class _TxlogBatchReader(DataSourceReader):
         self._end = int(end) if end is not None else txlog.current_version(options["path"])
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
         self._n_cols = len(schema.fields) - 1
+        self._bounds: dict = {}
 
     def partitions(self) -> Sequence[InputPartition]:
-        return _plan_commits(self._path, self._start - 1, self._end, self._skip_changes)
+        return _plan_commits(
+            self._path, self._start - 1, self._end, self._skip_changes, self._bounds
+        )
 
     def read(self, partition: InputPartition) -> Iterator:
         return _read_partition(partition, self._n_cols)
+
+
+class _TxlogBatchReaderPushdown(_TxlogBatchReader):
+    """Batch reader with datasource filter pushdown as LOG-LEVEL DATA
+    SKIPPING: comparison filters prune files by their logged min/max
+    stats (and a ``_commit_version`` bound narrows the commit range
+    itself); every filter is returned to Spark for re-evaluation, so
+    pushdown only removes provably-disjoint IO and can never change
+    results."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if not isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) or len(f.attribute) != 1:
+                continue  # unsupported shape: Spark evaluates it, no pruning
+            col = f.attribute[0]
+            lo, hi = self._bounds.get(col, (None, None))
+            v = f.value
+            try:
+                # strict bounds relax to closed — conservative pruning
+                if isinstance(f, EqualTo):
+                    lo = v if lo is None else max(lo, v)
+                    hi = v if hi is None else min(hi, v)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = v if lo is None else max(lo, v)
+                else:
+                    hi = v if hi is None else min(hi, v)
+            except TypeError:
+                continue
+            self._bounds[col] = (lo, hi)
+        # every filter goes back to Spark: pushdown PRUNES, never decides
+        return filters
 
 
 class TxlogStreamDataSource(DataSource):
@@ -240,7 +332,27 @@ class TxlogStreamDataSource(DataSource):
         return _TxlogStreamReader(schema, self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _TxlogBatchReader(schema, self.options)
+        # the pushdown-capable reader only where the session allows
+        # it: Spark raises DATA_SOURCE_PUSHDOWN_DISABLED for ANY
+        # reader defining pushFilters under a false conf, so a
+        # vanilla session must get the plain reader (same results,
+        # no file skipping). reader() runs driver-side with the
+        # active session in scope.
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            enabled = (
+                sess is not None
+                and str(
+                    sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            enabled = False
+        cls = _TxlogBatchReaderPushdown if enabled else _TxlogBatchReader
+        return cls(schema, self.options)
 
 
 def register_txlog_stream(spark) -> None:

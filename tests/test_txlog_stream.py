@@ -418,3 +418,82 @@ def test_recover_races_writer_no_double_apply(spark, tmp_path):
         txlog._commit_mtxn(e["table"], e["actions"] + [{"mtxn": mid}], mid)
     assert txlog.snapshot(spark, feat).count() == 10
     assert txlog.snapshot(spark, idx).count() == 5  # still exactly once
+
+
+class TestBatchFacePushdown:
+    def _banded(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _orders(spark)
+        bands = [0, 50_000, 100_000, 150_000, 200_000, 250_000, 300_000, 400_000, 10**9]
+        txlog.create(
+            o.filter(
+                (F.col("o_totalprice") >= bands[0]) & (F.col("o_totalprice") < bands[1])
+            ).coalesce(1),
+            path,
+        )
+        for i in range(1, 8):
+            txlog.append(
+                o.filter(
+                    (F.col("o_totalprice") >= bands[i])
+                    & (F.col("o_totalprice") < bands[i + 1])
+                ).coalesce(1),
+                path,
+            )
+        return path, o
+
+    def test_stats_pruning_plans_fewer_files_same_rows(self, spark, tmp):
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+        from stockify_spark.sources.txlog_stream import (
+            _TxlogBatchReaderPushdown,
+            _table_schema,
+        )
+
+        path, o = self._banded(spark, tmp)
+        register_txlog_stream(spark)
+        pred = (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") <= 149000)
+        df = spark.read.format("txlog_stream").option("path", path).load().filter(pred)
+        assert df.count() == o.filter(pred).count()  # pruning never changes rows
+        r = _TxlogBatchReaderPushdown(_table_schema(path), {"path": path})
+        kept = r.pushFilters(
+            [
+                GreaterThanOrEqual(("o_totalprice",), 100000.0),
+                LessThanOrEqual(("o_totalprice",), 149000.0),
+            ]
+        )
+        assert len(list(kept)) == 2  # every filter returned for re-evaluation
+        assert len(r.partitions()) == 1  # only the [100k,150k) band file
+
+    def test_commit_version_bound_narrows_commit_loop(self, spark, tmp):
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        from stockify_spark.sources.txlog_stream import (
+            _TxlogBatchReaderPushdown,
+            _table_schema,
+        )
+
+        path, _ = self._banded(spark, tmp)
+        r = _TxlogBatchReaderPushdown(_table_schema(path), {"path": path})
+        r.pushFilters([GreaterThanOrEqual(("_commit_version",), 6)])
+        assert len(r.partitions()) == 2  # versions 6 and 7 only
+
+    def test_vanilla_session_conf_gets_plain_reader(self, spark, tmp):
+        """Under spark.sql.python.filterPushdown.enabled=false (the
+        driver's vanilla-session default) the DataSource must hand
+        out the reader WITHOUT pushFilters — Spark refuses pushdown-
+        capable readers under that conf — and results are identical."""
+        path, o = self._banded(spark, tmp)
+        register_txlog_stream(spark)
+        prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        try:
+            pred = (F.col("o_totalprice") >= 100000) & (
+                F.col("o_totalprice") <= 149000
+            )
+            df = (
+                spark.read.format("txlog_stream").option("path", path).load()
+                .filter(pred)
+            )
+            assert df.count() == o.filter(pred).count()
+        finally:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
