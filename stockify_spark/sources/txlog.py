@@ -1831,6 +1831,11 @@ def replicate_changes(
         to_version = current_version(src)
     done = last_txn_version(dst, app_id)
     start = 0 if done is None else done + 1
+    if to_version < start:
+        # nothing new below the marker: report the TRUE position, not
+        # the smaller requested bound (a caller persisting the return
+        # as its cursor must never move backwards)
+        return done
     if not os.path.exists(_log_dir(dst)):
         create_empty(dst)
     for v in range(start, to_version + 1):
