@@ -45,12 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ~50 budget lands ~44 of them, leaving ~59 for r11), then every
 # previously-checked query sorted oldest-evidence-first (r2..r9
 # vintage; alphabetical within one). CLOSING round-10 gates, run
-# after every change of the round: full tools/check_oracle.py
-# 405/405 pass; pytest 531 passed / 1 documented protobuf skip
-# (+~10 later-round tests green individually); tools/type_audit.py
-# 0 mismatches; SCALING.md 405/405 measured, 0 superlinear;
-# tools/plan_audit.py census rows in PLAN_AUDIT.md for every new
-# query.
+# after the round's FINAL code change: full tools/check_oracle.py
+# 406/406 pass; full pytest 541 passed / 1 documented protobuf skip;
+# tools/type_audit.py 0 mismatches; SCALING.md 406/406 measured,
+# 0 superlinear; tools/plan_audit.py census rows in PLAN_AUDIT.md
+# for every new query; driver-like vanilla-session smoke green
+# (entry + the datasource query under default confs).
 _PRIORITY = [
     'dedup_substring_apply', 'txlog_drop_column', 'pipeline_substring_decontam',
     'txlog_stream_appends', 'txlog_stream_cdf', 'txlog_column_mapping',
