@@ -50,7 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/type_audit.py 0 mismatches; SCALING.md 406/406 measured,
 # 0 superlinear; tools/plan_audit.py census rows in PLAN_AUDIT.md
 # for every new query; driver-like vanilla-session smoke green
-# (entry + the datasource query under default confs).
+# (entry + the datasource query under default confs). One narrow
+# post-gate fix (merge_upsert on a dropped-column table raised on a
+# tombstoned physical name) was verified by the named targeted
+# suites: 6/6 merge-path oracles + the 42-test merge/txlog suites +
+# the 18-test column-mapping suite.
 _PRIORITY = [
     'dedup_substring_apply', 'txlog_drop_column', 'pipeline_substring_decontam',
     'txlog_stream_appends', 'txlog_stream_cdf', 'txlog_column_mapping',

@@ -870,7 +870,7 @@ def merge_upsert(
 
     from urllib.parse import unquote, urlparse
 
-    m = _mapping(path)
+    m, dropped = _fold_schema(path)
     # source arrives in LOGICAL names; the whole merge runs physical
     source = _to_physical(source, m)
     key_cols = [m.get(k, k) for k in key_cols]
@@ -896,14 +896,18 @@ def merge_upsert(
         u = urlparse(r["_file"])
         p = os.path.realpath(unquote(u.path) if u.scheme else r["_file"])
         touched.add(rel_by_abs[p])  # unknown file = corrupt log; fail loud
+    # the write schema excludes tombstoned (dropped) physical columns:
+    # the source batch cannot carry them, and rewritten survivors drop
+    # them — same pre-drop time-travel caveat as delete_where's rewrite
+    write_cols = [c for c in snap.columns if c not in dropped]
     actions: list[dict] = []
     if touched:
         keep = spark.read.option("mergeSchema", "true").parquet(
             *[_abs(path, t) for t in sorted(touched)]
         ).join(F.broadcast(src.select(*key_cols)), key_cols, "leftanti")
         actions.extend({"remove": {"path": t}} for t in sorted(touched))
-        actions.extend(_write_data_files(keep, path))
-    actions.extend(_write_data_files(src.select(*snap.columns), path))
+        actions.extend(_write_data_files(keep.select(*write_cols), path))
+    actions.extend(_write_data_files(src.select(*write_cols), path))
     return _commit(path, actions)
 
 

@@ -271,3 +271,22 @@ class TestFoldSchemaProperty:
             expect_m = {lg: p for lg, p in cols.items() if lg != p}
             assert m == expect_m, (trial, actions, m, expect_m)
             assert dropped == dropped_ref, (trial, actions)
+
+
+def test_merge_upsert_after_drop(spark, tmp_path):
+    """MERGE on a table with a dropped column: the source batch
+    carries only the live logical schema; rewritten files exclude the
+    tombstone (delete_where's documented rewrite caveat); results
+    match the no-drop merge semantics."""
+    path = str(tmp_path / "t")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    txlog.create(o.repartition(2), path)
+    txlog.drop_column(path, "o_custkey")
+    src = o.limit(15).select("o_orderkey", F.lit(777.0).alias("o_totalprice"))
+    txlog.merge_upsert(spark, path, src, ["o_orderkey"])
+    snap = txlog.snapshot(spark, path)
+    assert snap.columns == ["o_orderkey", "o_totalprice"]
+    assert snap.count() == o.count()
+    assert snap.filter(F.col("o_totalprice") == 777.0).count() == 15
