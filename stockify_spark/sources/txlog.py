@@ -1654,7 +1654,13 @@ def incremental_mv(
     maintenance).
 
     ``mv`` seeds the view (default: computed from the snapshot at
-    ``from_version`` — schema ``keys + [n_rows, total]``). Works
+    ``from_version`` — schema ``keys + [n_rows, total]``). ``keys``/
+    ``value_col`` bind the names active over the WHOLE range: a
+    column rename inside (from_version, to_version] changes the
+    per-commit feed's names mid-range and the delta aggregation
+    fails loudly on the missing column — re-seed the view at the
+    rename boundary (one snapshot aggregate) and continue under the
+    new names. Works
     through every commit type because changes() is DV-aware: COW and
     MOR deletes emit delete rows, restores emit the resurrection,
     compaction and materialize_dvs emit EMPTY feeds (no-op deltas),
@@ -1823,6 +1829,13 @@ def replicate_changes(
     :func:`append_idempotent`). Metadata-only src commits deliver no
     rows but still advance the marker with a metadata-only commit,
     so progress is monotone across them.
+
+    Audit rows carry the LOGICAL column names active at each source
+    version (changes() is version-faithful), so a rename inside the
+    replicated range widens the destination schema: pre-rename rows
+    keep the old column, post-rename rows the new one, NULLs across —
+    a faithful audit of what each version actually published.
+    Downstream consumers wanting one column coalesce the pair.
 
     Per-call cost: O(commits delivered) driver log reads + each
     commit's :func:`changes` feed (proportional to rows the commit
