@@ -497,3 +497,32 @@ class TestBatchFacePushdown:
             assert df.count() == o.filter(pred).count()
         finally:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_vacuum_orphans_respects_legacy_absolute_add_paths(spark, tmp_path):
+    """A log whose add actions record ABSOLUTE paths (legacy form)
+    must still protect those live files from orphan vacuum — the
+    comparison is by real absolute path, not by the logged string."""
+    import json
+    import time
+
+    path = str(tmp_path / "t")
+    o = _orders(spark)
+    txlog.create(o.limit(30).coalesce(1), path)
+    # rewrite commit 0 to reference its file by ABSOLUTE path
+    cpath = txlog._commit_path(path, 0)
+    with open(cpath) as f:
+        commit = json.load(f)
+    for a in commit["actions"]:
+        if "add" in a:
+            a["add"]["path"] = txlog._abs(path, a["add"]["path"])
+    with open(cpath, "w") as f:
+        json.dump(commit, f)
+    assert txlog.snapshot(spark, path).count() == 30  # still readable
+    # age every file out of the horizon; the live file must survive
+    old = time.time() - 7200
+    dd = os.path.join(path, "data")
+    for name in os.listdir(dd):
+        os.utime(os.path.join(dd, name), (old, old))
+    assert txlog.vacuum_orphans(path, min_age_seconds=3600) == []
+    assert txlog.snapshot(spark, path).count() == 30
