@@ -995,6 +995,102 @@ def fuzzy_set_join(
     )
 
 
+def _win_hash(w: Column) -> Column:
+    """64-bit key for the substring-dedup exchanges: ``xxhash64`` of
+    the window text, computed map-side so the shuffle carries an
+    8-byte key + positions instead of ~L tokens of raw text per
+    position. Collisions are handled by the exact-text verification
+    pass in the callers, so this only needs to be *cheap and
+    well-spread*, not perfect.
+
+    Test hook: monkeypatched to a deliberately narrow hash in
+    tests/test_dedup.py to force collisions and prove the verify
+    pass rejects them."""
+    return F.xxhash64(w)
+
+
+def _windows_hashed(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """All exactly-L-token windows of every doc as (_id, sp, h):
+    1-based start position + 64-bit window hash. Map-side only
+    (sequence/transform/explode inside JVM codegen) — crucially the
+    raw window TEXT never leaves the map task; only the hash enters
+    downstream exchanges. This projection's schema (no string
+    column) is pinned by tests/test_dedup.py."""
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(starts, lambda i: F.struct(
+                i.alias("sp"),
+                _win_hash(F.concat_ws(" ", F.slice(t, i, L))).alias("h"),
+            ))
+        ).alias("x"),
+    ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.h")
+
+
+def _candidate_window_text(
+    df: DataFrame, cand: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """Re-materialize window text for CANDIDATE positions only:
+    group the candidate (_id, sp) rows per doc (one row per doc,
+    list bounded by the doc's own token count), join the docs once
+    on id, and slice the L-token window map-side after the join.
+    Returns (_id, sp, w). Shuffle cost: candidates keyed by doc id
+    + one doc-keyed pass over the (typically small) contaminated
+    subset of the corpus — not the full window stream."""
+    per_doc = cand.groupBy("_id").agg(F.collect_list("sp").alias("_sps"))
+    t = tokens(text_col)
+    return (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .join(per_doc, "_id")
+        .select(
+            "_id",
+            F.explode(
+                F.transform("_sps", lambda sp: F.struct(
+                    sp.alias("sp"),
+                    F.concat_ws(
+                        " ", F.slice("_t", sp.cast("int"), L)
+                    ).alias("w"),
+                ))
+            ).alias("x"),
+        )
+        .select("_id", F.col("x.sp").alias("sp"), "x.w")
+    )
+
+
+def _merge_spans(hits: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Merge overlapping/adjacent L-token windows into maximal spans:
+    classic interval merge as a per-doc window — a window starting
+    past the running max end of its predecessors opens a new span."""
+    wd = W.partitionBy("_id").orderBy("sp")
+    prev_max_end = F.max(F.col("sp") + L - 1).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("sp") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(wd))
+    return (
+        flagged.groupBy("_id", "span_id")
+        .agg(
+            F.min("sp").alias("span_start"),
+            (F.max("sp") + L - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     text_col: str,
@@ -1015,70 +1111,48 @@ def repeated_substring_spans(
     instead: a position is inside a repeated span of length >= L iff
     it is inside a repeated window of length EXACTLY L (any >= L
     repeat contains exactly-L repeats covering every position of it,
-    and any exactly-L repeat IS a >= L repeat). So the operator is:
+    and any exactly-L repeat IS a >= L repeat).
 
-      1. slide exactly-L token windows per doc — map-side
-         (sequence/transform/slice, no explode of tokens);
-      2. count window occurrences corpus-wide — ONE shuffle keyed on
-         the window text (at 100 TB: key on xxhash64(window) and
-         carry positions only; equal-hash groups are verified by the
-         span text itself at removal time);
-      3. keep positions of windows occurring > 1 time, merge
-         overlapping windows per doc into maximal spans — a per-doc
-         sort inside one more shuffle keyed by doc.
+    Scale shape (hash-keyed; the raw window text NEVER enters an
+    exchange — at ~50 tokens/window the text form would be a ~50×
+    corpus-size shuffle constant, multiple PB at 100 TB):
 
-    Every stage is linear in corpus tokens with map-side partial
-    aggregation, versus O(log n) prefix-doubling rounds (each a full
-    shuffle of the position space) for a distributed suffix array —
-    same output set, asymptotically cheaper plan. A suffix array
-    additionally yields the repeats' internal structure, which this
-    operator does not need: the output contract is the removal spans.
-    """
+      1. slide exactly-L windows per doc, hashing each to 64 bits
+         map-side — the exchanges carry (id, pos, hash) only;
+      2. count occurrences per hash — groupBy with map-side partial
+         aggregation (the combine collapses each partition's repeats
+         before the wire), keep hashes seen > 1 time;
+      3. pull candidate positions (hash-join on the 8-byte key) and
+         VERIFY them exactly: re-slice the window text for candidate
+         positions only (one doc-keyed join) and re-count on the
+         text itself — hash collisions (different windows, same
+         64-bit key) are filtered here, so the output is exact, not
+         probabilistic. Verification cost tracks the DUPLICATED
+         fraction of the corpus, not the corpus;
+      4. merge surviving windows per doc into maximal spans — a
+         per-doc sort inside one more shuffle keyed by doc.
+
+    Every stage is linear in corpus tokens, versus O(log n)
+    prefix-doubling rounds (each a full shuffle of the position
+    space) for a distributed suffix array — same output set,
+    asymptotically cheaper plan."""
     L = min_tokens
-    t = tokens(text_col)
-    n = F.size(t)
-    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    wins = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(starts, lambda i: F.struct(
-                i.alias("sp"), F.concat_ws(" ", F.slice(t, i, L)).alias("w")
-            ))
-        ).alias("x"),
-    ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.w")
-    # corpus-wide occurrence count per window — one shuffle on the
-    # window; count > 1 marks the position as inside a repeat
-    dup_hits = (
-        wins.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("w")))
+    wh = _windows_hashed(df, text_col, id_col, L)
+    # hashes occurring > 1 time corpus-wide — partial agg collapses
+    # map-side, the exchange carries (hash, partial count) per
+    # distinct hash per partition
+    dup_h = wh.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    cand = wh.join(dup_h, "h").select("_id", "sp")
+    # exact-text verification of the candidate positions: a window
+    # survives iff its TEXT occurs > 1 time among candidates (all
+    # true repeats are candidates, so the text count is exact)
+    cand_w = _candidate_window_text(df, cand, text_col, id_col, L)
+    verified = (
+        cand_w.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("w")))
         .filter(F.col("n_occ") > 1)
         .select("_id", "sp")
     )
-    # merge overlapping/adjacent windows into maximal spans: classic
-    # interval merge as a per-doc window — a window starting past the
-    # running max end of its predecessors opens a new span
-    wd = W.partitionBy("_id").orderBy("sp")
-    prev_max_end = F.max(F.col("sp") + L - 1).over(
-        wd.rowsBetween(W.unboundedPreceding, -1)
-    )
-    flagged = dup_hits.withColumn(
-        "new_span",
-        F.when(F.col("sp") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn("span_id", F.sum("new_span").over(wd))
-    return (
-        flagged.groupBy("_id", "span_id")
-        .agg(
-            F.min("sp").alias("span_start"),
-            (F.max("sp") + L - 1).alias("span_end"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
-    )
+    return _merge_spans(verified, id_col, L)
 
 
 def remove_repeated_spans(
@@ -1144,50 +1218,41 @@ def contaminated_spans(
     decontamination pass removes (or flags) before training.
 
     Same covering-window identity as
-    :func:`repeated_substring_spans`, but membership is an
-    inverted-index equi-join against the eval set's DISTINCT windows
-    instead of a corpus-wide occurrence count: cost is one shuffle
-    keyed on the window text sized by the SMALLER (eval) side's
-    vocabulary — the natural asymmetry of decontamination, where the
-    benchmark suite is millions of tokens against a 100 TB corpus.
+    :func:`repeated_substring_spans`, and the same hash-keyed
+    exchanges: the 100 TB TRAIN side ships only (id, pos,
+    xxhash64(window)) — never window text — into the semi-join
+    against the eval set's distinct window hashes. Only the
+    CANDIDATE train positions (hash hits) have their text
+    re-sliced, then verified exactly against the eval windows' text;
+    the eval side is the benchmark suite (millions of tokens against
+    a 100 TB corpus — the natural asymmetry of decontamination), so
+    carrying its raw windows is model-sized. Hash collisions are
+    rejected by the text equi-join, so the output is exact.
     Returns (id, span_start, span_end, span_tokens), 1-based."""
     L = min_tokens
-
-    def wins(df: DataFrame) -> DataFrame:
-        t = tokens(text_col)
-        n = F.size(t)
-        starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return df.select(
-            F.col(id_col).alias("_id"),
+    # eval window (hash, text): the SMALL side — distinct'd before
+    # either join so cost is the eval vocabulary, not eval positions
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ev_w = (
+        eval_df.select(
             F.explode(
-                F.transform(starts, lambda i: F.struct(
-                    i.alias("sp"), F.concat_ws(" ", F.slice(t, i, L)).alias("w")
-                ))
-            ).alias("x"),
-        ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.w")
-
-    ev = wins(eval_df).select("w").distinct()
-    hits = wins(train).join(ev, "w").select("_id", "sp")
-    wd = W.partitionBy("_id").orderBy("sp")
-    prev_max_end = F.max(F.col("sp") + L - 1).over(
-        wd.rowsBetween(W.unboundedPreceding, -1)
-    )
-    flagged = hits.withColumn(
-        "new_span",
-        F.when(F.col("sp") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn("span_id", F.sum("new_span").over(wd))
-    return (
-        flagged.groupBy("_id", "span_id")
-        .agg(
-            F.min("sp").alias("span_start"),
-            (F.max("sp") + L - 1).alias("span_end"),
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, L)))
+            ).alias("w")
         )
-        .select(
-            F.col("_id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
+        .distinct()
+        .withColumn("h", _win_hash(F.col("w")))
     )
+    # train side: hash-only windows, semi-joined on the 8-byte key
+    cand = (
+        _windows_hashed(train, text_col, id_col, L)
+        .join(ev_w.select("h").distinct(), "h", "left_semi")
+        .select("_id", "sp")
+    )
+    # exact verification: candidate text must EQUAL an eval window
+    cand_w = _candidate_window_text(train, cand, text_col, id_col, L)
+    hits = cand_w.join(ev_w.select("w"), "w", "left_semi").select("_id", "sp")
+    return _merge_spans(hits, id_col, L)

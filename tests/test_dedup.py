@@ -278,3 +278,73 @@ def test_contaminated_spans_cross_set(spark):
         for r in contaminated_spans(train, ev, "text", "doc_id", 10).collect()
     }
     assert out == {(1, 3, 12)}
+
+
+def test_substring_exchange_carries_hash_not_text(spark):
+    """Scale pin: the window stream that feeds the corpus-wide
+    exchanges is (id, pos, 64-bit hash) — NO string column — and the
+    physical plan of the full operator hashes windows with xxhash64.
+    This is the 100 TB guarantee: ~50-token window text never ships
+    through a corpus-sized shuffle (it is re-sliced only for the
+    candidate subset)."""
+    from pyspark.sql import types as T
+
+    from stockify_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f z z")],
+        "doc_id long, text string",
+    )
+    wh = dedup._windows_hashed(df, "text", "doc_id", 6)
+    assert not any(
+        isinstance(f.dataType, T.StringType) for f in wh.schema.fields
+    ), "window exchange schema must not carry text"
+    assert set(wh.columns) == {"_id", "sp", "h"}
+    plan = (
+        dedup.repeated_substring_spans(df, "text", "doc_id", 6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan
+
+
+def test_substring_hash_collisions_rejected(monkeypatch, spark):
+    """Collision handling: squeeze the window hash to 2 bits so
+    DIFFERENT windows collide constantly — the exact-text verify
+    pass must still produce exactly the true repeated spans (and
+    contaminated_spans exactly the true eval hits)."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.llm import dedup
+
+    monkeypatch.setattr(
+        dedup, "_win_hash", lambda w: F.pmod(F.xxhash64(w), F.lit(2))
+    )
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} unrelated tail words here and {shared}"),
+        (3, "completely unique text with no repeats anywhere at all"),
+        (4, "more filler prose that collides in hash space but not text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.repeated_substring_spans(df, "text", "doc_id", 6).collect()
+    }
+    assert out == {(1, 3, 8, 6), (2, 1, 6, 6), (2, 12, 17, 6)}
+
+    bench = "the quick brown fox jumps over the lazy dog today"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} outro words"),
+            (2, "dup dup dup dup dup dup dup dup dup dup dup dup"),
+            (3, "fully clean text with nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.contaminated_spans(train, ev, "text", "doc_id", 10).collect()
+    }
+    assert got == {(1, 3, 12)}
