@@ -625,12 +625,17 @@ def rename_column(path: str, old: str, new: str) -> int:
     files = live_files(path)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
-    m = _mapping(path)
+    # fold drops too (like drop_column): a tombstoned physical must
+    # neither be renameable (its logical name no longer exists) nor
+    # block a rename TO its name (logical names are free once the
+    # column is dropped — the physical tombstone still protects the
+    # file layer via _reject_tombstoned)
+    m, dropped = _fold_schema(path)
     physical_cols: set = set()
     for f in files:
         physical_cols.update(pq.read_schema(f).names)
     rev = {p: lg for lg, p in m.items()}
-    logical_cols = {rev.get(p, p) for p in physical_cols}
+    logical_cols = {rev.get(p, p) for p in physical_cols if p not in dropped}
     if old not in logical_cols:
         raise ValueError(f"column {old!r} does not exist (have {sorted(logical_cols)})")
     if new in logical_cols:
@@ -683,11 +688,22 @@ def drop_column(path: str, name: str) -> int:
 
 
 def _reject_tombstoned(df: DataFrame, path: str) -> None:
-    """Write-side guard: a batch column whose PHYSICAL name (after
-    rename translation) collides with a tombstoned dropped column
-    would resurrect the dropped bytes on old files at read time."""
+    """Write-side guard (the no-field-ids analog of Delta's field-id
+    protection), two hazards:
+
+    1. a batch column whose PHYSICAL name (after rename translation)
+       collides with a tombstoned dropped column would resurrect the
+       dropped bytes on old files at read time;
+    2. a batch column named like the IN-USE physical name of a
+       *different* logical column (e.g. after rename a->b, a new
+       column literally named 'a') would be written as physical 'a'
+       and silently read back as logical 'b' on every snapshot —
+       data mis-attribution. Only names that pass through
+       untranslated are hazards: a name that is itself a logical
+       name in the mapping translates away before hitting the file.
+    """
     m, dropped = _fold_schema(path)
-    if not dropped:
+    if not m and not dropped:
         return
     bad = [c for c in df.columns if m.get(c, c) in dropped]
     if bad:
@@ -695,6 +711,17 @@ def _reject_tombstoned(df: DataFrame, path: str) -> None:
             f"column(s) {bad} were dropped from this table; re-adding a "
             "column with a tombstoned physical name requires a table "
             "rewrite (no field ids to disambiguate the old bytes)"
+        )
+    phys_in_use = set(m.values())
+    aliased = [c for c in df.columns if c in phys_in_use and c not in m]
+    if aliased:
+        owners = {p: lg for lg, p in m.items()}
+        raise ValueError(
+            f"column(s) {aliased} collide with the physical storage name "
+            f"of renamed column(s) "
+            f"{[owners[c] for c in aliased]}; writing them would alias the "
+            "new values into the renamed column on read. Pick a different "
+            "name (no field ids to disambiguate physical storage)"
         )
 
 
@@ -872,6 +899,7 @@ def merge_upsert(
 
     m, dropped = _fold_schema(path)
     # source arrives in LOGICAL names; the whole merge runs physical
+    _reject_tombstoned(source, path)
     source = _to_physical(source, m)
     key_cols = [m.get(k, k) for k in key_cols]
     rels = _live_rel(path)
@@ -2073,8 +2101,27 @@ def vacuum_orphans(
         for name in sorted(os.listdir(d)):
             full = os.path.join(d, name)
             rel = os.path.join(sub, name)
-            if not os.path.isfile(full):
-                continue  # staging DIRS belong to live writers
+            if os.path.isdir(full):
+                # a _staging_<uuid> directory is never referenced by
+                # any log or manifest (files are renamed OUT of it
+                # before commit), so one left behind is a writer that
+                # crashed mid-phase-1 — reclaimable once its NEWEST
+                # mtime (the dir itself or any file still inside)
+                # clears the same in-flight horizon as loose files
+                if not name.startswith("_staging_"):
+                    continue  # unknown dirs are not ours to delete
+                mtimes = [os.path.getmtime(full)] + [
+                    os.path.getmtime(os.path.join(root, fn))
+                    for root, _, fns in os.walk(full)
+                    for fn in fns
+                ]
+                if now - max(mtimes) < min_age_seconds:
+                    continue  # a live writer may still be staging
+                import shutil
+
+                shutil.rmtree(full)
+                deleted.append(rel)
+                continue
             if os.path.realpath(full) in referenced:
                 continue
             if now - os.path.getmtime(full) < min_age_seconds:

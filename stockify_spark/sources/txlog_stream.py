@@ -94,16 +94,24 @@ def _plan_commits(
     end: int,
     skip_change_commits: bool,
     bounds: dict | None = None,
+    schema_version: int | None = None,
 ) -> list[_FilePartition]:
     """Driver-side planning: one partition per file added by commits
     in ``(start_after, end]``. Cost is O(commits planned) log reads.
-    The CURRENT column mapping (renames/drops fold) ships with every
-    partition so the stream surfaces the same logical names a
-    snapshot would. ``bounds`` (from the batch face's pushFilters)
-    skips files whose logged min/max stats are provably disjoint —
-    the txlog's log-level data skipping, surfaced through the
-    datasource pushdown API."""
-    m, dropped = txlog._fold_schema(path)
+    The column mapping (renames/drops fold) at ``schema_version``
+    ships with every partition so the read surfaces the same logical
+    names ``snapshot(version=schema_version)`` would. The batch face
+    passes its ``end_version`` (a historical range read must match
+    the snapshot at that version); the STREAMING face passes None =
+    current head — a live tail surfaces today's names for yesterday's
+    commits, and a checkpoint replay after a rename re-reads old
+    commits under the post-rename names, consistent with the
+    restart-to-pick-up-schema rule :func:`_read_partition` enforces.
+    ``bounds`` (from the batch face's pushFilters) skips files whose
+    logged min/max stats are provably disjoint — the txlog's
+    log-level data skipping, surfaced through the datasource
+    pushdown API."""
+    m, dropped = txlog._fold_schema(path, schema_version)
     rename = {p: lg for lg, p in m.items()}
     bounds = bounds or {}
     # a bound on _commit_version narrows the VERSION loop itself
@@ -179,20 +187,23 @@ def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
     yield from table.to_batches()
 
 
-def _table_schema(path: str) -> StructType:
+def _table_schema(path: str, version: int | None = None) -> StructType:
     """Table schema from a live file's parquet footer (the txlog
     source of truth — parquet footers per immutable file) with the
     column mapping applied (logical names, tombstoned columns
     excluded), plus the stream's ``_commit_version``. One footer
-    read, driver-side."""
+    read, driver-side. ``version`` (the batch face's end_version)
+    folds names and live files AS OF that version so a historical
+    range read matches ``snapshot(version=...)``; None = head (the
+    streaming face)."""
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = txlog.live_files(path)
+    files = txlog.live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
-    m, dropped = txlog._fold_schema(path)
+    m, dropped = txlog._fold_schema(path, version)
     rename = {p: lg for lg, p in m.items()}
     spark_schema = from_arrow_schema(pq.read_schema(files[-1]))
     fields = [
@@ -215,16 +226,62 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._start = int(options.get("starting_version", 0))
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
         self._n_cols = len(schema.fields) - 1  # minus _commit_version
+        # Delta's maxFilesPerTrigger analog at the txlog's natural
+        # granularity: cap each micro-batch at N COMMITS so a fresh
+        # consumer of a long-history table drains the backlog in
+        # bounded batches instead of one table-sized batch (at 100 TB
+        # that is an OOM, not a stream).
+        mx = options.get("max_commits_per_trigger")
+        self._max = int(mx) if mx is not None else None
+        if self._max is not None and self._max < 1:
+            raise ValueError("max_commits_per_trigger must be >= 1")
+        # last offset this RUN has planned up to — the cap's base.
+        # The python datasource API has no admission-control
+        # handshake (latestOffset takes no start offset), so the
+        # reader tracks it: initialOffset pins it for FRESH streams
+        # (capped from batch 0); partitions()/commit() re-sync it
+        # when the engine replays a checkpointed batch after restart.
+        self._base: int | None = None
+
 
     def initialOffset(self) -> dict:
+        # never REWIND the cap base: the engine asks latestOffset
+        # before initialOffset on a fresh stream, and that first
+        # answer may already have advanced past start - 1
+        if self._base is None:
+            self._base = self._start - 1
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": txlog.current_version(self._path)}
+        head = txlog.current_version(self._path)
+        if self._max is None:
+            return {"version": head}
+        if self._base is None:
+            # First offset request of this reader's life. Two cases,
+            # both safe to cap from (starting_version - 1):
+            #   * fresh stream — the engine asks latestOffset BEFORE
+            #     initialOffset (observed pyspark 4.1.2 ordering), so
+            #     this IS batch 0's end: capping here is what bounds
+            #     a fresh consumer's first batch;
+            #   * restart — the engine re-plans the offset log's last
+            #     batch through partitions(start, end) BEFORE its
+            #     first latestOffset call (observed for committed and
+            #     uncommitted last batches alike), which re-syncs
+            #     _base to the checkpoint, so this branch is never
+            #     reached with a stale base and can never rewind the
+            #     offset log below delivered commits.
+            self._base = self._start - 1
+
+        end = max(min(head, self._base + self._max), self._base)
+        self._base = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        e = int(end["version"])
+        if self._base is None or e > self._base:
+            self._base = e  # re-run of a restored uncommitted batch
         return _plan_commits(
-            self._path, int(start["version"]), int(end["version"]), self._skip_changes
+            self._path, int(start["version"]), e, self._skip_changes
         )
 
     def read(self, partition: InputPartition) -> Iterator:
@@ -232,8 +289,11 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets live in the engine's streaming checkpoint; the log
-        # itself is immutable — nothing to reclaim
-        pass
+        # itself is immutable — nothing to reclaim. Keep the cap's
+        # base in sync as a defense-in-depth (partitions already did).
+        e = int(end["version"])
+        if self._base is None or e > self._base:
+            self._base = e
 
 
 class _TxlogBatchReader(DataSourceReader):
@@ -260,8 +320,16 @@ class _TxlogBatchReader(DataSourceReader):
         self._bounds: dict = {}
 
     def partitions(self) -> Sequence[InputPartition]:
+        # schema folds at end_version: a historical range read must
+        # surface the names/columns snapshot(version=end) would, not
+        # post-range renames/drops (version-faithful, like changes())
         return _plan_commits(
-            self._path, self._start - 1, self._end, self._skip_changes, self._bounds
+            self._path,
+            self._start - 1,
+            self._end,
+            self._skip_changes,
+            self._bounds,
+            schema_version=self._end,
         )
 
     def read(self, partition: InputPartition) -> Iterator:
@@ -318,15 +386,25 @@ class TxlogStreamDataSource(DataSource):
 
     Options: ``path`` (required), ``starting_version`` (inclusive,
     default 0), ``skip_change_commits`` (default false — raise on
-    COW/DV commits), and for the batch face ``end_version``
-    (inclusive, default: table head at planning time)."""
+    COW/DV commits), ``max_commits_per_trigger`` (streaming face:
+    cap each micro-batch at N commits — Delta's maxFilesPerTrigger
+    analog — so a long backlog drains in bounded batches), and for
+    the batch face ``end_version`` (inclusive, default: table head
+    at planning time; the range read's schema folds as of this
+    version, matching ``snapshot(version=end_version)``)."""
 
     @classmethod
     def name(cls) -> str:
         return "txlog_stream"
 
     def schema(self) -> StructType:
-        return _table_schema(self.options["path"])
+        # the batch face reads a version range, so its schema is the
+        # fold AS OF end_version; the streaming face (no end_version
+        # option) tails at head schema
+        end = self.options.get("end_version")
+        return _table_schema(
+            self.options["path"], int(end) if end is not None else None
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxlogStreamReader(schema, self.options)

@@ -290,3 +290,98 @@ def test_merge_upsert_after_drop(spark, tmp_path):
     assert snap.columns == ["o_orderkey", "o_totalprice"]
     assert snap.count() == o.count()
     assert snap.filter(F.col("o_totalprice") == 777.0).count() == 15
+
+
+class TestPhysicalNameWriteGuard:
+    """ADVICE r10 (medium): after rename a->b, the physical storage
+    name 'a' is IN USE by logical 'b' — a new batch column literally
+    named 'a' would be written as physical 'a' and silently read back
+    as logical 'b' (data mis-attribution). Write paths must reject
+    it, mirroring the field-id protection the tombstone check already
+    gives drops."""
+
+    def test_append_new_column_named_like_inuse_physical_rejected(
+        self, spark, table
+    ):
+        txlog.rename_column(table, "o_totalprice", "price")
+        bad = spark.createDataFrame(
+            [(900000001, 1.0, 2.0)],
+            "o_orderkey long, price double, o_totalprice double",
+        )
+        with pytest.raises(ValueError, match="physical storage name"):
+            txlog.append(bad, table)
+        # idempotent append and merge share the guard
+        with pytest.raises(ValueError, match="physical storage name"):
+            txlog.append_idempotent(bad, table, "app", 1)
+        with pytest.raises(ValueError, match="physical storage name"):
+            txlog.merge_upsert(spark, table, bad, ["o_orderkey"])
+
+    def test_logical_name_reuse_via_rename_chain_still_writes(self, spark, table):
+        """rename a->b then c->a: batch column 'a' IS a logical name
+        (maps to physical 'c') — must NOT be rejected."""
+        txlog.rename_column(table, "o_totalprice", "price")
+        txlog.rename_column(table, "o_orderkey", "o_totalprice")
+        batch = spark.createDataFrame(
+            [(900000002.0, 3.0)], "o_totalprice double, price double"
+        ).select(
+            F.col("o_totalprice").cast("long").alias("o_totalprice"),
+            F.col("price"),
+        )
+        txlog.append(batch, table)
+        snap = txlog.snapshot(spark, table)
+        assert set(snap.columns) == {"o_totalprice", "price"}
+        assert (
+            snap.filter(F.col("o_totalprice") == 900000002).select("price")
+            .collect()[0][0]
+            == 3.0
+        )
+
+
+class TestRenameFoldsDrops:
+    """ADVICE r10 (low): rename_column must fold drops like
+    drop_column does — a dropped column is not renameable, and a
+    rename TO a dropped PHYSICAL name is legal (the tombstone
+    protects the file layer, not the logical namespace)."""
+
+    @pytest.fixture()
+    def table3(self, spark, tmp_path):
+        path = str(tmp_path / "t3")
+        txlog.create(
+            _orders(spark)
+            .withColumn("flag", F.col("o_orderkey") % 2)
+            .repartitionByRange(2, "o_orderkey"),
+            path,
+        )
+        return path
+
+    def test_rename_dropped_column_rejected(self, spark, table3):
+        txlog.drop_column(table3, "flag")
+        with pytest.raises(ValueError, match="does not exist"):
+            txlog.rename_column(table3, "flag", "flag2")
+
+    def test_rename_to_dropped_physical_name_allowed(self, spark, table3):
+        txlog.drop_column(table3, "flag")
+        v = txlog.rename_column(table3, "o_totalprice", "flag")
+        assert v == 2
+        snap = txlog.snapshot(spark, table3)
+        assert set(snap.columns) == {"o_orderkey", "flag"}
+        # logical 'flag' reads the o_totalprice bytes, NOT the
+        # tombstoned physical 'flag' bytes
+        got = snap.agg(F.round(F.sum("flag"), 2).alias("s")).collect()[0]["s"]
+        want = (
+            _orders(spark).agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == want
+        # and writes of logical 'flag' translate to the physical
+        # o_totalprice column, never the tombstone
+        txlog.append(
+            spark.createDataFrame([(900000003, 7.5)], "o_orderkey long, flag double"),
+            table3,
+        )
+        assert (
+            txlog.snapshot(spark, table3)
+            .filter(F.col("o_orderkey") == 900000003)
+            .collect()[0]["flag"]
+            == 7.5
+        )

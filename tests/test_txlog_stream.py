@@ -526,3 +526,168 @@ def test_vacuum_orphans_respects_legacy_absolute_add_paths(spark, tmp_path):
         os.utime(os.path.join(dd, name), (old, old))
     assert txlog.vacuum_orphans(path, min_age_seconds=3600) == []
     assert txlog.snapshot(spark, path).count() == 30
+
+
+class TestVacuumStagingDirs:
+    def test_stale_staging_dir_reclaimed_fresh_kept(self, spark, tmp):
+        """ADVICE r10 (low): a writer crashed mid-phase-1 leaves a
+        data/_staging_<uuid> directory no log or manifest will ever
+        reference — vacuum_orphans must reclaim it once its NEWEST
+        mtime clears the in-flight horizon, and must keep a fresh one
+        (a live writer may still be staging into it)."""
+        import time
+
+        o = _orders(spark)
+        path = os.path.join(tmp, "t")
+        txlog.create(o.coalesce(1), path)
+        stale = os.path.join(path, "data", "_staging_deadbeef")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+        fresh = os.path.join(path, "data", "_staging_cafef00d")
+        os.makedirs(fresh)
+        with open(os.path.join(fresh, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+        # age ONLY the stale one (dir + contents)
+        old = time.time() - 7200
+        os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
+        os.utime(stale, (old, old))
+        got = txlog.vacuum_orphans(path, min_age_seconds=3600)
+        assert got == [os.path.join("data", "_staging_deadbeef")]
+        assert not os.path.exists(stale)
+        assert os.path.isdir(fresh)  # inside the horizon — kept
+        # a stale DIR mtime with a fresh file inside is still live
+        os.utime(fresh, (old, old))
+        assert txlog.vacuum_orphans(path, min_age_seconds=3600) == []
+        assert txlog.snapshot(spark, path).count() == o.count()
+
+
+class TestRateLimit:
+    def _thirty_commits(self, spark, path):
+        mk = lambda i: spark.createDataFrame(  # noqa: E731
+            [(i, float(i))], "o_orderkey long, o_totalprice double"
+        )
+        txlog.create(mk(0), path)
+        for i in range(1, 30):
+            txlog.append(mk(i), path)
+
+    def test_offset_arithmetic_unit(self, spark, tmp):
+        """Cap mechanics without the engine, following the engine's
+        observed pyspark 4.1.2 call contract: on a FRESH stream
+        latestOffset is asked before initialOffset (so the unknown
+        base caps from starting_version - 1, bounding batch 0); at
+        RESTART the offset log's last batch is re-planned through
+        partitions(start, end) before any latestOffset (so the base
+        re-syncs to the checkpoint and the cap can never rewind the
+        offset log below delivered commits)."""
+        from stockify_spark.sources.txlog_stream import (
+            _TxlogStreamReader,
+            _table_schema,
+        )
+
+        path = os.path.join(tmp, "t")
+        self._thirty_commits(spark, path)
+        schema = _table_schema(path)
+        opts = {"path": path, "max_commits_per_trigger": "10"}
+        # fresh stream: latestOffset FIRST — batch 0 already capped
+        r = _TxlogStreamReader(schema, opts)
+        assert r.latestOffset() == {"version": 9}
+        assert r.initialOffset() == {"version": -1}
+        assert r.latestOffset() == {"version": 19}
+        assert r.latestOffset() == {"version": 29}
+        assert r.latestOffset() == {"version": 29}  # caught up, no rewind
+        # restart: engine re-plans the last checkpointed batch first
+        r2 = _TxlogStreamReader(schema, opts)
+        parts = r2.partitions({"version": 9}, {"version": 19})
+        assert {p.version for p in parts} == set(range(10, 20))
+        assert r2.latestOffset() == {"version": 29}  # capped from 19
+        # uncapped reader is untouched by the tracking
+        r3 = _TxlogStreamReader(schema, {"path": path})
+        assert r3.latestOffset() == {"version": 29}
+
+    def test_backlog_drains_in_bounded_batches_exactly_once(self, spark, tmp):
+        """30-commit backlog, max_commits_per_trigger=10: the stream
+        drains in >= 3 micro-batches of <= 10 commits each, every
+        commit delivered exactly once INCLUDING across a checkpoint
+        restart with new commits."""
+        from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+        path = os.path.join(tmp, "t")
+        self._thirty_commits(spark, path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        batches: list[tuple[int, list[int]]] = []
+
+        def sink(df, bid):
+            vs = sorted(
+                r["_commit_version"]
+                for r in df.select("_commit_version").distinct().collect()
+            )
+            if vs:
+                batches.append((bid, vs))
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", path)
+                .option("max_commits_per_trigger", "10")
+                .load()
+            )
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        assert len(batches) >= 3
+        assert all(len(vs) <= 10 for _, vs in batches)
+        assert sorted(v for _, vs in batches for v in vs) == list(range(30))
+        # new commits + restart from the same checkpoint
+        for i in range(30, 35):
+            txlog.append(
+                spark.createDataFrame(
+                    [(i, float(i))], "o_orderkey long, o_totalprice double"
+                ),
+                path,
+            )
+        n_before = len(batches)
+        run_once()
+        new = [v for _, vs in batches[n_before:] for v in vs]
+        assert sorted(new) == list(range(30, 35))  # exactly once, no replay
+
+
+class TestBatchFaceHistoricalSchema:
+    def test_range_read_folds_schema_at_end_version(self, spark, tmp):
+        """ADVICE r10 (low): a batch range read ending BEFORE a later
+        rename/drop must surface the names snapshot(version=end)
+        surfaces — not the head's names."""
+        from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+        path = os.path.join(tmp, "t")
+        o = _append_history(spark, path)  # v0..v3
+        txlog.rename_column(path, "o_totalprice", "price")  # v4
+        txlog.append(
+            _orders(spark).limit(3).withColumnRenamed("o_totalprice", "price"),
+            path,
+        )  # v5
+        register_txlog_stream(spark)
+        hist = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("end_version", "3")
+            .load()
+        )
+        assert hist.columns == ["o_orderkey", "o_totalprice", "_commit_version"]
+        assert hist.count() == o.count()
+        # the head-range read surfaces the post-rename name
+        head = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("skip_change_commits", "true")
+            .load()
+        )
+        assert head.columns == ["o_orderkey", "price", "_commit_version"]
+        assert head.count() == o.count() + 3
