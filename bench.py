@@ -94,8 +94,13 @@ BENCH_QUERIES = [
     "graph_triangles",
     "text_normalize",
     # round-6 session 2: tokenizer training, chunking, heavy hitters,
-    # canonicalized fuzzy name join
-    "tokenizer_bpe_merges",
+    # canonicalized fuzzy name join. tokenizer_bpe_merges (serial BPE:
+    # one shuffle + one bounded collect PER MERGE, the textbook
+    # semantics) is oracle-checked but no longer benched: its 15x
+    # ratio is the multi-job iteration floor of the serial algorithm
+    # at MB scale, not a plan defect, and the SCALE path —
+    # tokenizer_bpe_batched, one collect per ROUND of 8 merges — is
+    # the benched default below (r10 verdict task 5).
     "doc_chunk_stride",
     "agg_heavy_hitters",
     "join_fuzzy_parts",
@@ -150,6 +155,21 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "agg_countmin_sketch",
     "geo_knn_suppliers",
+    # round-10/11: the exact-substring dedup family (among the
+    # heaviest operators in the repo — hash-keyed exchanges since
+    # r11, so regressions here must be bench-visible), the runtime
+    # DPP probe (wall-clock ~neutral at MB scale, reported for
+    # trend; the bytes metric lives in extras.dpp_io_reduction),
+    # and the stream source's BATCH face (scratch table is cached
+    # by _scratch_table, so the timed leg is the partition-per-file
+    # Arrow read, not the table build)
+    "dedup_substring_exact",
+    "dedup_substring_apply",
+    "pipeline_substring_decontam",
+    "join_dpp_dates",
+    "txlog_stream_appends",
+    # r11: direct readChangeFeed face — per-commit executor-side diff
+    "txlog_stream_cdf_direct",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,

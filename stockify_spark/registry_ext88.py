@@ -473,25 +473,29 @@ def agg_countmin_sketch(spark, sf_dir):
     from stockify_spark.registry import _t
 
     orders = _t(spark, sf_dir, "orders")
-    rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
-    cells = (
-        orders.select("o_custkey")
-        .crossJoin(F.broadcast(rows_))
-        .select(
-            "r",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("|", F.col("r"), F.col("o_custkey"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _CMS_W
-            ).alias("b"),
+
+    def _d_cells(key):
+        # the d (row, bucket) cells of one key, map-side: a literal
+        # 4-element sequence explode — no broadcast join stage for
+        # what is just a per-row unroll constant
+        rs = F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+        return F.explode(
+            F.transform(rs, lambda r: F.struct(
+                r.cast("int").alias("r"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat_ws("|", r, key)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("b"),
+            ))
         )
+
+    cells = (
+        orders.select(_d_cells(F.col("o_custkey")).alias("x"))
+        .select("x.r", "x.b")
         .groupBy("r", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -503,20 +507,9 @@ def agg_countmin_sketch(spark, sf_dir):
         .groupBy("k")
         .agg(F.count("o_custkey").cast("long").alias("exact_cnt"))
     )
-    probe_cells = probe.crossJoin(F.broadcast(rows_)).select(
-        "k",
-        "r",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.col("r"), F.col("k"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _CMS_W
-        ).alias("b"),
-    )
+    probe_cells = probe.select(
+        "k", _d_cells(F.col("k")).alias("x")
+    ).select("k", "x.r", "x.b")
     est = (
         probe_cells.join(F.broadcast(cells), ["r", "b"], "left")
         .groupBy("k")

@@ -593,3 +593,77 @@ def pipeline_substring_decontam(spark, sf_dir):
         "doc_id",
         _DECONTAM_L,
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct streaming CDF — Delta's readChangeFeed face on the stream
+# source (r10 verdict stretch #6): row-level insert/delete rows for
+# EVERY commit straight off the log, no replicate_changes audit-table
+# hop. Same scripted history as txlog_stream_cdf, so the two faces
+# are pinned to the identical multiset of change rows.
+# ---------------------------------------------------------------------------
+
+_STREAM_CDF_DIRECT_SQL = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+FROM base WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'insert', CAST(1 AS BIGINT)
+FROM base WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'delete', CAST(2 AS BIGINT)
+FROM base WHERE o_totalprice < 30000
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'delete', CAST(3 AS BIGINT)
+FROM base WHERE o_totalprice >= 30000 AND o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'insert', CAST(4 AS BIGINT)
+FROM base WHERE o_totalprice >= 30000 AND o_orderkey % 10 = 0
+"""
+
+
+@register("txlog_stream_cdf_direct", _STREAM_CDF_DIRECT_SQL)
+def txlog_stream_cdf_direct(spark, sf_dir):
+    """Direct change-feed read (read_changes=true) over the scripted
+    history v0 create (%3!=0), v1 append (%3==0), v2 COW delete
+    (<30000), v3 MOR delete via deletion vectors (%10==0 of the
+    survivors), v4 restore(2) — the COW diff, the DV pair diff, AND
+    the restore's resurrection must all surface as row-level
+    insert/delete rows tagged with their commit version, byte-equal
+    to what the replicate_changes composition (txlog_stream_cdf)
+    delivers for the same history.
+
+    Scale shape: appends stay one partition per file (append-face
+    parallelism); each change commit is ONE partition whose diff is
+    bounded by the files that commit touched — the batch CDF's
+    O(commit) contract, now without the intermediate audit table."""
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+    from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(2, "o_orderkey"),
+            path,
+        )
+        txlog.append(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        txlog.delete_where(spark, path, F.col("o_totalprice") < 30000.0)
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 0)
+        assert txlog.restore(path, 2) == 4
+
+    path = _scratch_table(sf_dir, "cdfdirect", build)
+    register_txlog_stream(spark)
+    feed = (
+        spark.read.format("txlog_stream")
+        .option("path", path)
+        .option("read_changes", "true")
+        .load()
+    )
+    return feed.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "_change_type",
+        "_commit_version",
+    )

@@ -28,14 +28,15 @@ Non-append commits (COW rewrites, deletion vectors) follow Delta's
 streaming contract: the source RAISES by default — silently treating
 a rewrite's re-added files as inserts would duplicate rows
 downstream — and ``skip_change_commits=true`` (Delta's
-``skipChangeCommits``) opts into ignoring them. Row-level
-insert/delete feeds for such commits are the batch CDF's job
-(:func:`stockify_spark.sources.txlog.changes` /
-:func:`stockify_spark.sources.txlog.replicate_changes`) — and FULL
-CDF streaming falls out by composition: replicate_changes renders
-any table's change feed as an APPEND-ONLY audit table, which this
-source streams directly (tests/test_txlog_stream.py::
-TestCdfStreamingComposition).
+``skipChangeCommits``) opts into ignoring them. For row-level
+insert/delete feeds there are TWO faces: ``read_changes=true``
+(Delta's ``readChangeFeed``) streams every commit's change rows
+directly — appends stay one partition per file, change commits are
+diffed per commit executor-side (:func:`_read_cdf_commit`) — and the
+replicate_changes composition (render any table's change feed as an
+APPEND-ONLY audit table, then stream that) remains for
+multi-consumer replication topologies
+(tests/test_txlog_stream.py::TestCdfStreamingComposition).
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from stockify_spark.sources import txlog
 
@@ -65,6 +66,36 @@ class _FilePartition(InputPartition):
         self.version = version
         self.rename = rename  # physical -> logical
         self.dropped = dropped  # tombstoned physical names
+
+
+class _CdfCommitPartition(InputPartition):
+    """ONE change commit of the read_changes face: the executor
+    recomputes :func:`stockify_spark.sources.txlog.changes`'s
+    file-level multiset diff and DV-level pair diff for this commit
+    from the file lists planned driver-side. Work and memory are
+    bounded by the files the COMMIT touched (a rewrite's add+remove
+    set plus deleted-rows-sized DV sidecars), never by table size —
+    the same O(commit) contract the batch CDF documents."""
+
+    def __init__(
+        self,
+        version: int,
+        added: list,
+        removed: list,
+        dv_before: list,
+        dv_after: list,
+        both: list,
+        rename: dict,
+        dropped: list,
+    ):
+        self.version = version
+        self.added = added        # abs data files this commit added
+        self.removed = removed    # abs data files this commit removed
+        self.dv_before = dv_before  # abs sidecars active at version-1
+        self.dv_after = dv_after    # abs sidecars active at version
+        self.both = both          # abs files live at BOTH versions and
+        self.rename = rename      # targeted by this commit's sidecars
+        self.dropped = dropped
 
 
 def _stats_disjoint(add: dict, bounds: dict, m: dict) -> bool:
@@ -158,9 +189,12 @@ def _plan_commits(
     return parts
 
 
-def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
+def _read_partition(
+    partition: _FilePartition, n_cols: int, change_type: str | None = None
+) -> Iterator:
     """Executor-side: one parquet file → tombstoned columns dropped,
     physical names renamed to logical, a ``_commit_version`` column
+    (and, on the read_changes face, a constant ``_change_type``)
     appended — Arrow record batches out. ``n_cols`` pins the data
     column count so a file written before an additive schema change
     fails loudly instead of mis-aligning positionally."""
@@ -182,12 +216,248 @@ def _read_partition(partition: _FilePartition, n_cols: int) -> Iterator:
             "support schema evolution mid-stream — restart the stream to "
             "pick up the widened schema"
         )
+    if change_type is not None:
+        ct = pa.array([change_type] * table.num_rows, type=pa.string())
+        table = table.append_column("_change_type", ct)
     ver = pa.array([partition.version] * table.num_rows, type=pa.int64())
     table = table.append_column("_commit_version", ver)
     yield from table.to_batches()
 
 
-def _table_schema(path: str, version: int | None = None) -> StructType:
+def _plan_changes(
+    path: str,
+    start_after: int,
+    end: int,
+    schema_version: int | None = None,
+) -> list[InputPartition]:
+    """Driver-side planning for the read_changes face: every commit
+    in ``(start_after, end]`` becomes row-level change partitions.
+    Pure appends fan out one partition per added FILE (the common
+    case at scale — identical parallelism to the append face);
+    change commits (COW rewrites, DV deletes/restores, compactions)
+    become ONE :class:`_CdfCommitPartition` each, whose executor-side
+    diff is bounded by the files that commit touched. Metadata-only
+    commits (renames, txn markers, constraints…) emit no partitions —
+    a change feed of row changes has nothing to say about them.
+    Planning cost: O(commits planned) log reads plus, for DV commits
+    only, this commit's sidecar name columns (deleted-rows-sized) —
+    the same driver reads the batch CDF does."""
+    m, dropped = txlog._fold_schema(path, schema_version)
+    rename = {p: lg for lg, p in m.items()}
+    parts: list[InputPartition] = []
+    for v in range(start_after + 1, end + 1):
+        cpath = txlog._commit_path(path, v)
+        if not os.path.exists(cpath):
+            raise ValueError(f"version {v} not found at {path}")
+        with open(cpath) as f:
+            actions = json.load(f)["actions"]
+        added = [a["add"]["path"] for a in actions if "add" in a]
+        removed = [a["remove"]["path"] for a in actions if "remove" in a]
+        dv_acts = [
+            (a.get("add_dv") or a.get("remove_dv"))
+            for a in actions
+            if "add_dv" in a or "remove_dv" in a
+        ]
+        for rel in added + removed:
+            if not os.path.exists(txlog._abs(path, rel)):
+                raise FileNotFoundError(
+                    f"data file of commit {v} was vacuumed: {rel}; a "
+                    "change feed starting below the retention window "
+                    "cannot replay it — raise starting_version past the "
+                    "vacuum"
+                )
+        if not removed and not dv_acts:
+            for rel in added:
+                parts.append(
+                    _FilePartition(
+                        txlog._abs(path, rel), v, rename, sorted(dropped)
+                    )
+                )
+            continue
+        # change commit — assemble the diff spec changes() plans:
+        # each side's rows are read through ITS version's active DVs
+        dv_before = [
+            txlog._abs(path, p) for p in txlog._live_dvs(path, v - 1)
+        ] if v > 0 else []
+        dv_after = [txlog._abs(path, p) for p in txlog._live_dvs(path, v)]
+        both: list = []
+        if dv_acts:
+            import pyarrow.parquet as pq
+
+            touched: set = set()
+            for dv in dv_acts:
+                sp = txlog._abs(path, dv["path"])
+                if not os.path.exists(sp):
+                    raise FileNotFoundError(
+                        f"DV sidecar vacuumed: {dv['path']} (commit {v}); "
+                        "historical change feed for this version is "
+                        "unrecoverable"
+                    )
+                touched.update(
+                    pq.read_table(sp, columns=["_dv_file"])
+                    .column("_dv_file")
+                    .to_pylist()
+                )
+            prev_live = set(txlog._live_rel(path, v - 1))
+            both = [
+                txlog._abs(path, p)
+                for p in txlog._live_rel(path, v)
+                if p in prev_live and os.path.basename(p) in touched
+            ]
+        parts.append(
+            _CdfCommitPartition(
+                v, [txlog._abs(path, r) for r in added],
+                [txlog._abs(path, r) for r in removed],
+                dv_before, dv_after, both, rename, sorted(dropped),
+            )
+        )
+    return parts
+
+
+def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iterator:
+    """Executor-side diff of one change commit — the pyarrow/pandas
+    re-expression of txlog.changes()'s plan (which is Spark-side and
+    therefore unavailable inside a datasource read task):
+
+      inserts = rows(added \\ dv_after)  exceptAll  rows(removed \\ dv_before)
+      deletes = the reverse
+      + for files live at both versions: rows matching newly-ACTIVE
+        DV pairs are deletes, newly-RETIRED pairs are inserts.
+
+    All frames are commit-sized (a rewrite's touched files), the
+    same bound the batch CDF documents. Duplicate rows follow
+    exceptAll multiset semantics via per-group occurrence counting.
+    Emitted rows are cast back through the stream's declared arrow
+    schema, so additive-evolution null-fills keep their integer
+    types instead of decaying to pandas float64."""
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    data_names = [
+        n for n in arrow.names if n not in ("_change_type", "_commit_version")
+    ]
+    tombstoned = set(partition.dropped)
+
+    def _tagged(paths: list) -> pd.DataFrame | None:
+        """Rows of ``paths`` with (_dv_file, _dv_pos) identity tags,
+        physical names translated to logical; by-name alignment
+        null-fills columns a pre-evolution file lacks (the batch
+        CDF's mergeSchema behavior)."""
+        if not paths:
+            return None
+        frames = []
+        for ap in paths:
+            t = pq.read_table(ap)
+            keep = [c for c in t.column_names if c not in tombstoned]
+            t = t.select(keep).rename_columns(
+                [partition.rename.get(c, c) for c in keep]
+            )
+            df = t.to_pandas()
+            df.insert(0, "_dv_file", _os.path.basename(ap))
+            df.insert(1, "_dv_pos", range(len(df)))
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True, sort=False)
+
+    def _pairs(paths: list) -> pd.DataFrame:
+        """Distinct active (_dv_file, _dv_pos) pairs of a sidecar
+        set. No live-file restriction needed here: pairs are only
+        ever matched against rows of files this commit touched, and
+        a pair targeting any other file simply never joins."""
+        if not paths:
+            return pd.DataFrame({"_dv_file": [], "_dv_pos": []})
+        frames = [
+            pq.read_table(p, columns=["_dv_file", "_dv_pos"]).to_pandas()
+            for p in paths
+        ]
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    def _anti(rows: pd.DataFrame | None, pairs: pd.DataFrame) -> pd.DataFrame | None:
+        if rows is None or not len(pairs):
+            return rows
+        m = rows.merge(
+            pairs.assign(__hit=1), on=["_dv_file", "_dv_pos"], how="left"
+        )
+        return m[m["__hit"].isna()][rows.columns]
+
+    def _data(rows: pd.DataFrame | None) -> pd.DataFrame | None:
+        # project to the stream's declared data columns so the two
+        # diff sides always share one column set (a rewrite across an
+        # additive schema change leaves the removed side narrower)
+        return None if rows is None else rows.reindex(columns=data_names)
+
+    def _except_all(a: pd.DataFrame | None, b: pd.DataFrame | None):
+        """Multiset difference (Spark exceptAll): keep max(0, nA-nB)
+        copies of each distinct row — per-group occurrence index vs
+        the other side's group count."""
+        if a is None or not len(a):
+            return a
+        if b is None or not len(b):
+            return a
+        cols = list(a.columns)
+        occ = a.groupby(cols, dropna=False).cumcount()
+        nb = (
+            b.groupby(cols, dropna=False).size().rename("__nb").reset_index()
+        )
+        m = a.merge(nb, on=cols, how="left")
+        m["__nb"] = m["__nb"].fillna(0)
+        return m[occ.values >= m["__nb"].values][cols]
+
+    dvb = _pairs(partition.dv_before)
+    dva = _pairs(partition.dv_after)
+    a_rows = _anti(_tagged(partition.added), dva)
+    r_rows = _anti(_tagged(partition.removed), dvb)
+    inserts = _except_all(_data(a_rows), _data(r_rows))
+    deletes = _except_all(_data(r_rows), _data(a_rows))
+
+    if partition.both:
+        t = _tagged(partition.both)
+        new_del = _except_all(dva, dvb)
+        new_ins = _except_all(dvb, dva)
+
+        def _semi(pairs_: pd.DataFrame | None) -> pd.DataFrame | None:
+            if pairs_ is None or not len(pairs_):
+                return None
+            return _data(t.merge(pairs_, on=["_dv_file", "_dv_pos"], how="inner"))
+
+        for extra, side in ((_semi(new_del), "del"), (_semi(new_ins), "ins")):
+            if extra is None:
+                continue
+            if side == "del":
+                deletes = extra if deletes is None else pd.concat(
+                    [deletes, extra], ignore_index=True, sort=False
+                )
+            else:
+                inserts = extra if inserts is None else pd.concat(
+                    [inserts, extra], ignore_index=True, sort=False
+                )
+
+    data_schema = pa.schema([arrow.field(n) for n in data_names])
+    for ct, df in (("insert", inserts), ("delete", deletes)):
+        if df is None or not len(df):
+            continue
+        t = pa.Table.from_pandas(
+            df.reindex(columns=data_names), schema=data_schema,
+            preserve_index=False,
+        )
+        t = t.append_column(
+            "_change_type", pa.array([ct] * t.num_rows, type=pa.string())
+        )
+        t = t.append_column(
+            "_commit_version",
+            pa.array([partition.version] * t.num_rows, type=pa.int64()),
+        )
+        yield from t.to_batches()
+
+
+def _table_schema(
+    path: str, version: int | None = None, changes: bool = False
+) -> StructType:
     """Table schema from a live file's parquet footer (the txlog
     source of truth — parquet footers per immutable file) with the
     column mapping applied (logical names, tombstoned columns
@@ -211,6 +481,8 @@ def _table_schema(path: str, version: int | None = None) -> StructType:
         for f in spark_schema.fields
         if f.name not in dropped
     ]
+    if changes:
+        fields.append(StructField("_change_type", StringType(), False))
     return StructType(
         fields + [StructField("_commit_version", LongType(), False)]
     )
@@ -225,7 +497,19 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # default 0 replays the table's whole append history
         self._start = int(options.get("starting_version", 0))
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
-        self._n_cols = len(schema.fields) - 1  # minus _commit_version
+        # read_changes=true: Delta's readChangeFeed streaming face —
+        # row-level insert/delete feed for EVERY commit, no audit
+        # table hop (replicate_changes composition stays available
+        # for replicated/multi-consumer topologies)
+        self._read_changes = str(options.get("read_changes", "false")).lower() == "true"
+        if self._read_changes and self._skip_changes:
+            raise ValueError(
+                "read_changes and skip_change_commits are mutually "
+                "exclusive: the change feed REPRESENTS change commits"
+            )
+        self._schema = schema  # shipped to executors for CDF casting
+        meta = 2 if self._read_changes else 1
+        self._n_cols = len(schema.fields) - meta  # minus stream columns
         # Delta's maxFilesPerTrigger analog at the txlog's natural
         # granularity: cap each micro-batch at N COMMITS so a fresh
         # consumer of a long-history table drains the backlog in
@@ -280,12 +564,20 @@ class _TxlogStreamReader(DataSourceStreamReader):
         e = int(end["version"])
         if self._base is None or e > self._base:
             self._base = e  # re-run of a restored uncommitted batch
+        if self._read_changes:
+            return _plan_changes(self._path, int(start["version"]), e)
         return _plan_commits(
             self._path, int(start["version"]), e, self._skip_changes
         )
 
     def read(self, partition: InputPartition) -> Iterator:
-        return _read_partition(partition, self._n_cols)
+        if isinstance(partition, _CdfCommitPartition):
+            return _read_cdf_commit(partition, self._schema)
+        return _read_partition(
+            partition,
+            self._n_cols,
+            "insert" if self._read_changes else None,
+        )
 
     def commit(self, end: dict) -> None:
         # offsets live in the engine's streaming checkpoint; the log
@@ -316,13 +608,31 @@ class _TxlogBatchReader(DataSourceReader):
         end = options.get("end_version")
         self._end = int(end) if end is not None else txlog.current_version(options["path"])
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
-        self._n_cols = len(schema.fields) - 1
+        self._read_changes = str(options.get("read_changes", "false")).lower() == "true"
+        if self._read_changes and self._skip_changes:
+            raise ValueError(
+                "read_changes and skip_change_commits are mutually "
+                "exclusive: the change feed REPRESENTS change commits"
+            )
+        self._schema = schema
+        self._n_cols = len(schema.fields) - (2 if self._read_changes else 1)
         self._bounds: dict = {}
 
     def partitions(self) -> Sequence[InputPartition]:
         # schema folds at end_version: a historical range read must
         # surface the names/columns snapshot(version=end) would, not
-        # post-range renames/drops (version-faithful, like changes())
+        # post-range renames/drops (version-faithful, like changes()).
+        # The read_changes face ignores pushed bounds: stats pruning
+        # reasons about a file's rows, but a change ROW's presence
+        # depends on the multiset diff across files, so dropping a
+        # provably-out-of-bounds file could still flip diff counts —
+        # Spark re-applies every filter, so this only forgoes IO
+        # skipping, never correctness.
+        if self._read_changes:
+            return _plan_changes(
+                self._path, self._start - 1, self._end,
+                schema_version=self._end,
+            )
         return _plan_commits(
             self._path,
             self._start - 1,
@@ -333,7 +643,13 @@ class _TxlogBatchReader(DataSourceReader):
         )
 
     def read(self, partition: InputPartition) -> Iterator:
-        return _read_partition(partition, self._n_cols)
+        if isinstance(partition, _CdfCommitPartition):
+            return _read_cdf_commit(partition, self._schema)
+        return _read_partition(
+            partition,
+            self._n_cols,
+            "insert" if self._read_changes else None,
+        )
 
 
 class _TxlogBatchReaderPushdown(_TxlogBatchReader):
@@ -388,10 +704,14 @@ class TxlogStreamDataSource(DataSource):
     default 0), ``skip_change_commits`` (default false — raise on
     COW/DV commits), ``max_commits_per_trigger`` (streaming face:
     cap each micro-batch at N commits — Delta's maxFilesPerTrigger
-    analog — so a long backlog drains in bounded batches), and for
-    the batch face ``end_version`` (inclusive, default: table head
-    at planning time; the range read's schema folds as of this
-    version, matching ``snapshot(version=end_version)``)."""
+    analog — so a long backlog drains in bounded batches),
+    ``read_changes`` (Delta's readChangeFeed: emit row-level
+    ``_change_type`` insert/delete rows for EVERY commit, appends
+    fanned out per file and change commits diffed per commit — no
+    replicate_changes audit-table hop), and for the batch face
+    ``end_version`` (inclusive, default: table head at planning
+    time; the range read's schema folds as of this version, matching
+    ``snapshot(version=end_version)``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -402,8 +722,11 @@ class TxlogStreamDataSource(DataSource):
         # fold AS OF end_version; the streaming face (no end_version
         # option) tails at head schema
         end = self.options.get("end_version")
+        changes = str(self.options.get("read_changes", "false")).lower() == "true"
         return _table_schema(
-            self.options["path"], int(end) if end is not None else None
+            self.options["path"],
+            int(end) if end is not None else None,
+            changes=changes,
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -691,3 +691,129 @@ class TestBatchFaceHistoricalSchema:
         )
         assert head.columns == ["o_orderkey", "price", "_commit_version"]
         assert head.count() == o.count() + 3
+
+
+class TestDirectCdf:
+    """read_changes=true — Delta's readChangeFeed face, r11."""
+
+    def _history(self, spark, path):
+        """create / append / COW delete / MOR (DV) delete / restore —
+        every change-commit class the batch CDF distinguishes."""
+        o = _orders(spark)
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                2, "o_orderkey"
+            ),
+            path,
+        )
+        txlog.append(o.filter(F.col("o_orderkey") % 3 == 0), path)       # v1
+        txlog.delete_where(spark, path, F.col("o_totalprice") < 30000.0)  # v2 COW
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 0) # v3 MOR
+        assert txlog.restore(path, 2) == 4                                # v4
+        return o
+
+    def test_batch_face_matches_changes_per_commit(self, spark, tmp):
+        """The direct feed must be the exact multiset union of
+        txlog.changes(v) for every row-touching commit."""
+        path = os.path.join(tmp, "t")
+        self._history(spark, path)
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        assert got.columns == [
+            "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+        ]
+        want = None
+        for v in range(5):
+            c = txlog.changes(spark, path, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            want = c if want is None else want.unionByName(c)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_streaming_face_bounded_batches_exactly_once(self, spark, tmp):
+        """Stream the full feed with a per-trigger cap: every change
+        row exactly once, commit versions within each batch bounded."""
+        path = os.path.join(tmp, "t")
+        self._history(spark, path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+        sdf = (
+            spark.readStream.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .option("max_commits_per_trigger", "2")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(out)
+        want = None
+        for v in range(5):
+            c = txlog.changes(spark, path, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            want = c if want is None else want.unionByName(c)
+        assert got.select(*want.columns).exceptAll(want).count() == 0
+        assert want.exceptAll(got.select(*want.columns)).count() == 0
+
+    def test_metadata_only_commit_emits_nothing(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        o = _orders(spark)
+        txlog.create(o.limit(20).coalesce(1), path)
+        txlog.rename_column(path, "o_totalprice", "price")  # v1: no rows
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        assert got.columns == [
+            "o_orderkey", "price", "_change_type", "_commit_version"
+        ]
+        assert got.filter(F.col("_commit_version") == 1).count() == 0
+        assert got.count() == 20
+
+    def test_compaction_yields_empty_feed(self, spark, tmp):
+        """A rewrite that re-adds the same rows must cancel to an
+        EMPTY delta (multiset diff), exactly like the batch CDF."""
+        path = os.path.join(tmp, "t")
+        o = _orders(spark)
+        txlog.create(o.repartition(4), path)          # v0
+        txlog.compact(spark, path, target_partitions=1)  # v1
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        assert got.filter(F.col("_commit_version") == 1).count() == 0
+        assert got.count() == o.count()
+
+    def test_options_mutually_exclusive(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        txlog.create(_orders(spark).limit(5).coalesce(1), path)
+        register_txlog_stream(spark)
+        with pytest.raises(Exception, match="mutually"):
+            (
+                spark.read.format("txlog_stream")
+                .option("path", path)
+                .option("read_changes", "true")
+                .option("skip_change_commits", "true")
+                .load()
+                .count()
+            )
