@@ -997,11 +997,13 @@ def fuzzy_set_join(
 
 def _win_hash(w: Column) -> Column:
     """64-bit key for the substring-dedup exchanges: ``xxhash64`` of
-    the window text, computed map-side so the shuffle carries an
-    8-byte key + positions instead of ~L tokens of raw text per
-    position. Collisions are handled by the exact-text verification
-    pass in the callers, so this only needs to be *cheap and
-    well-spread*, not perfect.
+    the window (the token-slice ARRAY on the corpus-scale pass — no
+    ~L-token string is ever materialized there; the eval side of
+    decontamination hashes the same slice shape), computed map-side
+    so the shuffle carries an 8-byte key + positions instead of ~L
+    tokens of raw text per position. Collisions are handled by the
+    exact-text verification pass in the callers, so this only needs
+    to be *cheap and well-spread*, not perfect.
 
     Test hook: monkeypatched to a deliberately narrow hash in
     tests/test_dedup.py to force collisions and prove the verify
@@ -1028,7 +1030,7 @@ def _windows_hashed(
         F.explode(
             F.transform(starts, lambda i: F.struct(
                 i.alias("sp"),
-                _win_hash(F.concat_ws(" ", F.slice(t, i, L))).alias("h"),
+                _win_hash(F.slice(t, i, L)).alias("h"),
             ))
         ).alias("x"),
     ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.h")
@@ -1138,11 +1140,15 @@ def repeated_substring_spans(
     asymptotically cheaper plan."""
     L = min_tokens
     wh = _windows_hashed(df, text_col, id_col, L)
-    # hashes occurring > 1 time corpus-wide — partial agg collapses
-    # map-side, the exchange carries (hash, partial count) per
-    # distinct hash per partition
-    dup_h = wh.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    cand = wh.join(dup_h, "h").select("_id", "sp")
+    # hashes occurring > 1 time corpus-wide: ONE shuffle of
+    # (id, pos, hash) keyed on the 8-byte hash — a window count, not
+    # groupBy+join-back, so the expensive window-materialization scan
+    # runs exactly once (a self-join would re-evaluate it per side)
+    cand = (
+        wh.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("n_occ") > 1)
+        .select("_id", "sp")
+    )
     # exact-text verification of the candidate positions: a window
     # survives iff its TEXT occurs > 1 time among candidates (all
     # true repeats are candidates, so the text count is exact)
@@ -1240,11 +1246,14 @@ def contaminated_spans(
     ev_w = (
         eval_df.select(
             F.explode(
-                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, L)))
-            ).alias("w")
+                F.transform(starts, lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(t, i, L)).alias("w"),
+                    _win_hash(F.slice(t, i, L)).alias("h"),
+                ))
+            ).alias("x")
         )
+        .select("x.w", "x.h")
         .distinct()
-        .withColumn("h", _win_hash(F.col("w")))
     )
     # train side: hash-only windows, semi-joined on the 8-byte key
     cand = (
