@@ -817,3 +817,52 @@ class TestDirectCdf:
                 .load()
                 .count()
             )
+
+
+class TestDirectCdfNullsAndDuplicates:
+    def test_diff_with_null_keys_and_duplicate_rows(self, spark, tmp):
+        """exceptAll semantics through the executor-side pandas diff:
+        NULLs compare equal (Spark's exceptAll rule) and duplicate
+        rows cancel by COUNT, not by distinct — a COW rewrite over a
+        table holding nulls and verbatim duplicates must emit exactly
+        the per-copy delta changes() emits."""
+        path = os.path.join(tmp, "t")
+        rows = [
+            (1, 10.0), (1, 10.0), (1, 10.0),   # triplicate
+            (2, None), (2, None),               # null dupes
+            (3, 30.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, v double")
+        txlog.create(df.coalesce(1), path)                      # v0
+        txlog.delete_where(spark, path, F.col("k") == 1)        # v1: COW
+        txlog.delete_where(spark, path, F.col("v").isNull())    # v2: null-key COW
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        want = None
+        for v in range(3):
+            c = txlog.changes(spark, path, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            want = c if want is None else want.unionByName(c)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # closed form: v1 deletes THREE copies of (1, 10.0), v2 TWO nulls
+        assert (
+            got.filter(
+                (F.col("_commit_version") == 1)
+                & (F.col("_change_type") == "delete")
+            ).count()
+            == 3
+        )
+        assert (
+            got.filter(
+                (F.col("_commit_version") == 2)
+                & (F.col("_change_type") == "delete")
+            ).count()
+            == 2
+        )
