@@ -314,6 +314,31 @@ def _plan_changes(
     return parts
 
 
+
+def _freeze(v):
+    """Hashable stand-in for a nested cell (list/ndarray → tuple,
+    struct dict → marked item tuple), recursively — pandas groupby and
+    merge keys must hash, and value equality must survive the trip.
+    :func:`_thaw` is the exact inverse applied before Arrow emission."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_freeze(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return ("__struct__", tuple((k, _freeze(x)) for k, x in sorted(v.items())))
+    return v
+
+
+def _thaw(v):
+    if isinstance(v, tuple):
+        if len(v) == 2 and v[0] == "__struct__":
+            return {k: _thaw(x) for k, x in v[1]}
+        return [_thaw(x) for x in v]
+    return v
+
+
 def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iterator:
     """Executor-side diff of one change commit — the pyarrow/pandas
     re-expression of txlog.changes()'s plan (which is Spark-side and
@@ -359,6 +384,13 @@ def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iter
                 [partition.rename.get(c, c) for c in keep]
             )
             df = t.to_pandas()
+            # nested cells arrive as numpy arrays / dicts — unhashable
+            # under the diff's groupby/merge keys. Freeze them to
+            # tuples (value-equal, hashable); emission converts back
+            # through the declared arrow schema.
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].map(_freeze)
             df.insert(0, "_dv_file", _os.path.basename(ap))
             df.insert(1, "_dv_pos", range(len(df)))
             frames.append(df)
@@ -441,9 +473,12 @@ def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iter
     for ct, df in (("insert", inserts), ("delete", deletes)):
         if df is None or not len(df):
             continue
+        df = df.reindex(columns=data_names)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(_thaw)
         t = pa.Table.from_pandas(
-            df.reindex(columns=data_names), schema=data_schema,
-            preserve_index=False,
+            df, schema=data_schema, preserve_index=False,
         )
         t = t.append_column(
             "_change_type", pa.array([ct] * t.num_rows, type=pa.string())

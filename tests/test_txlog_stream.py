@@ -866,3 +866,38 @@ class TestDirectCdfNullsAndDuplicates:
             ).count()
             == 2
         )
+
+
+class TestDirectCdfNestedColumns:
+    def test_array_column_through_change_commit(self, spark, tmp):
+        """Nested cells (array<double>) are unhashable as pandas keys;
+        the diff freezes them to tuples and thaws before emission —
+        the feed must round-trip values exactly and match changes()."""
+        path = os.path.join(tmp, "t")
+        rows = [
+            (1, [1.0, 2.0]), (2, [3.0]), (3, []),
+            (4, None), (5, [1.0, 2.0]),
+        ]
+        df = spark.createDataFrame(rows, "k long, emb array<double>")
+        txlog.create(df.coalesce(1), path)                 # v0
+        txlog.delete_where(spark, path, F.col("k") <= 2)   # v1 COW
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        want = None
+        for v in range(2):
+            c = txlog.changes(spark, path, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            want = c if want is None else want.unionByName(c)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        dels = {
+            r["k"]: r["emb"]
+            for r in got.filter(F.col("_change_type") == "delete").collect()
+        }
+        assert dels == {1: [1.0, 2.0], 2: [3.0]}
