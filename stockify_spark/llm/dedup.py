@@ -995,23 +995,7 @@ def fuzzy_set_join(
     )
 
 
-def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Parallelize the window-materialization map pass when the input
-    arrives in fewer partitions than the session has slots (a small
-    or single-file scan serializes the operator family's dominant
-    cost on a handful of tasks — at sf0.1 the one-file documents
-    scan made the hash pass single-threaded, 4.5s → 1.7s end-to-end
-    from this alone). At real scale the input already has thousands
-    of partitions, the condition is false, and NO extra corpus-sized
-    shuffle is ever added — the 100 TB plan is unchanged."""
-    sc = df.sparkSession.sparkContext
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if n < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+from stockify_spark.functions.scale import spread_small_scan as _spread_small_scan
 
 
 def _win_hash(w: Column) -> Column:
