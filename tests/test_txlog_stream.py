@@ -901,3 +901,57 @@ class TestDirectCdfNestedColumns:
             for r in got.filter(F.col("_change_type") == "delete").collect()
         }
         assert dels == {1: [1.0, 2.0], 2: [3.0]}
+
+
+class TestRateLimitRestartMidBacklog:
+    def test_available_now_runs_drain_capped_slices_exactly_once(self, spark, tmp):
+        """Restart while the backlog is only partly drained: each
+        availableNow run captures ONE capped offset at prepare time,
+        delivers to it, and terminates — so a 30-commit backlog
+        drains across successive runs with no commit repeated or
+        skipped, the checkpoint carrying the position between runs
+        (the restart leg of the admission-control contract)."""
+        path = os.path.join(tmp, "t")
+        mk = lambda i: spark.createDataFrame(  # noqa: E731
+            [(i, float(i))], "o_orderkey long, o_totalprice double"
+        )
+        txlog.create(mk(0), path)
+        for i in range(1, 30):
+            txlog.append(mk(i), path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", path)
+                .option("max_commits_per_trigger", "10")
+                .load()
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        seen_after_run = []
+        for _ in range(5):
+            run_once()
+            got = spark.read.parquet(out)
+            vs = sorted(
+                r[0] for r in got.select("_commit_version").distinct().collect()
+            )
+            seen_after_run.append((got.count(), vs))
+            if len(vs) == 30:
+                break
+        counts = [n for n, _ in seen_after_run]
+        # strictly increasing in bounded slices, never a full drain in run 1
+        assert counts[0] < 30
+        assert counts == sorted(counts)
+        final_n, final_vs = seen_after_run[-1]
+        assert final_vs == list(range(30))
+        assert final_n == 30  # one row per commit: exactly once
