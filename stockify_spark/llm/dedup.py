@@ -1271,3 +1271,38 @@ def contaminated_spans(
     cand_w = _candidate_window_text(train, cand, text_col, id_col, L)
     hits = cand_w.join(ev_w.select("w"), "w", "left_semi").select("_id", "sp")
     return _merge_spans(hits, id_col, L)
+
+
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    text_col: str,
+    id_col: str,
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup over a STREAM: the first occurrence of each
+    normalized-text fingerprint survives, across micro-batches and
+    across restarts — the ingest-time half of exact dedup (the batch
+    half, :func:`exact_dedup`, is a one-shot groupBy; a 100 TB
+    pipeline tailing a feed cannot re-shuffle the corpus per commit).
+
+    Spark-first: the fingerprint is one map-side column and the
+    engine's OWN stateful dedup operator does the rest —
+    ``dropDuplicates`` keeps the seen-fingerprint set in the state
+    store, versioned with the streaming checkpoint, so a restarted
+    query continues suppressing duplicates it saw before the crash
+    (exactly-once with no custom state code). With
+    ``event_time_col``, uses ``dropDuplicatesWithinWatermark`` so
+    state is BOUNDED by the watermark ``delay`` — the form to run
+    at scale: an unbounded seen-set is a state-store leak on an
+    endless stream; a late duplicate beyond the delay re-admits,
+    which the downstream batch dedup sweep reconciles (the standard
+    streaming-ingest + periodic-compaction split).
+
+    Returns the input columns plus ``fingerprint``."""
+    tagged = sdf.withColumn("fingerprint", fingerprint(text_col))
+    if event_time_col is None:
+        return tagged.dropDuplicates(["fingerprint"])
+    return tagged.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

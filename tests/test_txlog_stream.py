@@ -955,3 +955,91 @@ class TestRateLimitRestartMidBacklog:
         final_n, final_vs = seen_after_run[-1]
         assert final_vs == list(range(30))
         assert final_n == 30  # one row per commit: exactly once
+
+
+class TestStreamingExactDedup:
+    def test_cross_batch_and_cross_restart_state(self, spark, tmp):
+        """llm/dedup.streaming_exact_dedup over the txlog stream:
+        max_commits_per_trigger=1 forces one COMMIT per micro-batch,
+        so suppressing a duplicate that arrived in a LATER commit
+        proves the seen-fingerprint state crosses batches; appending
+        another duplicate and restarting from the checkpoint proves
+        it crosses restarts (state store rides the checkpoint)."""
+        from stockify_spark.llm.dedup import streaming_exact_dedup
+
+        path = os.path.join(tmp, "t")
+        mk = lambda i, txt: spark.createDataFrame(  # noqa: E731
+            [(i, txt)], "doc_id long, text string"
+        )
+        txlog.create(mk(1, "alpha beta gamma"), path)       # v0
+        txlog.append(mk(2, "unique text here"), path)       # v1
+        txlog.append(mk(3, "  Alpha  BETA gamma "), path)   # v2: dup of v0
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", path)
+                .option("max_commits_per_trigger", "1")
+                .load()
+            )
+            q = (
+                streaming_exact_dedup(sdf, "text", "doc_id")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        got = spark.read.parquet(out)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+        assert got.select("fingerprint").distinct().count() == 2
+        # restart leg: two more commits, one duplicate one fresh
+        txlog.append(mk(4, "ALPHA beta gamma"), path)       # v3: dup again
+        txlog.append(mk(5, "genuinely new words"), path)    # v4
+        run_once()
+        got = spark.read.parquet(out)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 5]
+
+    def test_watermark_bounded_variant_runs(self, spark, tmp):
+        """The bounded-state form (dropDuplicatesWithinWatermark):
+        same first-wins result while every duplicate arrives inside
+        the watermark delay — the at-scale configuration, state
+        evicted past the delay."""
+        from stockify_spark.llm.dedup import streaming_exact_dedup
+
+        path = os.path.join(tmp, "t")
+        mk = lambda i, txt: spark.createDataFrame(  # noqa: E731
+            [(i, txt)], "doc_id long, text string"
+        )
+        txlog.create(mk(1, "alpha beta gamma"), path)
+        txlog.append(mk(2, "alpha BETA gamma"), path)  # dup
+        register_txlog_stream(spark)
+        sdf = (
+            spark.readStream.format("txlog_stream")
+            .option("path", path)
+            .option("max_commits_per_trigger", "1")
+            .load()
+            .withColumn(
+                "ts", F.timestamp_seconds(F.col("_commit_version") + 1700000000)
+            )
+        )
+        dd = streaming_exact_dedup(sdf, "text", "doc_id", event_time_col="ts")
+        assert dd.isStreaming
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("sdedup_wm")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table("sdedup_wm")
+        assert [r["doc_id"] for r in got.collect()] == [1]
