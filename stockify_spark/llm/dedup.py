@@ -1306,3 +1306,52 @@ def streaming_exact_dedup(
     return tagged.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def dedup_ingest_sink(spark, dst: str, app_id: str, text_col: str, id_col: str):
+    """foreachBatch sink for DEDUP-AGAINST-HISTORY corpus ingest: each
+    micro-batch is (1) deduped within itself (first id per
+    fingerprint wins — deterministic under replay), (2) anti-joined
+    against the fingerprints already accumulated in the destination
+    txlog table, (3) appended exactly-once via the (app, batch-id)
+    idempotency marker. The standard shape for growing a training
+    corpus from a feed: the table IS the dedup state, so no streaming
+    state store is involved and a cold restart needs no state
+    bootstrap — history is wherever the table is.
+
+    Scale shape: step (2) is one join per batch keyed on the 32-char
+    fingerprint — batch-sized build side against the corpus scan. At
+    100 TB, put :func:`stockify_spark.sources.txlog.attach_bloom` on
+    the fingerprint column: membership probes for mostly-ABSENT keys
+    (the common case — most new docs are novel) then skip every file
+    whose filter rejects, turning the scan side into bounded IO. A
+    fingerprint column is added to stored rows; the destination table
+    is created on first batch."""
+    from pyspark.sql import Window as _W
+
+    from stockify_spark.sources import txlog as _txlog
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("fingerprint", fingerprint(text_col))
+        first = _W.partitionBy("fingerprint").orderBy(id_col)
+        batch_unique = (
+            tagged.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = _txlog.snapshot(spark, dst).select("fingerprint").distinct()
+            fresh = batch_unique.join(seen, "fingerprint", "left_anti")
+        except FileNotFoundError:
+            fresh = batch_unique  # table not born yet: everything is new
+        try:
+            _txlog.append_idempotent(fresh, dst, app_id, batch_id)
+        except FileNotFoundError:
+            # birth as a metadata-only commit so batch 0's data and
+            # its idempotency marker still ride ONE atomic commit (a
+            # create-then-stamp pair would leave a crash window where
+            # a replay duplicates the first batch)
+            _txlog.create_empty(dst)
+            _txlog.append_idempotent(fresh, dst, app_id, batch_id)
+
+    return sink

@@ -1043,3 +1043,56 @@ class TestStreamingExactDedup:
         q.stop()
         got = spark.table("sdedup_wm")
         assert [r["doc_id"] for r in got.collect()] == [1]
+
+
+class TestDedupIngestSink:
+    def test_dedup_against_history_exactly_once(self, spark, tmp):
+        """Dedup-against-HISTORY ingest: the destination table is the
+        dedup state. Within-batch dups collapse, dups against rows
+        ingested in EARLIER batches (or earlier runs) are dropped by
+        the fingerprint anti-join, and a replayed batch is a no-op
+        via the (app, batch-id) marker riding the same commit as the
+        data."""
+        from stockify_spark.llm.dedup import dedup_ingest_sink
+
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        txlog.create(mk([(1, "alpha beta"), (2, "alpha  BETA")]), src)  # v0: in-batch dup
+        txlog.append(mk([(3, "fresh words")]), src)                     # v1
+        txlog.append(mk([(4, "ALPHA beta"), (5, "newer stuff")]), src)  # v2: dup-vs-history
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        sink = dedup_ingest_sink(spark, dst, "ing", "text", "doc_id")
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", src)
+                .option("max_commits_per_trigger", "1")
+                .load()
+                .drop("_commit_version")
+            )
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        got = txlog.snapshot(spark, dst)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5]
+        assert got.select("fingerprint").distinct().count() == 3
+        # out-of-engine replay of batch 0: marker makes it a no-op
+        first = got.limit(1).drop("fingerprint")
+        sink(first, 0)
+        assert txlog.snapshot(spark, dst).count() == 3
+        # restart with one dup + one novel commit
+        txlog.append(mk([(6, "fresh  WORDS"), (7, "final novel doc")]), src)
+        run_once()
+        got = txlog.snapshot(spark, dst)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5, 7]
