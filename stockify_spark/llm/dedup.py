@@ -1355,3 +1355,121 @@ def dedup_ingest_sink(spark, dst: str, app_id: str, text_col: str, id_col: str):
             _txlog.append_idempotent(fresh, dst, app_id, batch_id)
 
     return sink
+
+
+def _band_key_structs(sig_col: Column, bands: int, r: int) -> Column:
+    """The LSH band keys of a MinHash signature as an array of
+    (band, key) structs — key is the exact textual tuple of the
+    band's r signature longs (collision-free, engine-neutral),
+    derived map-side from the stored signature."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig_col, b * r + i + 1).cast("string")
+                    for i in range(r)
+                ],
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+
+
+def near_dedup_ingest_sink(
+    spark,
+    dst: str,
+    app_id: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+):
+    """NEAR-duplicate dedup-against-history ingest — the MinHash-LSH
+    sibling of :func:`dedup_ingest_sink`: each micro-batch's docs are
+    LSH-probed against the corpus accumulated so far, candidates are
+    verified with exact shingle Jaccard, and only genuinely novel
+    docs append (exactly-once via the (app, batch-id) marker).
+
+    The destination table is self-indexing: rows store their MinHash
+    signature (``_sig``, ``num_hashes`` longs) next to the text, so
+    the per-batch probe derives band keys map-side from the STORED
+    column — no corpus re-hash per batch, the scan ships 8·num_hashes
+    bytes/row of index plus ids. Verification shingles are recomputed
+    from text for CANDIDATE pairs only (band-collision-sized, not
+    corpus-sized).
+
+    Dedup rule, deterministic under replay: a batch doc is dropped if
+    a verified match (Jaccard >= ``threshold``) exists against (a)
+    any history doc, or (b) any smaller-id doc of the same batch —
+    greedy first-id-wins, the same convention the batch LSH operator
+    documents. Exact duplicates are near-duplicates at any threshold,
+    so this subsumes the exact sink when fed the same stream."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    from stockify_spark.sources import txlog as _txlog
+
+    def _jaccard_ok(sh_a: Column, sh_b: Column) -> Column:
+        inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+        union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
+        return (union > 0) & (inter / union >= threshold)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            shingles(text_col, k).alias("_sh"),
+        ).localCheckpoint()  # batch-sized; read by signature build + joins
+        sigs = _signatures_from_base(base, num_hashes)
+        bt = base.join(sigs, "_id")
+        b_bands = bt.select(
+            "_id", "_sh",
+            F.explode(_band_key_structs(F.col("_sig"), bands, r)).alias("bk"),
+        ).select("_id", "_sh", "bk.band", "bk.key")
+        dropped = None
+        try:
+            hist = _txlog.snapshot(spark, dst).select(
+                F.col(text_col).alias("_htext"), F.col("_sig").alias("_hsig")
+            )
+            h_bands = hist.select(
+                shingles("_htext", k).alias("_hsh"),
+                F.explode(_band_key_structs(F.col("_hsig"), bands, r)).alias("bk"),
+            ).select("_hsh", "bk.band", "bk.key")
+            dropped = (
+                b_bands.join(h_bands, ["band", "key"])
+                .filter(_jaccard_ok(F.col("_sh"), F.col("_hsh")))
+                .select("_id")
+                .distinct()
+            )
+        except FileNotFoundError:
+            pass  # table not born yet: no history to match
+        # within-batch: greedy smaller-id wins
+        bb = (
+            b_bands.alias("a")
+            .join(b_bands.alias("b"), ["band", "key"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .filter(_jaccard_ok(F.col("a._sh"), F.col("b._sh")))
+            .select(F.col("b._id").alias("_id"))
+            .distinct()
+        )
+        dropped = bb if dropped is None else dropped.unionByName(bb).distinct()
+        survivors = (
+            bt.join(dropped, "_id", "left_anti")
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("_text").alias(text_col),
+                "_sig",
+            )
+        )
+        try:
+            _txlog.append_idempotent(survivors, dst, app_id, batch_id)
+        except FileNotFoundError:
+            _txlog.create_empty(dst)
+            _txlog.append_idempotent(survivors, dst, app_id, batch_id)
+
+    return sink

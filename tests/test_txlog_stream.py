@@ -1096,3 +1096,71 @@ class TestDedupIngestSink:
         run_once()
         got = txlog.snapshot(spark, dst)
         assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5, 7]
+
+
+class TestNearDedupIngestSink:
+    def test_near_dup_history_within_batch_and_restart(self, spark, tmp):
+        """MinHash-LSH dedup-against-history: shared-shingle texts
+        with small edits are dropped vs history AND within a batch
+        (greedy smaller-id wins); an ALL-duplICATE commit still
+        commits its idempotency marker; unrelated texts pass; state
+        is the table, so a restart continues correctly."""
+        from stockify_spark.llm.dedup import near_dedup_ingest_sink
+
+        base_text = (
+            "the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the river"
+        )
+        near = base_text.replace("softly", "gently")        # 1-token edit
+        near2 = base_text.replace("quiet", "calm")          # another edit
+        other = (
+            "completely different subject matter entirely about "
+            "spacecraft navigation systems and orbital mechanics designs"
+        )
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "dst")
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        # v0: base + a within-batch near-dup; v1: all near-dups of
+        # history; v2: novel
+        txlog.create(mk([(1, base_text), (2, near)]), src)
+        txlog.append(mk([(3, near2)]), src)
+        txlog.append(mk([(4, other)]), src)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        sink = near_dedup_ingest_sink(
+            spark, dst, "near", "text", "doc_id", threshold=0.5
+        )
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", src)
+                .option("max_commits_per_trigger", "1")
+                .load()
+                .drop("_commit_version")
+            )
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        got = txlog.snapshot(spark, dst)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 4]
+        assert got.columns == ["doc_id", "text", "_sig"]
+        # restart: one more near-dup of doc 1 and one novel doc
+        txlog.append(
+            mk([(5, base_text.replace("rain", "snow")), (6, "short novel fragment of text")]),
+            src,
+        )
+        run_once()
+        got = txlog.snapshot(spark, dst)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 4, 6]
+        # replay of batch 0 outside the engine: marker no-op
+        sink(mk([(1, base_text)]), 0)
+        assert txlog.snapshot(spark, dst).count() == 3
