@@ -30,8 +30,10 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism ONLY
     when it currently has fewer partitions than that (see module
     docstring). Safe anywhere a row-wise map pass follows."""
-    sc = df.sparkSession.sparkContext
     try:
+        # sparkContext/.rdd are unsupported on Spark Connect sessions
+        # — degrade to a no-op there rather than crash the operator
+        sc = df.sparkSession.sparkContext
         n = df.rdd.getNumPartitions()
     except Exception:
         return df

@@ -1124,9 +1124,12 @@ def repeated_substring_spans(
 
       1. slide exactly-L windows per doc, hashing each to 64 bits
          map-side — the exchanges carry (id, pos, hash) only;
-      2. count occurrences per hash — groupBy with map-side partial
-         aggregation (the combine collapses each partition's repeats
-         before the wire), keep hashes seen > 1 time;
+      2. count occurrences per hash — ONE window count over the
+         8-byte key (the full (id, pos, hash) stream crosses that
+         exchange once; the window form was measured faster than
+         groupBy+join-back, which re-evaluates the window-
+         materialization scan per join side), keep hashes seen
+         > 1 time;
       3. pull candidate positions (hash-join on the 8-byte key) and
          VERIFY them exactly: re-slice the window text for candidate
          positions only (one doc-keyed join) and re-count on the
@@ -1188,7 +1191,8 @@ def remove_repeated_spans(
     shuffles + one doc-keyed join of the span table (rows = spans,
     far smaller than the corpus) + a map-side lambda cut — the
     filter runs inside JVM higher-order functions, no Python."""
-    df = _spread_small_scan(df)
+    # repeated_substring_spans spreads df itself; the cut-side join
+    # below reuses the same frame without a second plan materialization
     spans = repeated_substring_spans(df, text_col, id_col, min_tokens)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
@@ -1344,15 +1348,9 @@ def dedup_ingest_sink(spark, dst: str, app_id: str, text_col: str, id_col: str):
             fresh = batch_unique.join(seen, "fingerprint", "left_anti")
         except FileNotFoundError:
             fresh = batch_unique  # table not born yet: everything is new
-        try:
-            _txlog.append_idempotent(fresh, dst, app_id, batch_id)
-        except FileNotFoundError:
-            # birth as a metadata-only commit so batch 0's data and
-            # its idempotency marker still ride ONE atomic commit (a
-            # create-then-stamp pair would leave a crash window where
-            # a replay duplicates the first batch)
-            _txlog.create_empty(dst)
-            _txlog.append_idempotent(fresh, dst, app_id, batch_id)
+        # append_idempotent bootstraps a missing table itself: batch
+        # 0's data and its marker ride commit 0 atomically
+        _txlog.append_idempotent(fresh, dst, app_id, batch_id)
 
     return sink
 
@@ -1426,35 +1424,63 @@ def near_dedup_ingest_sink(
             shingles(text_col, k).alias("_sh"),
         ).localCheckpoint()  # batch-sized; read by signature build + joins
         sigs = _signatures_from_base(base, num_hashes)
-        bt = base.join(sigs, "_id")
+        # materialize once: bt feeds band derivation (three join
+        # branches) AND the survivor write — lazily it would re-run
+        # the explode×num_hashes signature pipeline per consumer (the
+        # minhash_lsh_pairs persist lesson)
+        bt = base.join(sigs, "_id").localCheckpoint()
         b_bands = bt.select(
-            "_id", "_sh",
+            "_id",
             F.explode(_band_key_structs(F.col("_sig"), bands, r)).alias("bk"),
-        ).select("_id", "_sh", "bk.band", "bk.key")
+        ).select("_id", "bk.band", "bk.key")
+        b_sh = bt.select("_id", "_sh")
         dropped = None
         try:
             hist = _txlog.snapshot(spark, dst).select(
-                F.col(text_col).alias("_htext"), F.col("_sig").alias("_hsig")
+                F.col(id_col).alias("_hid"),
+                F.col(text_col).alias("_htext"),
+                F.col("_sig").alias("_hsig"),
             )
+            # ids-only band join: the corpus side ships (id, band,
+            # key) derived map-side from the STORED signature — never
+            # text or shingles. Candidate pairs are band-collision-
+            # sized; only THEIR history rows get shingles recomputed,
+            # via a semi-join that prunes the text scan first.
             h_bands = hist.select(
-                shingles("_htext", k).alias("_hsh"),
+                "_hid",
                 F.explode(_band_key_structs(F.col("_hsig"), bands, r)).alias("bk"),
-            ).select("_hsh", "bk.band", "bk.key")
-            dropped = (
+            ).select("_hid", "bk.band", "bk.key")
+            cand = (
                 b_bands.join(h_bands, ["band", "key"])
+                .select("_id", "_hid")
+                .distinct()
+            )
+            h_cand_sh = (
+                hist.join(cand.select("_hid").distinct(), "_hid", "left_semi")
+                .select("_hid", shingles("_htext", k).alias("_hsh"))
+            )
+            dropped = (
+                cand.join(b_sh, "_id")
+                .join(h_cand_sh, "_hid")
                 .filter(_jaccard_ok(F.col("_sh"), F.col("_hsh")))
                 .select("_id")
                 .distinct()
             )
         except FileNotFoundError:
             pass  # table not born yet: no history to match
-        # within-batch: greedy smaller-id wins
+        # within-batch: greedy smaller-id wins (batch-sized frames)
         bb = (
             b_bands.alias("a")
             .join(b_bands.alias("b"), ["band", "key"])
             .filter(F.col("a._id") < F.col("b._id"))
-            .filter(_jaccard_ok(F.col("a._sh"), F.col("b._sh")))
-            .select(F.col("b._id").alias("_id"))
+            .select(
+                F.col("a._id").alias("_ida"), F.col("b._id").alias("_id")
+            )
+            .distinct()
+            .join(b_sh.select(F.col("_id").alias("_ida"), F.col("_sh").alias("_sha")), "_ida")
+            .join(b_sh, "_id")
+            .filter(_jaccard_ok(F.col("_sha"), F.col("_sh")))
+            .select("_id")
             .distinct()
         )
         dropped = bb if dropped is None else dropped.unionByName(bb).distinct()
@@ -1466,10 +1492,8 @@ def near_dedup_ingest_sink(
                 "_sig",
             )
         )
-        try:
-            _txlog.append_idempotent(survivors, dst, app_id, batch_id)
-        except FileNotFoundError:
-            _txlog.create_empty(dst)
-            _txlog.append_idempotent(survivors, dst, app_id, batch_id)
+        # append_idempotent bootstraps a missing table itself: batch
+        # 0's data and its marker ride commit 0 atomically
+        _txlog.append_idempotent(survivors, dst, app_id, batch_id)
 
     return sink

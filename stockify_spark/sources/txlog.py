@@ -2110,11 +2110,17 @@ def vacuum_orphans(
                 # clears the same in-flight horizon as loose files
                 if not name.startswith("_staging_"):
                     continue  # unknown dirs are not ours to delete
-                mtimes = [os.path.getmtime(full)] + [
-                    os.path.getmtime(os.path.join(root, fn))
-                    for root, _, fns in os.walk(full)
-                    for fn in fns
-                ]
+                try:
+                    mtimes = [os.path.getmtime(full)] + [
+                        os.path.getmtime(os.path.join(root, fn))
+                        for root, _, fns in os.walk(full)
+                        for fn in fns
+                    ]
+                except OSError:
+                    # a LIVE writer renamed a file out from under the
+                    # walk — by definition inside the in-flight
+                    # horizon, so keep the dir and keep vacuuming
+                    continue
                 if now - max(mtimes) < min_age_seconds:
                     continue  # a live writer may still be staging
                 import shutil

@@ -189,15 +189,78 @@ def _plan_commits(
     return parts
 
 
+def _data_arrow_schema(schema: StructType):
+    """Arrow schema of the DATA columns (stream columns stripped) —
+    the by-name alignment target of the read_changes face."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    return pa.schema(
+        [
+            arrow.field(n)
+            for n in arrow.names
+            if n not in ("_change_type", "_commit_version")
+        ]
+    )
+
+
+def _reject_unknown_columns(cols, data_names, context: str) -> None:
+    """Columns present in a change-commit's rows but ABSENT from the
+    stream's declared schema mean a rename (or an unknown column)
+    committed after the stream captured its schema: emitting them by
+    name-alignment would silently NULL the renamed column's values
+    (the r11 review finding). Fail loudly with the same
+    restart-to-pick-up-schema contract the append face enforces."""
+    extra = [c for c in cols if c not in set(data_names)]
+    if extra:
+        raise ValueError(
+            f"{context}: column(s) {extra} are not in the stream's "
+            "declared schema — a rename/drop was committed after the "
+            "stream started. Restart the stream (or use end_version on "
+            "the batch face) to pick up the new schema"
+        )
+
+
+def _align_to_schema(table, data_schema, abs_path: str):
+    """Align one file's arrow table to the declared data schema BY
+    NAME: extra columns raise (see :func:`_reject_unknown_columns`),
+    columns the file predates null-fill at the declared type (the
+    batch CDF's mergeSchema semantics), and the result is reordered
+    and cast to the declared types."""
+    import pyarrow as pa
+
+    _reject_unknown_columns(
+        table.column_names, data_schema.names, f"file {abs_path}"
+    )
+    arrays = []
+    for field in data_schema:
+        if field.name in table.column_names:
+            arrays.append(table.column(field.name).cast(field.type))
+        else:
+            arrays.append(pa.nulls(table.num_rows, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=data_schema)
+
+
 def _read_partition(
-    partition: _FilePartition, n_cols: int, change_type: str | None = None
+    partition: _FilePartition,
+    n_cols: int,
+    change_type: str | None = None,
+    data_schema=None,
 ) -> Iterator:
     """Executor-side: one parquet file → tombstoned columns dropped,
     physical names renamed to logical, a ``_commit_version`` column
     (and, on the read_changes face, a constant ``_change_type``)
-    appended — Arrow record batches out. ``n_cols`` pins the data
-    column count so a file written before an additive schema change
-    fails loudly instead of mis-aligning positionally."""
+    appended — Arrow record batches out.
+
+    The append face pins the data column COUNT (``n_cols``) so a file
+    written before an additive schema change fails loudly instead of
+    mis-aligning positionally. The read_changes face instead aligns
+    BY NAME against ``data_schema`` (null-filling pre-evolution
+    files, raising on unknown names) so a historical change-feed
+    range across an additive evolution matches what the batch CDF's
+    mergeSchema read delivers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -209,7 +272,9 @@ def _read_partition(
         table = table.rename_columns(
             [partition.rename.get(c, c) for c in table.column_names]
         )
-    if table.num_columns != n_cols:
+    if data_schema is not None:
+        table = _align_to_schema(table, data_schema, partition.abs_path)
+    elif table.num_columns != n_cols:
         raise ValueError(
             f"file {partition.abs_path} has {table.num_columns} columns, "
             f"stream schema expects {n_cols}; the append stream does not "
@@ -367,6 +432,7 @@ def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iter
     data_names = [
         n for n in arrow.names if n not in ("_change_type", "_commit_version")
     ]
+    data_name_set = set(data_names)
     tombstoned = set(partition.dropped)
 
     def _tagged(paths: list) -> pd.DataFrame | None:
@@ -420,8 +486,19 @@ def _read_cdf_commit(partition: _CdfCommitPartition, schema: StructType) -> Iter
     def _data(rows: pd.DataFrame | None) -> pd.DataFrame | None:
         # project to the stream's declared data columns so the two
         # diff sides always share one column set (a rewrite across an
-        # additive schema change leaves the removed side narrower)
-        return None if rows is None else rows.reindex(columns=data_names)
+        # additive schema change leaves the removed side narrower).
+        # Names the schema does NOT know mean a post-stream-start
+        # rename — silently reindexing would NULL that column's
+        # values, so fail loudly instead (same contract as the
+        # append-face alignment).
+        if rows is None:
+            return None
+        _reject_unknown_columns(
+            [c for c in rows.columns if c not in ("_dv_file", "_dv_pos")],
+            data_name_set,
+            f"change commit {partition.version}",
+        )
+        return rows.reindex(columns=data_names)
 
     def _except_all(a: pd.DataFrame | None, b: pd.DataFrame | None):
         """Multiset difference (Spark exceptAll): keep max(0, nA-nB)
@@ -505,12 +582,20 @@ def _table_schema(
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    import pyarrow as pa
+
     files = txlog.live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
     m, dropped = txlog._fold_schema(path, version)
     rename = {p: lg for lg, p in m.items()}
-    spark_schema = from_arrow_schema(pq.read_schema(files[-1]))
+    # UNION of all live footers, not one file's: under additive
+    # schema evolution the live set mixes generations and any single
+    # footer may be the narrow one (snapshot() reads with
+    # mergeSchema; the stream's declared schema must match it).
+    # Footer-only reads, O(live files), driver-side.
+    unified = pa.unify_schemas([pq.read_schema(f) for f in files])
+    spark_schema = from_arrow_schema(unified)
     fields = [
         StructField(rename.get(f.name, f.name), f.dataType, f.nullable)
         for f in spark_schema.fields
@@ -612,6 +697,9 @@ class _TxlogStreamReader(DataSourceStreamReader):
             partition,
             self._n_cols,
             "insert" if self._read_changes else None,
+            data_schema=_data_arrow_schema(self._schema)
+            if self._read_changes
+            else None,
         )
 
     def commit(self, end: dict) -> None:
@@ -684,6 +772,9 @@ class _TxlogBatchReader(DataSourceReader):
             partition,
             self._n_cols,
             "insert" if self._read_changes else None,
+            data_schema=_data_arrow_schema(self._schema)
+            if self._read_changes
+            else None,
         )
 
 

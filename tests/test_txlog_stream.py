@@ -1164,3 +1164,113 @@ class TestNearDedupIngestSink:
         # replay of batch 0 outside the engine: marker no-op
         sink(mk([(1, base_text)]), 0)
         assert txlog.snapshot(spark, dst).count() == 3
+
+
+class TestDirectCdfSchemaEdges:
+    def test_mid_stream_rename_fails_loud_not_silent_nulls(self, spark, tmp):
+        """A rename committed AFTER a read_changes stream captured its
+        schema must error with the restart contract — name-aligned
+        emission would otherwise silently NULL the renamed column's
+        values (r11 review finding)."""
+        path = os.path.join(tmp, "t")
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "k long, v double"
+        )
+        txlog.create(mk([(1, 1.0), (2, 2.0)]), path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+        sdf = (
+            spark.readStream.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.read.parquet(out).count() == 2
+            # rename + change commit while the SAME query is running:
+            # its schema was captured at start, so emitting the
+            # post-rename rows by name would silently NULL them — the
+            # read must fail the query instead
+            txlog.rename_column(path, "v", "price")
+            txlog.delete_where(spark, path, F.col("price") < 1.5)
+            with pytest.raises(Exception, match="declared schema"):
+                q.processAllAvailable()
+                q.awaitTermination(60)
+        finally:
+            q.stop()
+        # nothing was silently emitted for the post-rename commit
+        assert spark.read.parquet(out).count() == 2
+        # a RESTARTED query (fresh schema capture) reads it fine —
+        # the documented restart-to-pick-up-schema contract
+        q2 = (
+            spark.readStream.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out2"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt2"))
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        got2 = spark.read.parquet(os.path.join(tmp, "out2"))
+        assert "price" in got2.columns
+        assert got2.filter(F.col("_change_type") == "delete").count() == 1
+
+    def test_additive_evolution_matches_batch_cdf(self, spark, tmp):
+        """A read_changes range over an additive schema change must
+        null-fill pre-evolution files by NAME (the batch CDF's
+        mergeSchema semantics) — parity with changes(), where the
+        append face's positional count pin would refuse."""
+        path = os.path.join(tmp, "t")
+        txlog.create(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+            path,
+        )                                                           # v0: 2 cols
+        txlog.append(
+            spark.createDataFrame([(3, 3.0, "x")], "k long, v double, tag string"),
+            path,
+        )                                                           # v1: 3 cols
+        txlog.delete_where(spark, path, F.col("k") == 1)            # v2: COW
+        register_txlog_stream(spark)
+        got = (
+            spark.read.format("txlog_stream")
+            .option("path", path)
+            .option("read_changes", "true")
+            .load()
+        )
+        want = None
+        for v in range(3):
+            c = txlog.changes(spark, path, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            want = c if want is None else want.unionByName(
+                c, allowMissingColumns=True
+            )
+        want = want.select(*got.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # the pre-evolution row surfaces with a NULL tag
+        assert (
+            got.filter((F.col("k") == 1) & (F.col("_change_type") == "insert"))
+            .collect()[0]["tag"]
+            is None
+        )
+        # the plain append face keeps its loud positional pin
+        with pytest.raises(Exception, match="schema evolution"):
+            (
+                spark.read.format("txlog_stream")
+                .option("path", path)
+                .option("skip_change_commits", "true")
+                .load()
+                .count()
+            )
