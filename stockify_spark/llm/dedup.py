@@ -1191,8 +1191,12 @@ def remove_repeated_spans(
     shuffles + one doc-keyed join of the span table (rows = spans,
     far smaller than the corpus) + a map-side lambda cut — the
     filter runs inside JVM higher-order functions, no Python."""
-    # repeated_substring_spans spreads df itself; the cut-side join
-    # below reuses the same frame without a second plan materialization
+    # spread BEFORE both consumers: the span detector (which would
+    # spread internally anyway — its check is then a no-op) AND the
+    # cut side below, whose per-token covered() filter is an
+    # interpreted higher-order pass that must not run on a
+    # single-split scan
+    df = _spread_small_scan(df)
     spans = repeated_substring_spans(df, text_col, id_col, min_tokens)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
