@@ -42,18 +42,95 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Vocabulary-size gate for the executor-resident fold below: under
+# this many distinct words, every merge round runs in ONE single-task
+# pass instead of one shuffle + one driver collect per round. 200k
+# words x ~8 symbols x a handful of rounds is a few million Counter
+# increments — well under a second in one task — while the corpus-
+# sized work (word_frequencies' tokenize + count shuffle) has already
+# happened distributed. Larger vocabularies take the per-round
+# distributed loop, whose cost is independent of corpus size too.
+_LOCAL_VOCAB_LIMIT = 200_000
+
+
+def _fold_rounds_local(pdf, rounds: int, batch: int):
+    """Run the batched-BPE recurrence on an in-memory vocabulary.
+
+    Exactly the distributed selection rule: per round, rank pairs by
+    (count DESC, lhs, rhs), keep the conservative independent set of
+    the top ``batch``, apply the kept replaces in rank order (pandas
+    ``str.replace`` is Python ``str.replace`` — the same left-to-right
+    non-overlapping scan as Spark's ``F.replace``). Tie-break order is
+    codepoint order on both sides for the [a-z]+ vocabulary this
+    module's callers feed it. Returns [(round, rn, lhs, rhs, cnt)].
+    """
+    from collections import Counter
+
+    out: list[tuple[int, int, str, str, int]] = []
+    s = pdf["s"]
+    cnt = pdf["cnt"].tolist()
+    for rnd in range(1, rounds + 1):
+        syms = s.str.slice(1, -1).str.split(",,").tolist()
+        counts: Counter = Counter()
+        for symlist, k in zip(syms, cnt):
+            for i in range(len(symlist) - 1):
+                counts[(symlist[i], symlist[i + 1])] += k
+        if not counts:
+            break
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:batch]
+        selected = [
+            (rn, l, r, c)
+            for rn, ((l, r), c) in enumerate(top, start=1)
+            if all(
+                l not in (pl, pr) and r not in (pl, pr)
+                for (pl, pr), _ in top[: rn - 1]
+            )
+        ]
+        for rn, l, r, c in selected:
+            out.append((rnd, rn, l, r, int(c)))
+            s = s.str.replace(f",{l},,{r},", f",{l}{r},", regex=False)
+    return out
+
+
+def _encoded(words: DataFrame) -> DataFrame:
+    """(word, cnt) → the separator-encoded (s, cnt) training frame."""
+    return words.select(
+        F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
+    )
+
+
 def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFrame:
     """Learn ``steps`` BPE merges; returns (step, lhs, rhs, pair_cnt).
 
     Deterministic: ties broken by (count desc, lhs asc, rhs asc), so
     the learned merge table is exactly reproducible cross-engine.
     """
-    # lazy persist: the first step's pair-count job materializes the
-    # cache as a side effect — a separate count() would spend a whole
-    # extra job just to warm it
-    base = words.select(
-        F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
-    ).persist()
+    enc = _encoded(words).localCheckpoint(eager=True)
+    if enc.count() <= _LOCAL_VOCAB_LIMIT:
+        # model-sized vocabulary: all steps in one executor pass
+        # (serial BPE == the batched recurrence with batch=1: one
+        # merge per round, recount between merges)
+        n_steps = steps
+
+        def _fold(batches):
+            import pandas as pd
+
+            pdf = pd.concat(list(batches), ignore_index=True)
+            rows = [] if pdf.empty else _fold_rounds_local(pdf, n_steps, 1)
+            yield pd.DataFrame(
+                {
+                    "step": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "lhs": pd.Series([r[2] for r in rows], dtype="object"),
+                    "rhs": pd.Series([r[3] for r in rows], dtype="object"),
+                    "pair_cnt": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+        return enc.coalesce(1).mapInPandas(
+            _fold, schema="step long, lhs string, rhs string, pair_cnt long"
+        )
+
+    base = enc
     sdf = base
     # the frame sdf was derived from; its cache may only be dropped
     # AFTER a job has materialized sdf's own cache (else dropping it
@@ -151,11 +228,34 @@ def bpe_learn_batched(
     trainers; the learned vocabulary differs only in merge ORDER for
     pairs whose counts interleave within a round.
     """
-    # lazy persist (see bpe_learn): the round-1 top-k job warms the
-    # cache, no separate count() job
-    base = words.select(
-        F.regexp_replace("word", "(.)", ",$1,").alias("s"), "cnt"
-    ).persist()
+    enc = _encoded(words).localCheckpoint(eager=True)
+    if enc.count() <= _LOCAL_VOCAB_LIMIT:
+        # model-sized vocabulary: every round's count/select/apply in
+        # one executor pass — the per-round shuffle + driver collect
+        # of the loop below priced ~a job floor per round at MB scale
+        n_rounds, n_batch = rounds, batch
+
+        def _fold(batches):
+            import pandas as pd
+
+            pdf = pd.concat(list(batches), ignore_index=True)
+            rows = [] if pdf.empty else _fold_rounds_local(pdf, n_rounds, n_batch)
+            yield pd.DataFrame(
+                {
+                    "round": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "rn": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "lhs": pd.Series([r[2] for r in rows], dtype="object"),
+                    "rhs": pd.Series([r[3] for r in rows], dtype="object"),
+                    "pair_cnt": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+        return enc.coalesce(1).mapInPandas(
+            _fold,
+            schema="round long, rn long, lhs string, rhs string, pair_cnt long",
+        )
+
+    base = enc
     sdf = base
     releasable: DataFrame | None = None  # see bpe_learn: drop only after successor job
     out: list[tuple[int, int, str, str, int]] = []

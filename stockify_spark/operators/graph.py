@@ -64,6 +64,57 @@ def pagerank(
     # iters times (the plan audit showed 33 scans for 8 rounds).
     ew = ew.join(outw, "_src").localCheckpoint(eager=True)
 
+    m = ew.count()  # metadata-cheap on the already-checkpointed blocks
+    if m <= 1_000_000:
+        # model-sized edge list: run EVERY round in one executor-
+        # resident pass instead of 2·iters scheduled stages. The
+        # data-sized work (aggregating the edge list from fact joins)
+        # already happened distributed above; what remains is a
+        # fixed-point over ≤1M (src, dst, w/ow) rows — at the bench's
+        # 25-node trade graph the iterative path spent ~17 job floors
+        # on microsecond arithmetic. Semantics are bit-faithful to the
+        # loop below: teleport n is the INITIAL distinct-src count,
+        # and a node keeps rank round-to-round only while it receives
+        # in-edge contributions (the inner-join fixed point).
+        # Billion-edge graphs take the hash-partitioned loop below.
+        node_dt = ew.schema["_src"].dataType.simpleString()
+        it, dmp = iters, damping
+
+        def _solve(batches):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pd.concat(list(batches), ignore_index=True)
+            if pdf.empty:
+                return
+            src = pdf["_src"].to_numpy()
+            dst = pdf["_dst"].to_numpy()
+            frac = (pdf["_w"] / pdf["_ow"]).to_numpy()
+            uni = pd.unique(pd.concat([pdf["_src"], pdf["_dst"]]))
+            pos = {v: i for i, v in enumerate(uni.tolist())}
+            si = np.fromiter((pos[v] for v in src.tolist()), np.int64, len(src))
+            di = np.fromiter((pos[v] for v in dst.tolist()), np.int64, len(dst))
+            present = np.zeros(len(uni), dtype=bool)
+            present[si] = True
+            n0 = int(present.sum())  # initial distinct-src count
+            tele = (1.0 - dmp) / n0
+            rank = np.where(present, 1.0 / n0, 0.0)
+            for _ in range(it):
+                live = present[si]
+                contrib = np.zeros(len(uni))
+                hits = np.zeros(len(uni), dtype=np.int64)
+                np.add.at(contrib, di[live], rank[si[live]] * frac[live])
+                np.add.at(hits, di[live], 1)
+                present = hits > 0
+                rank = np.where(present, tele + dmp * contrib, 0.0)
+            yield pd.DataFrame(
+                {"node": np.asarray(uni)[present], "rank": rank[present]}
+            )
+
+        return ew.coalesce(1).mapInPandas(
+            _solve, schema=f"node {node_dt}, rank double"
+        )
+
     nodes = ew.select(F.col("_src").alias("node")).distinct()
     n = nodes.count()  # bounded: one scalar for the teleport term
     teleport = (1.0 - damping) / n

@@ -500,12 +500,19 @@ def agg_countmin_sketch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     probe = spark.range(1, 21).select(F.col("id").alias("k"))
-    exact = (
-        probe.join(
-            orders.select("o_custkey"), probe.k == F.col("o_custkey"), "left"
-        )
-        .groupBy("k")
-        .agg(F.count("o_custkey").cast("long").alias("exact_cnt"))
+    # exact counts of the 20 probe keys: filter BEFORE the scan so the
+    # predicate reaches parquet (row-group min/max skipping) instead of
+    # left-joining the probes against a second full orders pass, then
+    # re-attach zero-count probes with a broadcast left join (the
+    # grouped side is <= 20 rows of model state)
+    probe_counts = (
+        orders.select("o_custkey")
+        .filter((F.col("o_custkey") >= 1) & (F.col("o_custkey") <= 20))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    exact = probe.join(F.broadcast(probe_counts), "k", "left").select(
+        "k", F.coalesce(F.col("_cnt"), F.lit(0)).cast("long").alias("exact_cnt")
     )
     probe_cells = probe.select(
         "k", _d_cells(F.col("k")).alias("x")
