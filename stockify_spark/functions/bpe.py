@@ -99,14 +99,19 @@ def _encoded(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn(spark: SparkSession, words: DataFrame, steps: int = 4) -> DataFrame:
+def bpe_learn(
+    spark: SparkSession,
+    words: DataFrame,
+    steps: int = 4,
+    local_vocab_limit: int = _LOCAL_VOCAB_LIMIT,
+) -> DataFrame:
     """Learn ``steps`` BPE merges; returns (step, lhs, rhs, pair_cnt).
 
     Deterministic: ties broken by (count desc, lhs asc, rhs asc), so
     the learned merge table is exactly reproducible cross-engine.
     """
     enc = _encoded(words).localCheckpoint(eager=True)
-    if enc.count() <= _LOCAL_VOCAB_LIMIT:
+    if enc.count() <= local_vocab_limit:
         # model-sized vocabulary: all steps in one executor pass
         # (serial BPE == the batched recurrence with batch=1: one
         # merge per round, recount between merges)
@@ -197,7 +202,11 @@ def _no_symbol_overlap(higher: list, row) -> bool:
 
 
 def bpe_learn_batched(
-    spark: SparkSession, words: DataFrame, rounds: int = 3, batch: int = 8
+    spark: SparkSession,
+    words: DataFrame,
+    rounds: int = 3,
+    batch: int = 8,
+    local_vocab_limit: int = _LOCAL_VOCAB_LIMIT,
 ) -> DataFrame:
     """BPE merge learning with BATCHED merge selection — the scale
     path. Returns (round, rn, lhs, rhs, pair_cnt).
@@ -229,7 +238,7 @@ def bpe_learn_batched(
     pairs whose counts interleave within a round.
     """
     enc = _encoded(words).localCheckpoint(eager=True)
-    if enc.count() <= _LOCAL_VOCAB_LIMIT:
+    if enc.count() <= local_vocab_limit:
         # model-sized vocabulary: every round's count/select/apply in
         # one executor pass — the per-round shuffle + driver collect
         # of the loop below priced ~a job floor per round at MB scale

@@ -87,13 +87,78 @@ def kmeans_assign(
     updates: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    local_rows_limit: int = 200_000,
 ) -> DataFrame:
     """Run ``updates`` Lloyd iterations from the first-``k``-by-id
-    seeds and return the final (vec_id, cluster) assignment."""
+    seeds and return the final (vec_id, cluster) assignment.
+
+    Corpora under ``local_rows_limit`` rows run seeds + every update +
+    the final assignment in ONE single-task pass (the iterative path
+    spent one job floor per collect on a model-sized input); larger
+    corpora take the distributed loop below, whose per-round shuffle
+    carries only k·d partial means regardless of corpus size. The
+    local pass reproduces the loop exactly: dimension-sequential
+    float64 distance accumulation, first-minimum (lowest-cluster) ties,
+    HALF-UP ROUND(mean, 6) at every iteration boundary, and empty
+    clusters dropping out of the model (tests pin local/distributed
+    hash parity; set ``local_rows_limit=0`` to force the loop).
+    """
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    if e.count() <= local_rows_limit:
+        n_k, n_up = k, updates
+
+        def _solve(batches):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pd.concat(list(batches), ignore_index=True)
+            seeds_pdf = pdf[pdf["vec_id"] < n_k].sort_values("vec_id")
+            if len(seeds_pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "cluster": pd.Series([], dtype="int64"),
+                    }
+                )
+                return
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cids = seeds_pdf["vec_id"].to_numpy().astype(np.int64)
+            cmat = np.stack(seeds_pdf["v"].to_numpy()).astype(np.float64)
+
+            def _pick(cm):
+                dist = np.zeros((len(mat), len(cm)))
+                for d in range(cm.shape[1]):
+                    diff = mat[:, d : d + 1] - cm[None, :, d]
+                    dist += diff * diff
+                return np.argmin(np.sqrt(dist), axis=1)
+
+            for _ in range(n_up):
+                pick = _pick(cmat)
+                live = np.unique(pick)  # empty clusters drop out
+                sums = np.zeros((len(live), cmat.shape[1]))
+                np.add.at(sums, np.searchsorted(live, pick), mat)
+                counts = np.bincount(
+                    np.searchsorted(live, pick), minlength=len(live)
+                )
+                means = sums / counts[:, None]
+                # HALF-UP to 6dp — F.round / DuckDB ROUND semantics,
+                # not numpy's banker's rounding
+                cmat = np.floor(np.abs(means) * 1e6 + 0.5) / 1e6 * np.sign(means)
+                cids = cids[live]
+            pick = _pick(cmat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
+                    "cluster": cids[pick],
+                }
+            )
+
+        return e.coalesce(1).mapInPandas(
+            _solve, schema="vec_id long, cluster long"
+        )
     seeds = (
         e.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cluster"), "v")

@@ -31,6 +31,7 @@ def pagerank(
     iters: int = 8,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    local_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns (node, rank).
 
@@ -65,7 +66,7 @@ def pagerank(
     ew = ew.join(outw, "_src").localCheckpoint(eager=True)
 
     m = ew.count()  # metadata-cheap on the already-checkpointed blocks
-    if m <= 1_000_000:
+    if m <= local_edge_limit:
         # model-sized edge list: run EVERY round in one executor-
         # resident pass instead of 2·iters scheduled stages. The
         # data-sized work (aggregating the edge list from fact joins)
