@@ -183,7 +183,15 @@ def minhash_lsh_pairs_seeded(
     r = num_hashes // bands
     A, B = minhash_seed_constants(num_hashes)
 
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
+    # doc-level spread before shingling + the per-shingle md5 fan-out
+    # (single-file scans serialize the expensive map; no-op at scale)
+    from stockify_spark.functions.scale import spread_small_scan
+
+    base = (
+        spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles(text_col, k).alias("_sh"))
+        .persist()
+    )
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     hv = F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % MINHASH_P
     hashed = inv.select(
@@ -660,7 +668,13 @@ def simhash_near_dup_pairs_seeded(
     # than left to codegen subexpression elimination (measured ~6%
     # at sf0.1 — CSE was already firing — but the guarantee is the
     # point; CSE does not apply in interpreted fallback mode)
-    inv = df.select(
+    # doc-level spread before the per-token md5 map (the expensive-map
+    # case functions/scale documents — a single-file scan serializes
+    # it); round-robin on whole docs keeps every doc's tokens in one
+    # partition, so the signature aggregate still collapses map-side
+    from stockify_spark.functions.scale import spread_small_scan
+
+    inv = spread_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).select(
         "_id", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_h")
@@ -901,15 +915,27 @@ def contamination_pairs(
     name the identical candidate set.
     """
     hv = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
-    hashed = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("_sh")
-    ).select(id_col, hv.alias("h"))
-    ev = hashed.filter(F.col(id_col) < eval_max_id).select(
+
+    def _hashed(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("_sh")
+        ).select(id_col, hv.alias("h"))
+
+    # split BEFORE hashing so (a) the id predicate reaches the scan on
+    # both sides, (b) the broadcast-side job shingles only the
+    # benchmark docs instead of re-running the full corpus pass, and
+    # (c) the train-side md5 map (the expensive-map case
+    # functions/scale documents) spreads across all slots on a
+    # single-file scan — measured 4.1s → the double serial corpus
+    # hash was the whole cost at sf0.1
+    from stockify_spark.functions.scale import spread_small_scan
+
+    ev = _hashed(df.filter(F.col(id_col) < eval_max_id)).select(
         F.col(id_col).alias("eval_id"), "h"
     )
-    tr = hashed.filter(F.col(id_col) >= eval_max_id).select(
-        F.col(id_col).alias("train_id"), "h"
-    )
+    tr = _hashed(
+        spread_small_scan(df.filter(F.col(id_col) >= eval_max_id))
+    ).select(F.col(id_col).alias("train_id"), "h")
     return (
         tr.join(F.broadcast(ev), "h")
         .groupBy("train_id", "eval_id")
