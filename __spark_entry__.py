@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # start, after the substring-dedup hash-keying rewrite and the
 # advisor fixes (full check_oracle 406/406 green post-rewrite).
 _PRIORITY = [
+    'txlog_timestamp_travel',
     'txlog_stream_cdf_direct', 'text_heaps_law', 'stocks_gap_analysis',
     'stocks_streaks', 'text_novelty_ratio', 'orders_revenue_bridge',
     'text_js_divergence', 'media_h264_ipcm_decode', 'pipeline_chunk_audit',

@@ -619,3 +619,48 @@ def sample_weighted(spark, sf_dir):
         .limit(32)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+# ---------------------------------------------------------------------------
+# txlog_timestamp_travel — TIMESTAMP AS OF through in-commit timestamps
+# ---------------------------------------------------------------------------
+
+_TTS_SQL = """
+SELECT (o_orderkey % 6)::BIGINT AS bucket, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+"""
+
+
+@register("txlog_timestamp_travel", _TTS_SQL)
+def txlog_timestamp_travel(spark, sf_dir):
+    """TIMESTAMP AS OF time travel (sources/txlog.version_at_timestamp
+    + snapshot(timestamp_ms=...)): build a two-commit table (create
+    the even-key half, append the odd half), read it AS OF the
+    in-commit timestamp of version 0, and aggregate — the snapshot
+    must contain exactly the even keys even though the head holds
+    all of them. Timestamps are strictly monotone (max(now, prev+1),
+    Delta's In-Commit Timestamps rule), so resolution is a binary
+    search of the commit range; the oracle states version 0's world
+    declaratively over the source table. Own scratch tag: the shared
+    lifecycle table may predate in-commit timestamps."""
+    from stockify_spark.sources import txlog
+
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.create(
+            o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(2, "o_orderkey"),
+            path,
+        )
+        txlog.append(
+            o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(2, "o_orderkey"),
+            path,
+        )
+
+    path = _scratch_table(sf_dir, "tsasof", build)
+    ts0 = txlog.commit_timestamp(path, 0)
+    snap = txlog.snapshot(spark, path, timestamp_ms=ts0)
+    return snap.groupBy((F.col("o_orderkey") % 6).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -260,6 +261,12 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
     return adds
 
 
+def _now_ms() -> int:
+    """Wall clock in epoch millis — a seam so tests can simulate a
+    backwards-stepping clock without patching the time module."""
+    return int(time.time() * 1000)
+
+
 def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
     """Atomic create-exclusive on the version file — the optimistic
     concurrency point: two writers racing to version N, one wins,
@@ -270,8 +277,19 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
         )
     except FileExistsError:
         return False
+    # in-commit timestamp (Delta's In-Commit Timestamps shape):
+    # strictly monotone across versions even when the wall clock
+    # steps backwards, so timestamp time travel is well-defined
+    prev_ts = 0
+    if version > 0:
+        try:
+            with open(_commit_path(path, version - 1)) as pf:
+                prev_ts = json.load(pf).get("ts", 0)
+        except FileNotFoundError:
+            prev_ts = 0
+    ts = max(_now_ms(), prev_ts + 1)
     with os.fdopen(fd, "w") as f:
-        json.dump({"version": version, "actions": actions}, f)
+        json.dump({"version": version, "actions": actions, "ts": ts}, f)
     return True
 
 
@@ -725,7 +743,55 @@ def _reject_tombstoned(df: DataFrame, path: str) -> None:
         )
 
 
-def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def commit_timestamp(path: str, version: int) -> int:
+    """The in-commit timestamp (epoch millis) of ``version``. Raises
+    for unknown versions and for commits written before timestamps
+    existed (legacy logs have no "ts" field)."""
+    p = _commit_path(path, version)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    with open(p) as f:
+        ts = json.load(f).get("ts")
+    if ts is None:
+        raise ValueError(
+            f"version {version} at {path} predates in-commit timestamps"
+        )
+    return int(ts)
+
+
+def version_at_timestamp(path: str, ts_ms: int) -> int:
+    """Latest version whose in-commit timestamp is <= ``ts_ms`` —
+    Delta's TIMESTAMP AS OF resolution rule. Binary search over the
+    dense version range (commit files are never deleted and their
+    timestamps are strictly monotone; commits from before timestamps
+    existed sort as older than every timestamped one). Raises when
+    ``ts_ms`` is earlier than the first commit."""
+
+    def _ts(v: int) -> int:
+        with open(_commit_path(path, v)) as f:
+            return json.load(f).get("ts", -1)
+
+    lo, hi = 0, current_version(path)
+    if _ts(lo) > ts_ms:
+        raise FileNotFoundError(
+            f"no commit at or before timestamp {ts_ms} at {path} "
+            f"(first commit is at {_ts(lo)})"
+        )
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _ts(mid) <= ts_ms:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time
     travel is just replaying less of the log. ``mergeSchema`` unions
     the file schemas, so columns added by later appends read as NULL
@@ -734,7 +800,13 @@ def snapshot(spark: SparkSession, path: str, version: int | None = None) -> Data
     deletion vectors (merge-on-read deletes) are applied as one
     anti-join on (file name, row position). Column renames active at
     ``version`` translate physical file names to logical ones —
-    time travel to a pre-rename version sees the old names."""
+    time travel to a pre-rename version sees the old names.
+    ``timestamp_ms`` resolves to a version via the in-commit
+    timestamps (TIMESTAMP AS OF); passing both is rejected."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(path, timestamp_ms)
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
