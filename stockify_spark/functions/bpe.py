@@ -182,7 +182,9 @@ def bpe_learn(
             releasable = sdf
             sdf = nxt
     finally:
-        base.unpersist()
+        # base is localCheckpoint'ed (ContextCleaner reclaims its
+        # blocks on GC); only the per-step replace-chain persists are
+        # releasable here
         if releasable is not None and releasable is not base:
             releasable.unpersist()
         if sdf is not base:
@@ -314,7 +316,8 @@ def bpe_learn_batched(
             releasable = sdf
             sdf = nxt
     finally:
-        base.unpersist()
+        # base is localCheckpoint'ed (see bpe_learn) — only the
+        # per-round replace-chain persists are releasable here
         if releasable is not None and releasable is not base:
             releasable.unpersist()
         if sdf is not base:

@@ -26,6 +26,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _score_pick(mat, cmat):
+    """Dimension-sequential squared-distance accumulation + first-
+    minimum argmin over np.sqrt — the ONE scoring loop shared by the
+    distributed assignment (:func:`_assign`) and the local fold in
+    :func:`kmeans_assign`, so their tie-break and float-precision
+    parity is structural rather than maintained as two copies."""
+    import numpy as np
+
+    dist = np.zeros((len(mat), len(cmat)))
+    for d in range(cmat.shape[1]):
+        diff = mat[:, d : d + 1] - cmat[None, :, d]
+        dist += diff * diff
+    return np.argmin(np.sqrt(dist), axis=1)
+
+
+def _round6_half_up(x: float) -> float:
+    """Exactly Spark's ``Round(double, 6)``: Java rounds the SHORTEST
+    DECIMAL STRING of the double (BigDecimal.valueOf == new
+    BigDecimal(Double.toString(d))) with HALF_UP — Python's repr() is
+    the same shortest round-trip string, so Decimal(repr(x)) names the
+    identical decimal. A binary-value trick (floor(|x|*1e6+0.5)) can
+    disagree at values like 1.00000049999999998 whose shortest string
+    is '1.0000005'."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def _assign(
     e: DataFrame, cents: list[tuple[int, list[float]]], keep_vec: bool = False
 ) -> DataFrame:
@@ -68,11 +96,7 @@ def _assign(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            dist = np.zeros((len(mat), len(cmat)))
-            for d in range(cmat.shape[1]):
-                diff = mat[:, d : d + 1] - cmat[None, :, d]
-                dist += diff * diff
-            pick = np.argmin(np.sqrt(dist), axis=1)
+            pick = _score_pick(mat, cmat)
             out = {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cids[pick]}
             if keep_vec:
                 out["v"] = pdf["v"]
@@ -103,11 +127,25 @@ def kmeans_assign(
     clusters dropping out of the model (tests pin local/distributed
     hash parity; set ``local_rows_limit=0`` to force the loop).
     """
+    # localCheckpoint (not persist): the gate count, the seed collect,
+    # every mean-update pass, AND the lazily-returned final assignment
+    # all read the materialized blocks; ContextCleaner reclaims them
+    # when the returned plan is GC'd (same rationale as the simhash
+    # signature barrier — persist would need an unpersist AFTER the
+    # caller's action, which a function returning a lazy frame cannot
+    # sequence).
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     ).localCheckpoint(eager=True)
-    if e.count() <= local_rows_limit:
+    n_rows = e.count()
+    # the local pass holds the corpus matrix in ONE python worker, so
+    # gate on elements (rows x dim), not rows alone — 16M float64
+    # elements ~= 128 MB; a 199k-row corpus of 2048-dim vectors must
+    # take the distributed loop no matter what the row gate says
+    first = e.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if n_rows <= local_rows_limit and n_rows * dim <= 16_000_000:
         n_k, n_up = k, updates
 
         def _solve(batches):
@@ -117,26 +155,16 @@ def kmeans_assign(
             pdf = pd.concat(list(batches), ignore_index=True)
             seeds_pdf = pdf[pdf["vec_id"] < n_k].sort_values("vec_id")
             if len(seeds_pdf) == 0:
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pd.Series([], dtype="int64"),
-                        "cluster": pd.Series([], dtype="int64"),
-                    }
+                # same contract as the distributed branch below
+                raise ValueError(
+                    f"kmeans_assign: no seed vectors with {n_k} > id"
                 )
-                return
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             cids = seeds_pdf["vec_id"].to_numpy().astype(np.int64)
             cmat = np.stack(seeds_pdf["v"].to_numpy()).astype(np.float64)
 
-            def _pick(cm):
-                dist = np.zeros((len(mat), len(cm)))
-                for d in range(cm.shape[1]):
-                    diff = mat[:, d : d + 1] - cm[None, :, d]
-                    dist += diff * diff
-                return np.argmin(np.sqrt(dist), axis=1)
-
             for _ in range(n_up):
-                pick = _pick(cmat)
+                pick = _score_pick(mat, cmat)
                 live = np.unique(pick)  # empty clusters drop out
                 sums = np.zeros((len(live), cmat.shape[1]))
                 np.add.at(sums, np.searchsorted(live, pick), mat)
@@ -144,11 +172,13 @@ def kmeans_assign(
                     np.searchsorted(live, pick), minlength=len(live)
                 )
                 means = sums / counts[:, None]
-                # HALF-UP to 6dp — F.round / DuckDB ROUND semantics,
-                # not numpy's banker's rounding
-                cmat = np.floor(np.abs(means) * 1e6 + 0.5) / 1e6 * np.sign(means)
+                # exactly F.round(.., 6): HALF_UP on the shortest
+                # decimal string (see _round6_half_up) — k*d scalars
+                cmat = np.array(
+                    [[_round6_half_up(v) for v in row] for row in means]
+                )
                 cids = cids[live]
-            pick = _pick(cmat)
+            pick = _score_pick(mat, cmat)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
@@ -164,29 +194,28 @@ def kmeans_assign(
         .select(F.col("vec_id").alias("cluster"), "v")
         .collect()
     )  # bounded: k rows of model state
+    if not seeds:
+        raise ValueError(f"kmeans_assign: no seed vectors with {k} > id")
     cents = sorted((int(r["cluster"]), list(r["v"])) for r in seeds)
-    try:
-        d = len(cents[0][1])
-        for _ in range(updates):
-            # mean update: d avg-aggregates in ONE groupBy on cluster —
-            # partial (map-side) aggregation ships k*d partials per
-            # partition, vs the posexplode alternative that shuffles
-            # n*d exploded rows. keep_vec avoids re-joining the corpus.
-            a = _assign(e, cents, keep_vec=True)
-            means = (
-                a.groupBy("cluster")
-                .agg(
-                    *[
-                        F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
-                        for i in range(d)
-                    ]
-                )
-                .collect()
-            )  # bounded: k rows of model state
-            cents = [
-                (int(r["cluster"]), [float(r[f"m{i}"]) for i in range(d)])
-                for r in sorted(means, key=lambda r: r["cluster"])
-            ]
-        return _assign(e, cents)
-    finally:
-        e.unpersist()
+    d = len(cents[0][1])
+    for _ in range(updates):
+        # mean update: d avg-aggregates in ONE groupBy on cluster —
+        # partial (map-side) aggregation ships k*d partials per
+        # partition, vs the posexplode alternative that shuffles
+        # n*d exploded rows. keep_vec avoids re-joining the corpus.
+        a = _assign(e, cents, keep_vec=True)
+        means = (
+            a.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )  # bounded: k rows of model state
+        cents = [
+            (int(r["cluster"]), [float(r[f"m{i}"]) for i in range(d)])
+            for r in sorted(means, key=lambda r: r["cluster"])
+        ]
+    return _assign(e, cents)

@@ -271,15 +271,14 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
     """Atomic create-exclusive on the version file — the optimistic
     concurrency point: two writers racing to version N, one wins,
     the loser re-reads the log and retries at N+1."""
-    try:
-        fd = os.open(
-            _commit_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-    except FileExistsError:
-        return False
     # in-commit timestamp (Delta's In-Commit Timestamps shape):
     # strictly monotone across versions even when the wall clock
-    # steps backwards, so timestamp time travel is well-defined
+    # steps backwards, so timestamp time travel is well-defined.
+    # Computed BEFORE the O_EXCL create: between winning the create
+    # and writing the body, no fallible work may run — an exception
+    # there would strand an empty version file that bricks every
+    # subsequent log replay. (version-1 is already durable when we
+    # attempt version, so reading it first is race-free.)
     prev_ts = 0
     if version > 0:
         try:
@@ -288,8 +287,15 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
         except FileNotFoundError:
             prev_ts = 0
     ts = max(_now_ms(), prev_ts + 1)
+    body = json.dumps({"version": version, "actions": actions, "ts": ts})
+    try:
+        fd = os.open(
+            _commit_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        return False
     with os.fdopen(fd, "w") as f:
-        json.dump({"version": version, "actions": actions, "ts": ts}, f)
+        f.write(body)
     return True
 
 

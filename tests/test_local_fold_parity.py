@@ -110,3 +110,30 @@ def test_kmeans_parity(spark):
         for r in kmeans_assign(emb, k=6, updates=3, local_rows_limit=0).collect()
     )
     assert loc == dist and len(loc) == 120
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The local fold's model-boundary rounding must be EXACTLY
+    Spark's Round(double, 6) — which rounds the shortest decimal
+    string (BigDecimal.valueOf), not the binary value. The first
+    value is the adversarial case: its binary double sits below the
+    half boundary but its shortest string '1.0000005' rounds up."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.llm.clustering import _round6_half_up
+
+    vals = [
+        1.0000005,
+        -1.0000005,
+        0.0000005,
+        -0.0000005,
+        2.5e-7,
+        1.9999995,
+        0.1234565,
+        7.0000004999999995,
+        123.45678949999,
+        0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert got == [_round6_half_up(v) for v in vals]

@@ -90,3 +90,22 @@ def test_resolution_survives_checkpoint(spark, tmp_path):
     ts0 = txlog.commit_timestamp(path, 0)
     assert txlog.version_at_timestamp(path, ts0) == 0
     assert txlog.snapshot(spark, path, timestamp_ms=ts0).count() == 10
+
+
+def test_failed_timestamp_read_cannot_brick_the_log(spark, tmp_path, monkeypatch):
+    """All fallible commit work (timestamp derivation, body
+    serialization) runs BEFORE the O_EXCL create: a failure there
+    must leave NO empty version file, or every later replay of the
+    table raises JSONDecodeError forever."""
+    path = _mk(spark, tmp_path, n_commits=1)
+
+    def boom():
+        raise OSError("simulated clock failure")
+
+    monkeypatch.setattr(txlog, "_now_ms", boom)
+    with pytest.raises(OSError):
+        txlog.append(spark.range(10, 20).selectExpr("id", "id * 2 AS v"), path)
+    monkeypatch.undo()
+    assert not os.path.exists(txlog._commit_path(path, 1))
+    assert txlog.current_version(path) == 0
+    assert txlog.snapshot(spark, path).count() == 10  # table intact
