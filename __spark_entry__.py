@@ -36,17 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50). Round-10 window:
-# r11 priority: the ONE new r11 query (direct streaming CDF,
-# read_changes face) leads, then the 62 queries that have NEVER had a
-# driver row (the r10 verdict's highest-leverage item: a ~50 budget
-# lands ~50 of them, leaving ~13 for r12), then every previously-
-# checked query sorted oldest-evidence-first (alphabetical within one
-# round vintage). Regenerated from all CORRECTNESS_r*.json at r11
-# start, after the substring-dedup hash-keying rewrite and the
-# advisor fixes (full check_oracle 406/406 green post-rewrite).
+# may budget-cap how many it checks per round (~50). r11 priority:
+# the THREE new r11 queries lead (distributed PCA, timestamp time
+# travel, direct streaming CDF), then the 62 queries that have NEVER
+# had a driver row (the r10 verdict's highest-leverage item: a ~50
+# budget lands ~50 of them, leaving ~15 for r12), then every
+# previously-checked query sorted oldest-evidence-first (alphabetical
+# within one round vintage). Regenerated from all CORRECTNESS_r*.json
+# at r11 start after the substring-dedup hash-keying rewrite (full
+# check_oracle 406/406 green post-rewrite; new queries oracle-checked
+# individually on registration).
 _PRIORITY = [
-    'txlog_timestamp_travel',
+    'ml_pca_power', 'txlog_timestamp_travel',
     'txlog_stream_cdf_direct', 'text_heaps_law', 'stocks_gap_analysis',
     'stocks_streaks', 'text_novelty_ratio', 'orders_revenue_bridge',
     'text_js_divergence', 'media_h264_ipcm_decode', 'pipeline_chunk_audit',

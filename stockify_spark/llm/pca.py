@@ -1,0 +1,113 @@
+"""Distributed PCA: top principal component by power iteration over
+a partition-aggregated Gram matrix.
+
+The embedding-pipeline linear-algebra primitive (decorrelation,
+whitening, SemDeDup-style axis analysis) the corpus operators next
+door (llm/clustering.py, llm/similarity.py) compose with. Public
+algorithm (Pearson 1901 PCA; von Mises power iteration); the Spark
+shape is MLlib's RowMatrix pattern re-expressed on the DataFrame API:
+
+  1. ONE pass over the corpus computes per-partition Gram partials
+     (n, Σv, Σ v·vᵀ) inside an Arrow-batched ``mapInPandas`` — numpy
+     matmul per batch, no per-row Python. What leaves each partition
+     is one (1 + d + d²)-double row, independent of row count.
+  2. The partials collapse to the driver — a BOUNDED collect of one
+     row per partition (at 1000 executors: 1000 rows of ~33 KB for
+     d=64; for much larger fleets sum them in one intermediate
+     ``groupBy`` first, the treeAggregate shape).
+  3. The d×d covariance C = G/n − μμᵀ (entries ROUND(9)) is MODEL
+     state; 8 power-iteration rounds run in numpy on the driver,
+     exactly like the k-means centroid fold — iterating on a 64×64
+     matrix in a cluster job would be job-floor theater.
+
+Cross-engine float policy (the kmeans/pagerank discipline): the
+covariance entries and the per-iteration normalized vector are
+rounded HALF-UP on the shortest decimal string (_round_half_up ==
+Spark Round == DuckDB ROUND) at 9dp, so a differential oracle that
+unrolls the same matvec/normalize/round chain in SQL reproduces the
+loadings bit-for-bit; raw engine-order summation drift (~1e-15)
+sits ~5 orders below the rounding grid.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark ``Round(double, nd)`` / DuckDB ``ROUND`` semantics:
+    HALF_UP on the SHORTEST DECIMAL STRING of the double (Python
+    repr == Java Double.toString for round-trip shortest form)."""
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+def pca_power(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding
+    corpus after ``iters`` power iterations from the uniform start
+    vector 1/√d. Returns one row per dimension:
+    (dim 1-based, loading, eigenvalue) — eigenvalue is the Rayleigh
+    quotient rᵀCr of the final vector, ROUND(6); loadings ROUND(9)
+    per iteration (see module float policy). The result is DEFINED
+    as "``iters`` rounds from uniform", not "the converged
+    eigenvector" — that makes it an exact cross-engine quantity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = emb.select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+
+    def _partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n += len(mat)
+            s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
+            gg = mat.T @ mat
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = src.mapInPandas(
+        _partials, schema="n long, s array<double>, g array<double>"
+    ).collect()  # bounded: one row per partition (module docstring §2)
+    if not rows:
+        raise ValueError("pca_power: empty corpus")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    cov = np.array([[_round_half_up(v, 9) for v in row] for row in cov])
+
+    r_vec = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        y = cov @ r_vec
+        nrm = float(np.sqrt((y * y).sum()))
+        if nrm == 0.0:
+            raise ValueError("pca_power: zero covariance (degenerate corpus)")
+        r_vec = np.array([_round_half_up(v, 9) for v in y / nrm])
+    ev = _round_half_up(float(r_vec @ cov @ r_vec), 6)
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, float(r_vec[i]), ev) for i in range(d)],
+        "dim long, loading double, eigenvalue double",
+    )

@@ -667,3 +667,58 @@ def txlog_stream_cdf_direct(spark, sf_dir):
         "_change_type",
         "_commit_version",
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_pca_power — distributed PCA (partition-Gram + power iteration)
+# ---------------------------------------------------------------------------
+
+def _pca_oracle(iters: int) -> str:
+    """Unrolled power iteration over the embedding covariance —
+    exactly llm/pca.pca_power's recurrence: C entries ROUND(9),
+    normalized vector ROUND(9) per iteration, Rayleigh ROUND(6).
+    Unrolled CTEs (the kmeans-oracle pattern) rather than a
+    recursive CTE: each round needs an aggregation AND a scalar
+    normalizer over its own output."""
+    sql = """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n, len(any_value(v)) AS d FROM e),
+mu AS MATERIALIZED (SELECT i, SUM(v[i]) / (SELECT n FROM nn) AS m
+       FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+       GROUP BY i),
+c AS MATERIALIZED (SELECT g.i, g.j,
+             ROUND(g.s / (SELECT n FROM nn) - mi.m * mj.m, 9) AS c
+      FROM (SELECT ui.i, uj.j, SUM(v[ui.i] * v[uj.j]) AS s
+            FROM e,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ui,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS j) uj
+            GROUP BY ui.i, uj.j) g
+      JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+r0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM nn)) AS r FROM mu)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+y{t} AS MATERIALIZED (SELECT c.i, SUM(c.c * r.r) AS y
+         FROM c JOIN r{t-1} r ON r.i = c.j GROUP BY c.i),
+r{t} AS MATERIALIZED (SELECT i,
+         ROUND(y / sqrt((SELECT SUM(y * y) FROM y{t})), 9) AS r FROM y{t})"""
+    return sql + f""",
+ev AS (SELECT ROUND(SUM(c.c * ra.r * rb.r), 6) AS ev
+       FROM c JOIN r{iters} ra ON ra.i = c.i JOIN r{iters} rb ON rb.i = c.j)
+SELECT i::BIGINT AS dim, r AS loading, (SELECT ev FROM ev) AS eigenvalue
+FROM r{iters}"""
+
+
+@register("ml_pca_power", _pca_oracle(8))
+def ml_pca_power(spark, sf_dir):
+    """Top principal component of the embedding corpus: one
+    Arrow-batched pass computes per-partition Gram partials (numpy
+    matmul per batch — what leaves each partition is one
+    (1+d+d²)-double row regardless of row count), the d×d covariance
+    is model state, and 8 power-iteration rounds run on the driver
+    (llm/pca.pca_power; MLlib's RowMatrix shape on the DataFrame
+    API). The oracle unrolls the identical matvec/normalize/round
+    chain in SQL, so loadings AND the Rayleigh eigenvalue are
+    hash-checked bit-for-bit under the repo's shortest-decimal-string
+    HALF_UP rounding policy."""
+    from stockify_spark.llm.pca import pca_power
+
+    return pca_power(_t(spark, sf_dir, "embeddings"), iters=8)

@@ -1,0 +1,67 @@
+"""Distributed PCA (llm/pca.pca_power): known-geometry check,
+partition invariance, eigen-agreement with numpy, and degenerate
+inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stockify_spark.llm.pca import pca_power
+
+
+def _vecs_df(spark, mat, parts=4):
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(parts)
+
+
+def test_dominant_direction_2d(spark):
+    """Points spread along (1, 1) with small orthogonal noise: the
+    top component must align with the diagonal and the eigenvalue
+    with the large variance."""
+    rng = np.random.RandomState(5)
+    t = rng.randn(400) * 3.0
+    noise = rng.randn(400) * 0.1
+    mat = np.stack([t + noise, t - noise], axis=1) / np.sqrt(2)
+    out = {r["dim"]: r for r in pca_power(_vecs_df(spark, mat)).collect()}
+    l1, l2 = out[1]["loading"], out[2]["loading"]
+    assert abs(abs(l1) - abs(l2)) < 0.05  # diagonal direction
+    assert np.sign(l1) == np.sign(l2)
+    assert l1 * l1 + l2 * l2 == pytest.approx(1.0, abs=1e-6)
+    ev = out[1]["eigenvalue"]
+    assert ev == pytest.approx(np.var(t), rel=0.2)
+
+
+def test_partition_invariance(spark):
+    """Gram partials sum in engine order — the ROUND(9) boundary must
+    absorb it: 1-partition and 8-partition runs agree exactly."""
+    rng = np.random.RandomState(9)
+    mat = rng.rand(300, 16)
+    a = sorted(map(tuple, pca_power(_vecs_df(spark, mat, parts=1)).collect()))
+    b = sorted(map(tuple, pca_power(_vecs_df(spark, mat, parts=8)).collect()))
+    assert a == b
+
+
+def test_agrees_with_numpy_eigh(spark):
+    """8 power rounds on a well-separated spectrum ~ the true top
+    eigenvector (up to sign) and eigenvalue."""
+    rng = np.random.RandomState(13)
+    base = rng.randn(500, 6)
+    base[:, 0] *= 5.0  # dominant axis
+    out = pca_power(_vecs_df(spark, base)).collect()
+    loadings = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    ev = out[0]["eigenvalue"]
+    cov = np.cov(base, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1] * np.sign(v[np.argmax(np.abs(v[:, -1])), -1])
+    got = loadings * np.sign(loadings[np.argmax(np.abs(loadings))])
+    assert np.allclose(got, top, atol=5e-3)
+    assert ev == pytest.approx(w[-1], rel=5e-3)
+
+
+def test_empty_corpus_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="empty corpus"):
+        pca_power(df)
