@@ -57,6 +57,18 @@ def pca_power(
     as "``iters`` rounds from uniform", not "the converged
     eigenvector" — that makes it an exact cross-engine quantity.
     """
+    _, _, cov = _gram(emb, vec_col)
+    ((lam, r_vec),) = _power_deflate(cov, 1, iters)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, float(r_vec[i]), lam) for i in range(len(r_vec))],
+        "dim long, loading double, eigenvalue double",
+    )
+
+
+def _gram(emb: DataFrame, vec_col: str):
+    """One corpus pass → (n, mean, covariance ROUND(9)) — the shared
+    front half of every PCA face (module docstring §1-2)."""
     import numpy as np
     import pandas as pd
 
@@ -85,7 +97,7 @@ def pca_power(
         _partials, schema="n long, s array<double>, g array<double>"
     ).collect()  # bounded: one row per partition (module docstring §2)
     if not rows:
-        raise ValueError("pca_power: empty corpus")
+        raise ValueError("pca: empty corpus")
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.zeros(d)
@@ -96,18 +108,96 @@ def pca_power(
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     cov = np.array([[_round_half_up(v, 9) for v in row] for row in cov])
+    return n, mu, cov
 
-    r_vec = np.full(d, 1.0 / np.sqrt(d))
-    for _ in range(iters):
-        y = cov @ r_vec
-        nrm = float(np.sqrt((y * y).sum()))
-        if nrm == 0.0:
-            raise ValueError("pca_power: zero covariance (degenerate corpus)")
-        r_vec = np.array([_round_half_up(v, 9) for v in y / nrm])
-    ev = _round_half_up(float(r_vec @ cov @ r_vec), 6)
 
+def _power_deflate(cov, k: int, iters: int):
+    """k (eigenvalue, vector) pairs by power iteration + Hotelling
+    deflation C ← ROUND(C − λ v vᵀ, 9) — every quantity on the
+    rounding grid, so the whole chain is cross-engine exact."""
+    import numpy as np
+
+    d = cov.shape[0]
+    comps = []
+    c = cov
+    for _ in range(k):
+        r = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            y = c @ r
+            nrm = float(np.sqrt((y * y).sum()))
+            if nrm == 0.0:
+                raise ValueError("pca: zero covariance (degenerate corpus)")
+            r = np.array([_round_half_up(v, 9) for v in y / nrm])
+        lam = _round_half_up(float(r @ c @ r), 6)
+        comps.append((lam, r))
+        c = np.array(
+            [[_round_half_up(v, 9) for v in row] for row in c - lam * np.outer(r, r)]
+        )
+    return comps
+
+
+def pca_topk(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 3,
+    iters: int = 8,
+) -> DataFrame:
+    """Top-``k`` principal components by power iteration + Hotelling
+    deflation. One row per (component 1-based, dim 1-based):
+    (component, dim, loading, eigenvalue). Same float policy as
+    :func:`pca_power`; component c is DEFINED as ``iters`` rounds on
+    the (c−1)-times-deflated covariance from the uniform start."""
+    _, _, cov = _gram(emb, vec_col)
+    comps = _power_deflate(cov, k, iters)
     spark = emb.sparkSession
     return spark.createDataFrame(
-        [(i + 1, float(r_vec[i]), ev) for i in range(d)],
-        "dim long, loading double, eigenvalue double",
+        [
+            (ci + 1, i + 1, float(r[i]), lam)
+            for ci, (lam, r) in enumerate(comps)
+            for i in range(len(r))
+        ],
+        "component long, dim long, loading double, eigenvalue double",
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    iters: int = 8,
+) -> DataFrame:
+    """Project every embedding onto the top-``k`` components (the
+    PCA APPLY face): (id, p1..pk), p_c = Σ_i (v[i] − μ[i])·w_c[i],
+    ROUND(6). The k·d loading model + mean travel in the expression
+    closure like the k-means centroids; the projection is one
+    map-side Arrow pass — the output is data-sized, the model is
+    not."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    _, mu, cov = _gram(emb, vec_col)
+    comps = _power_deflate(cov, k, iters)
+    w = np.stack([r for _, r in comps])  # k × d
+
+    def _proj(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            p = (mat - mu) @ w.T
+            out = {"_id": pdf["_id"].to_numpy()}
+            for c in range(w.shape[0]):
+                out[f"p{c + 1}"] = [_round_half_up(v, 6) for v in p[:, c]]
+            yield pd.DataFrame(out)
+
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cols = ", ".join(f"p{c + 1} double" for c in range(k))
+    return src.mapInPandas(_proj, schema=f"_id long, {cols}").withColumnRenamed(
+        "_id", id_col
     )

@@ -722,3 +722,100 @@ def ml_pca_power(spark, sf_dir):
     from stockify_spark.llm.pca import pca_power
 
     return pca_power(_t(spark, sf_dir, "embeddings"), iters=8)
+
+
+def _pca_front(iters: int, k: int) -> str:
+    """Shared oracle front: covariance c1, then per component c the
+    unrolled power rounds r{c}_{t}, Rayleigh ev{c}, and the deflated
+    c{c+1} — llm/pca._power_deflate verbatim in SQL."""
+    sql = """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n, len(any_value(v)) AS d FROM e),
+mu AS MATERIALIZED (SELECT i, SUM(v[i]) / (SELECT n FROM nn) AS m
+       FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+       GROUP BY i),
+c1 AS MATERIALIZED (SELECT g.i, g.j,
+             ROUND(g.s / (SELECT n FROM nn) - mi.m * mj.m, 9) AS c
+      FROM (SELECT ui.i, uj.j, SUM(v[ui.i] * v[uj.j]) AS s
+            FROM e,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ui,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS j) uj
+            GROUP BY ui.i, uj.j) g
+      JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j)"""
+    for comp in range(1, k + 1):
+        sql += f""",
+r{comp}_0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM nn)) AS r FROM mu)"""
+        for t in range(1, iters + 1):
+            sql += f""",
+y{comp}_{t} AS MATERIALIZED (SELECT c.i, SUM(c.c * r.r) AS y
+         FROM c{comp} c JOIN r{comp}_{t - 1} r ON r.i = c.j GROUP BY c.i),
+r{comp}_{t} AS MATERIALIZED (SELECT i,
+         ROUND(y / sqrt((SELECT SUM(y * y) FROM y{comp}_{t})), 9) AS r
+         FROM y{comp}_{t})"""
+        sql += f""",
+ev{comp} AS MATERIALIZED (SELECT ROUND(SUM(c.c * ra.r * rb.r), 6) AS ev
+       FROM c{comp} c JOIN r{comp}_{iters} ra ON ra.i = c.i
+       JOIN r{comp}_{iters} rb ON rb.i = c.j)"""
+        if comp < k:
+            sql += f""",
+c{comp + 1} AS MATERIALIZED (SELECT c.i, c.j,
+       ROUND(c.c - (SELECT ev FROM ev{comp}) * ra.r * rb.r, 9) AS c
+       FROM c{comp} c JOIN r{comp}_{iters} ra ON ra.i = c.i
+       JOIN r{comp}_{iters} rb ON rb.i = c.j)"""
+    return sql
+
+
+def _pca_topk_oracle(k: int, iters: int) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {c}::BIGINT AS component, i::BIGINT AS dim, r AS loading,"
+        f" (SELECT ev FROM ev{c}) AS eigenvalue FROM r{c}_{iters}"
+        for c in range(1, k + 1)
+    )
+    return _pca_front(iters, k) + f"\nSELECT * FROM ({sel})"
+
+
+def _pca_project_oracle(k: int, iters: int) -> str:
+    allr = " UNION ALL ".join(
+        f"SELECT {c} AS comp, i, r FROM r{c}_{iters}" for c in range(1, k + 1)
+    )
+    pcols = ", ".join(
+        f"MAX(CASE WHEN comp = {c} THEN p END) AS p{c}" for c in range(1, k + 1)
+    )
+    return _pca_front(iters, k) + f""",
+allr AS MATERIALIZED ({allr}),
+doc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT d.vec_id, rc.comp,
+                ROUND(SUM((d.v[u.i] - mu.m) * rc.r), 6) AS p
+         FROM doc d,
+              LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+         JOIN mu ON mu.i = u.i
+         JOIN allr rc ON rc.i = u.i
+         GROUP BY d.vec_id, rc.comp)
+SELECT vec_id, {pcols} FROM proj GROUP BY vec_id"""
+
+
+@register("ml_pca_topk", _pca_topk_oracle(3, 8))
+def ml_pca_topk(spark, sf_dir):
+    """Top-3 principal components via power iteration + Hotelling
+    deflation (llm/pca.pca_topk): after each component, the
+    covariance is deflated C ← ROUND(C − λ v vᵀ, 9) with the ROUNDED
+    eigenpair, so every matrix the next component iterates on sits
+    on the cross-engine rounding grid — the oracle unrolls all
+    3 × 8 rounds + 2 deflations and hash-matches every loading and
+    eigenvalue."""
+    from stockify_spark.llm.pca import pca_topk
+
+    return pca_topk(_t(spark, sf_dir, "embeddings"), k=3, iters=8)
+
+
+@register("ml_pca_project", _pca_project_oracle(3, 8))
+def ml_pca_project(spark, sf_dir):
+    """PCA APPLY: project every embedding onto the top-3 components
+    (llm/pca.pca_project) — the k·d loading model + mean travel in
+    the closure, the projection is one map-side Arrow pass, ROUND(6)
+    per coordinate. Train face and apply face share _gram/_power_
+    deflate, so the oracle's independently-derived loadings price
+    the whole pipeline: a drifted component would shift every
+    projection and fail the value hash on all rows."""
+    from stockify_spark.llm.pca import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), k=3, iters=8)

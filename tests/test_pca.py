@@ -65,3 +65,41 @@ def test_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="empty corpus"):
         pca_power(df)
+
+
+def test_topk_components_orthogonal_and_ordered(spark):
+    from stockify_spark.llm.pca import pca_topk
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(400, 8)
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    rows = pca_topk(_vecs_df(spark, base), k=3).collect()
+    comps = {}
+    evs = {}
+    for r in rows:
+        comps.setdefault(r["component"], {})[r["dim"]] = r["loading"]
+        evs[r["component"]] = r["eigenvalue"]
+    vs = [
+        np.array([comps[c][d] for d in sorted(comps[c])]) for c in (1, 2, 3)
+    ]
+    assert evs[1] > evs[2] > evs[3] > 0  # deflation orders the spectrum
+    for a in range(3):
+        assert np.linalg.norm(vs[a]) == pytest.approx(1.0, abs=1e-6)
+        for b in range(a + 1, 3):
+            assert abs(float(vs[a] @ vs[b])) < 1e-3  # Hotelling orthogonality
+
+
+def test_project_matches_manual_centering(spark):
+    from stockify_spark.llm.pca import _gram, _power_deflate, pca_project
+
+    rng = np.random.RandomState(27)
+    base = rng.rand(150, 5)
+    df = _vecs_df(spark, base)
+    got = {r["vec_id"]: (r["p1"], r["p2"]) for r in pca_project(df, k=2).collect()}
+    _, mu, cov = _gram(df, "embedding")
+    w = np.stack([r for _, r in _power_deflate(cov, 2, 8)])
+    want = (base - mu) @ w.T
+    for i in range(len(base)):
+        assert got[i][0] == pytest.approx(want[i, 0], abs=1e-6)
+        assert got[i][1] == pytest.approx(want[i, 1], abs=1e-6)
