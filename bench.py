@@ -170,6 +170,12 @@ BENCH_QUERIES = [
     "txlog_stream_appends",
     # r11: direct readChangeFeed face — per-commit executor-side diff
     "txlog_stream_cdf_direct",
+    # r11: distributed PCA, the linear-algebra family representative —
+    # both engines pay a real n·d² Gram (Spark: per-partition numpy
+    # partials; oracle: the double-unnest aggregate), so the row has
+    # substantive two-sided cost. topk/project share the same front
+    # half and are oracle-checked but not triple-benched.
+    "ml_pca_power",
     # txlog_lifecycle is deliberately NOT benched: its Spark side
     # performs four real write/commit cycles while its oracle is a
     # read-only SELECT stating the net effect — a correctness check,
