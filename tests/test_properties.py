@@ -808,3 +808,72 @@ def test_countmin_one_sided_error_property(spark, seed, d):
         "key", "est", F.coalesce("exact", F.lit(0)).alias("exact")
     ).collect()
     assert joined and all(r.est >= r.exact for r in joined)
+
+
+# --- local-solve / distributed parity properties (round 11) ----------------
+# The fixed-input parity tests live in test_local_fold_parity.py; these
+# fuzz the INPUT SHAPE: random digraphs for the pagerank fold, random
+# word tables (with tie-heavy counts) for the BPE fold. 5 examples each
+# — every example runs two full operators.
+
+_PARITY_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**_PARITY_SETTINGS)
+def test_pagerank_local_fold_parity_random_digraph(spark, seed):
+    import numpy as np
+
+    from stockify_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(3, 12))
+    density = rng.rand() * 0.6 + 0.2
+    edges = [
+        (i, j, float(rng.randint(1, 5)))
+        for i in range(n)
+        for j in range(n)
+        if rng.rand() < density
+    ]
+    if not edges:
+        edges = [(0, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    loc = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=5, local_edge_limit=0).collect()
+    }
+    assert set(loc) == set(dist)
+    for node, rank in loc.items():
+        assert rank == pytest.approx(dist[node], abs=1e-12)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**_PARITY_SETTINGS)
+def test_bpe_batched_local_fold_parity_random_words(spark, seed):
+    import numpy as np
+
+    from stockify_spark.functions.bpe import bpe_learn_batched
+
+    rng = np.random.RandomState(seed)
+    alphabet = "abcd"  # tiny alphabet → heavy pair-count ties
+    words = [
+        (
+            "".join(alphabet[k] for k in rng.randint(0, len(alphabet), size=rng.randint(2, 9))),
+            int(rng.randint(1, 6)),
+        )
+        for _ in range(rng.randint(3, 25))
+    ]
+    df = spark.createDataFrame(words, "word string, cnt long")
+    loc = [tuple(r) for r in bpe_learn_batched(spark, df, rounds=2, batch=3).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_learn_batched(
+            spark, df, rounds=2, batch=3, local_vocab_limit=0
+        ).collect()
+    ]
+    assert loc == dist
