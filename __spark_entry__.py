@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r11 priority:
-# the FIVE new r11 queries lead (distributed PCA ×3, timestamp time
+# the SIX new r11 queries lead (distributed-PCA family ×4, timestamp time
 # travel, direct streaming CDF), then the 62 queries that have NEVER
 # had a driver row (the r10 verdict's highest-leverage item: a ~50
 # budget lands ~50 of them, leaving ~15 for r12), then every
@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # check_oracle 406/406 green post-rewrite; new queries oracle-checked
 # individually on registration).
 _PRIORITY = [
-    'ml_pca_power', 'ml_pca_topk', 'ml_pca_project',
+    'ml_pca_power', 'ml_pca_topk', 'ml_pca_project', 'dedup_pca_blocking',
     'txlog_timestamp_travel',
     'txlog_stream_cdf_direct', 'text_heaps_law', 'stocks_gap_analysis',
     'stocks_streaks', 'text_novelty_ratio', 'orders_revenue_bridge',

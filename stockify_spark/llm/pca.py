@@ -201,3 +201,63 @@ def pca_project(
     return src.mapInPandas(_proj, schema=f"_id long, {cols}").withColumnRenamed(
         "_id", id_col
     )
+
+
+def pca_block_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    iters: int = 8,
+    width: float = 1.0,
+) -> DataFrame:
+    """SemDeDup-style BLOCKING in PCA-reduced space: candidate pairs
+    whose top-``k`` projections fall in the same ``width``-sized grid
+    cell, with the exact reduced-space squared distance attached —
+    the cheap pre-filter that bounds which pairs ever see a
+    full-dimension verify (llm/similarity's exact passes).
+
+    Scale shape: the projection is one map-side pass (model in the
+    closure); blocking is ONE equi-join on the k-tuple cell key —
+    cost tracks colliding pairs, never n². Cross-engine exactness:
+    projections are ROUND(6), ``width`` must be a power of two so
+    the cell division is exact, and the squared distance of 6dp
+    coordinates is exact in double — every emitted value sits on a
+    shared grid, no verify-side float drift possible.
+    """
+    from math import frexp
+
+    from pyspark.sql import functions as F
+
+    m, e = frexp(width)
+    if m != 0.5 or width <= 0:  # width == 2**(e-1)
+        raise ValueError("width must be a positive power of two")
+    proj = pca_project(emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    cell = proj.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(f"p{c}") for c in range(1, k + 1)],
+        *[
+            F.floor(F.col(f"p{c}") / F.lit(width)).alias(f"b{c}")
+            for c in range(1, k + 1)
+        ],
+    )
+    keys = [f"b{c}" for c in range(1, k + 1)]
+    a = cell.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"p{c}").alias(f"pa{c}") for c in range(1, k + 1)],
+        *keys,
+    )
+    b = cell.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"p{c}").alias(f"pb{c}") for c in range(1, k + 1)],
+        *keys,
+    )
+    dist2 = None
+    for c in range(1, k + 1):
+        term = (F.col(f"pa{c}") - F.col(f"pb{c}")) ** 2
+        dist2 = term if dist2 is None else dist2 + term
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dist2, 9).alias("dist2"))
+    )

@@ -819,3 +819,50 @@ def ml_pca_project(spark, sf_dir):
     from stockify_spark.llm.pca import pca_project
 
     return pca_project(_t(spark, sf_dir, "embeddings"), k=3, iters=8)
+
+
+def _pca_blocking_oracle(k: int, iters: int, width: float) -> str:
+    allr = " UNION ALL ".join(
+        f"SELECT {c} AS comp, i, r FROM r{c}_{iters}" for c in range(1, k + 1)
+    )
+    pcols = ", ".join(
+        f"MAX(CASE WHEN comp = {c} THEN p END) AS p{c}" for c in range(1, k + 1)
+    )
+    bcols = ", ".join(f"FLOOR(p{c} / {width!r}) AS b{c}" for c in range(1, k + 1))
+    on = " AND ".join(f"a.b{c} = b.b{c}" for c in range(1, k + 1))
+    d2 = " + ".join(f"(a.p{c} - b.p{c}) * (a.p{c} - b.p{c})" for c in range(1, k + 1))
+    return _pca_front(iters, k) + f""",
+allr AS MATERIALIZED ({allr}),
+doc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS MATERIALIZED (SELECT d.vec_id, rc.comp,
+                ROUND(SUM((d.v[u.i] - mu.m) * rc.r), 6) AS p
+         FROM doc d,
+              LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+         JOIN mu ON mu.i = u.i
+         JOIN allr rc ON rc.i = u.i
+         GROUP BY d.vec_id, rc.comp),
+cells AS MATERIALIZED (
+  SELECT vec_id, {pcols.replace('AS p', 'AS p')} FROM proj GROUP BY vec_id),
+blk AS MATERIALIZED (SELECT vec_id, {', '.join(f'p{c}' for c in range(1, k + 1))},
+  {bcols} FROM cells)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({d2}, 9) AS dist2
+FROM blk a JOIN blk b ON {on} AND a.vec_id < b.vec_id"""
+
+
+@register("dedup_pca_blocking", _pca_blocking_oracle(3, 8, 1.0))
+def dedup_pca_blocking(spark, sf_dir):
+    """SemDeDup-style blocking in PCA-reduced space
+    (llm/pca.pca_block_pairs): candidate near-dup pairs from shared
+    grid cells over the top-3 ROUND(6) projections (cell width a
+    power of two → exact division), with the exact reduced-space
+    squared distance attached — the cheap pre-filter that bounds
+    which pairs ever see a full-dimension verify. One map-side
+    projection + one equi-join on the cell key; cost tracks
+    colliding pairs, never n². The oracle re-derives loadings,
+    projections, cells, and distances independently and hash-matches
+    every pair and distance."""
+    from stockify_spark.llm.pca import pca_block_pairs
+
+    return pca_block_pairs(
+        _t(spark, sf_dir, "embeddings"), k=3, iters=8, width=1.0
+    )

@@ -103,3 +103,39 @@ def test_project_matches_manual_centering(spark):
     for i in range(len(base)):
         assert got[i][0] == pytest.approx(want[i, 0], abs=1e-6)
         assert got[i][1] == pytest.approx(want[i, 1], abs=1e-6)
+
+
+def test_block_pairs_sound_and_exact(spark):
+    from stockify_spark.llm.pca import _gram, _power_deflate, pca_block_pairs
+
+    rng = np.random.RandomState(31)
+    base = rng.randn(80, 4)
+    df = _vecs_df(spark, base)
+    got = {(r["id_a"], r["id_b"]): r["dist2"] for r in pca_block_pairs(df, k=2, width=1.0).collect()}
+    # recompute blocking manually from the shared model
+    from stockify_spark.llm.pca import _round_half_up
+
+    _, mu, cov = _gram(df, "embedding")
+    w = np.stack([r for _, r in _power_deflate(cov, 2, 8)])
+    p = (base - mu) @ w.T
+    p = np.vectorize(lambda v: _round_half_up(v, 6))(p)
+    cells = {}
+    for i in range(len(base)):
+        cells.setdefault(tuple(np.floor(p[i] / 1.0)), []).append(i)
+    want = {}
+    for members in cells.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = sorted((members[x], members[y]))
+                want[(a, b)] = float(((p[a] - p[b]) ** 2).sum())
+    assert set(got) == set(want)
+    for k2, v in want.items():
+        assert got[k2] == pytest.approx(v, abs=1e-9)
+
+
+def test_block_pairs_rejects_non_power_of_two_width(spark):
+    from stockify_spark.llm.pca import pca_block_pairs
+
+    df = _vecs_df(spark, np.eye(4))
+    with pytest.raises(ValueError, match="power of two"):
+        pca_block_pairs(df, width=0.3)
