@@ -413,13 +413,15 @@ def agg_weighted_median(spark, sf_dir):
         F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
     win = Window.partitionBy("flag").orderBy("price")
-    tot = Window.partitionBy("flag")
+    # per-flag totals as a 3-row broadcast instead of a second
+    # (unordered) window pass over the full grouped stream — one
+    # WindowExec, not two, over the ~|distinct prices| rows
+    totals = w.groupBy("flag").agg(F.sum("wt").alias("tot"))
     cum = w.select(
         "flag",
         "price",
         F.sum("wt").over(win).alias("cw"),
-        F.sum("wt").over(tot).alias("tot"),
-    )
+    ).join(F.broadcast(totals), "flag")
     return (
         cum.filter(2 * F.col("cw") >= F.col("tot"))
         .groupBy("flag")

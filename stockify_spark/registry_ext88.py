@@ -227,8 +227,13 @@ def pipeline_dsir_weights(spark, sf_dir):
     both engines."""
     from stockify_spark.registry import _t
 
+    from stockify_spark.functions.scale import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread the single-file scan: the tokenize + per-token md5 bucket
+    # below is the expensive-map case functions/scale documents, and
+    # it feeds BOTH corpus passes
+    toks = spread_small_scan(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
@@ -241,24 +246,30 @@ def pipeline_dsir_weights(spark, sf_dir):
             % _DSIR_B
         ).alias("b"),
     )
-    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = tb.filter(F.col("lang") == "de").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    tot = tb.agg(
-        F.count(F.lit(1)).cast("double").alias("nr"),
-        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
-        .cast("double")
-        .alias("nt"),
+    # BOTH histograms in ONE corpus aggregate (raw count + target
+    # count_if per bucket), checkpointed at 64 rows so the totals
+    # rollup and the broadcast build don't re-run the tokenize+md5
+    # pass — the plan is now exactly two corpus passes (histogram,
+    # scoring), down from four
+    hist = (
+        tb.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("tc"),
+        )
+        .localCheckpoint(eager=True)
+    )  # bounded: <= _DSIR_B rows of model state
+    tot = hist.agg(
+        F.sum("rc").cast("double").alias("nr"),
+        F.sum("tc").cast("double").alias("nt"),
     )
     w = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        hist.crossJoin(F.broadcast(tot))
         .select(
             "b",
             (
                 F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 0.5)
+                    (F.col("tc") + 0.5)
                     / (F.col("nt") + _DSIR_B * 0.5)
                 )
                 - F.log((F.col("rc") + 0.5) / (F.col("nr") + _DSIR_B * 0.5))
