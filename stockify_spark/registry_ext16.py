@@ -263,16 +263,21 @@ def text_rake(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # materialize the non-stopword token stream ONCE: it feeds the
+    # phrase build AND the word-stat join tree, which otherwise
+    # re-runs the tokenize+window pass per reference (the perplexity
+    # lesson: self-referenced pre-exchange subtrees recompute —
+    # ReusedExchange only dedups AFTER an exchange)
     ns = tok.filter(~F.col("tok").isin(*_STOP16)).withColumn(
         "grp",
         F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
-    )
+    ).localCheckpoint()
     ph = ns.groupBy("doc_id", "grp").agg(
         F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok).alias(
             "phrase"
         ),
         F.count(F.lit(1)).alias("plen"),
-    )
+    ).localCheckpoint()  # phrase-level (rows = phrases), read 2x below
     pw = ns.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
     ws = pw.groupBy("tok").agg(
         (F.sum("plen").cast("double") / F.count(F.lit(1))).alias("wscore")
