@@ -261,3 +261,132 @@ def pca_block_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dist2, 9).alias("dist2"))
     )
+
+
+def gram_update(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    app_id: str = "pca-gram",
+    batch_version: int | None = None,
+) -> int:
+    """INCREMENTAL PCA, update face: fold this batch's Gram partial
+    (n, Σv, Σ v·vᵀ — one row) into the ACID stats table at ``path``.
+    The Gram is associative, so maintaining the model under streaming
+    ingest is just appending partial rows and summing at read time —
+    no re-scan of history, ever. With ``batch_version`` set, the
+    append is exactly-once per (app_id, batch_version)
+    (txlog.append_idempotent — the foreachBatch sink contract), so a
+    replayed micro-batch cannot double-count its vectors into the
+    covariance. Returns the commit version."""
+    import numpy as np
+
+    from stockify_spark.sources import txlog
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        emb.select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .mapInPandas(_gram_partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )  # bounded: one row per partition of THIS batch
+    if not rows:
+        return txlog.current_version(path) if _table_exists(path) else -1
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros(d * d)
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"])
+    spark = emb.sparkSession
+    one = spark.createDataFrame(
+        [(int(n), [float(x) for x in s], [float(x) for x in g])],
+        "n long, s array<double>, g array<double>",
+    )
+    if batch_version is None:
+        return txlog.append(one, path) if _table_exists(path) else txlog.create(one, path)
+    return txlog.append_idempotent(one, path, app_id, batch_version)
+
+
+def _table_exists(path: str) -> bool:
+    import os
+
+    from stockify_spark.sources.txlog import _log_dir
+
+    return os.path.isdir(_log_dir(path))
+
+
+def _gram_partials(batches):
+    import numpy as np
+    import pandas as pd
+
+    n = 0
+    s = None
+    g = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n += len(mat)
+        s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
+        gg = mat.T @ mat
+        g = gg if g is None else g + gg
+    if n:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+
+def pca_from_gram(
+    spark,
+    path: str,
+    k: int = 1,
+    iters: int = 8,
+) -> DataFrame:
+    """INCREMENTAL PCA, read face: fold the stats table's partial
+    rows into the covariance and run the standard power/deflation
+    chain. The fold is element-wise sums keyed by position — a
+    posexplode + groupBy whose output is d + d² rows of model state
+    (bounded by dimensions, not by how many batches ever arrived) —
+    so the model rebuild cost is O(batches·d²) scan + one
+    model-sized collect, independent of corpus row count. Output
+    schema matches :func:`pca_topk`."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources import txlog
+
+    snap = txlog.snapshot(spark, path)
+    tot = snap.agg(F.sum("n").alias("n")).collect()[0]
+    n = int(tot["n"])
+    svec = (
+        snap.select(F.posexplode("s").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )  # bounded: d rows
+    gvec = (
+        snap.select(F.posexplode("g").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )  # bounded: d*d rows
+    d = len(svec)
+    s = np.zeros(d)
+    for r in svec:
+        s[r["i"]] = r["x"]
+    g = np.zeros(d * d)
+    for r in gvec:
+        g[r["i"]] = r["x"]
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    cov = np.array([[_round_half_up(v, 9) for v in row] for row in cov])
+    comps = _power_deflate(cov, k, iters)
+    return spark.createDataFrame(
+        [
+            (ci + 1, i + 1, float(r[i]), lam)
+            for ci, (lam, r) in enumerate(comps)
+            for i in range(len(r))
+        ],
+        "component long, dim long, loading double, eigenvalue double",
+    )

@@ -866,3 +866,41 @@ def dedup_pca_blocking(spark, sf_dir):
     return pca_block_pairs(
         _t(spark, sf_dir, "embeddings"), k=3, iters=8, width=1.0
     )
+
+
+@register("ml_pca_incremental", _pca_topk_oracle(1, 8))
+def ml_pca_incremental(spark, sf_dir):
+    """INCREMENTAL PCA through the ACID stats table
+    (llm/pca.gram_update / pca_from_gram): the corpus arrives as
+    three idempotent batches (vec_id thirds), each folding one
+    (n, Σv, Σ v·vᵀ) partial row into a txlog table — a replayed
+    batch is a no-op via the (app, version) txn marker, so the
+    covariance can never double-count under at-least-once delivery.
+    The model is rebuilt from the stats table alone (element-wise
+    positional sums, d + d² model rows — never a corpus re-scan) and
+    must hash-match the ONE-SHOT batch oracle: Gram associativity is
+    the whole design, and the ROUND(9) covariance grid absorbs the
+    batch-order summation difference."""
+    import os
+
+    from stockify_spark.llm.pca import gram_update, pca_from_gram
+    from stockify_spark.registry_ext7 import _scratch_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(path: str) -> None:
+        table = os.path.join(path, "gram")
+        hi = emb.agg(F.max("vec_id")).collect()[0][0]
+        cut1, cut2 = hi // 3, 2 * hi // 3
+        parts = [
+            emb.filter(F.col("vec_id") <= cut1),
+            emb.filter((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+            emb.filter(F.col("vec_id") > cut2),
+        ]
+        for v, batch in enumerate(parts):
+            gram_update(batch, table, app_id="pca-inc", batch_version=v)
+        # at-least-once replay of the last batch: must be a no-op
+        gram_update(parts[-1], table, app_id="pca-inc", batch_version=2)
+
+    root = _scratch_table(sf_dir, "pcainc", build)
+    return pca_from_gram(spark, os.path.join(root, "gram"), k=1, iters=8)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from stockify_spark.llm.pca import pca_power
 
@@ -139,3 +140,74 @@ def test_block_pairs_rejects_non_power_of_two_width(spark):
     df = _vecs_df(spark, np.eye(4))
     with pytest.raises(ValueError, match="power of two"):
         pca_block_pairs(df, width=0.3)
+
+
+def test_incremental_gram_matches_one_shot(spark, tmp_path):
+    import os
+
+    from stockify_spark.llm.pca import gram_update, pca_from_gram, pca_topk
+
+    rng = np.random.RandomState(41)
+    base = rng.rand(240, 6)
+    df = _vecs_df(spark, base)
+    table = os.path.join(str(tmp_path), "gram")
+    for v, (lo, hi) in enumerate([(0, 80), (80, 150), (150, 240)]):
+        gram_update(
+            df.filter((df.vec_id >= lo) & (df.vec_id < hi)),
+            table,
+            batch_version=v,
+        )
+    inc = sorted(map(tuple, pca_from_gram(spark, table, k=2).collect()))
+    one = sorted(map(tuple, pca_topk(df, k=2).collect()))
+    assert inc == one  # Gram associativity on the ROUND(9) grid
+
+
+def test_incremental_replay_is_noop(spark, tmp_path):
+    import os
+
+    from stockify_spark.llm.pca import gram_update, pca_from_gram
+    from stockify_spark.sources import txlog
+
+    rng = np.random.RandomState(43)
+    df = _vecs_df(spark, rng.rand(60, 4))
+    table = os.path.join(str(tmp_path), "gram")
+    gram_update(df, table, batch_version=0)
+    v1 = txlog.current_version(table)
+    before = sorted(map(tuple, pca_from_gram(spark, table).collect()))
+    gram_update(df, table, batch_version=0)  # at-least-once replay
+    assert txlog.current_version(table) == v1  # no new commit
+    after = sorted(map(tuple, pca_from_gram(spark, table).collect()))
+    assert before == after
+
+
+def test_incremental_through_streaming_foreachbatch(spark, tmp_path):
+    """The real sink shape: a file stream of vector batches folded
+    into the stats table by foreachBatch with batch_id as the txn
+    version — the model from the drained stream equals the one-shot
+    batch model."""
+    import os
+
+    from stockify_spark.llm.pca import gram_update, pca_from_gram, pca_topk
+
+    rng = np.random.RandomState(47)
+    base = rng.rand(90, 4)
+    src = os.path.join(str(tmp_path), "src")
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        _vecs_df(spark, base[lo:hi], parts=1).withColumn(
+            "vec_id", F.col("vec_id") + lo
+        ).write.parquet(os.path.join(src, f"b{i}"))
+    table = os.path.join(str(tmp_path), "gram")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch, bid: gram_update(batch, table, batch_version=bid) and None
+    ).option(
+        "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    inc = sorted(map(tuple, pca_from_gram(spark, table).collect()))
+    one = sorted(map(tuple, pca_topk(_vecs_df(spark, base), k=1).collect()))
+    assert inc == one
