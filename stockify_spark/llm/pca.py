@@ -390,3 +390,52 @@ def pca_from_gram(
         ],
         "component long, dim long, loading double, eigenvalue double",
     )
+
+
+def pca_outlier_scores(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    iters: int = 8,
+) -> DataFrame:
+    """Embedding outlier scoring for corpus curation: reduced-space
+    Mahalanobis distance  m² = Σ_c p_c² / λ_c  over the top-``k``
+    principal components — vectors far from the corpus mass along
+    high-variance axes (mislabeled, corrupted, off-domain) score
+    high and get reviewed or dropped before training. Returns
+    (id, m2 ROUND(6)). One map-side pass like :func:`pca_project`;
+    every input (p ROUND(6), λ ROUND(6)) sits on the shared grid so
+    the score is cross-engine exact under its own ROUND(6)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    _, mu, cov = _gram(emb, vec_col)
+    comps = _power_deflate(cov, k, iters)
+    w = np.stack([r for _, r in comps])
+    lam = np.array([l for l, _ in comps])
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            p = (mat - mu) @ w.T
+            p = np.vectorize(lambda v: _round_half_up(v, 6))(p)
+            m2 = (p * p / lam).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "m2": [_round_half_up(v, 6) for v in m2],
+                }
+            )
+
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    return src.mapInPandas(_score, schema="_id long, m2 double").withColumnRenamed(
+        "_id", id_col
+    )

@@ -904,3 +904,41 @@ def ml_pca_incremental(spark, sf_dir):
 
     root = _scratch_table(sf_dir, "pcainc", build)
     return pca_from_gram(spark, os.path.join(root, "gram"), k=1, iters=8)
+
+
+def _pca_outlier_oracle(k: int, iters: int) -> str:
+    allr = " UNION ALL ".join(
+        f"SELECT {c} AS comp, i, r FROM r{c}_{iters}" for c in range(1, k + 1)
+    )
+    evs = " UNION ALL ".join(
+        f"SELECT {c} AS comp, ev FROM ev{c}" for c in range(1, k + 1)
+    )
+    return _pca_front(iters, k) + f""",
+allr AS MATERIALIZED ({allr}),
+evs AS MATERIALIZED ({evs}),
+doc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS MATERIALIZED (SELECT d.vec_id, rc.comp,
+                ROUND(SUM((d.v[u.i] - mu.m) * rc.r), 6) AS p
+         FROM doc d,
+              LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+         JOIN mu ON mu.i = u.i
+         JOIN allr rc ON rc.i = u.i
+         GROUP BY d.vec_id, rc.comp)
+SELECT p.vec_id, ROUND(SUM(p.p * p.p / e.ev), 6) AS m2
+FROM proj p JOIN evs e ON e.comp = p.comp
+GROUP BY p.vec_id"""
+
+
+@register("ml_pca_outliers", _pca_outlier_oracle(3, 8))
+def ml_pca_outliers(spark, sf_dir):
+    """Embedding outlier scores for corpus curation
+    (llm/pca.pca_outlier_scores): reduced-space Mahalanobis
+    m² = Σ p_c²/λ_c over the top-3 components — the filter that
+    surfaces mislabeled/corrupted/off-domain vectors before
+    training. Every input sits on the shared rounding grid
+    (projections and eigenvalues ROUND(6)), so the score itself is
+    cross-engine exact under ROUND(6) — the oracle re-derives the
+    whole model and hash-matches every document's score."""
+    from stockify_spark.llm.pca import pca_outlier_scores
+
+    return pca_outlier_scores(_t(spark, sf_dir, "embeddings"), k=3, iters=8)

@@ -211,3 +211,15 @@ def test_incremental_through_streaming_foreachbatch(spark, tmp_path):
     inc = sorted(map(tuple, pca_from_gram(spark, table).collect()))
     one = sorted(map(tuple, pca_topk(_vecs_df(spark, base), k=1).collect()))
     assert inc == one
+
+
+def test_outlier_scores_flag_planted_outlier(spark):
+    from stockify_spark.llm.pca import pca_outlier_scores
+
+    rng = np.random.RandomState(53)
+    base = rng.randn(200, 5) * 0.3
+    base[7] = 25.0  # planted far-out vector
+    got = {r["vec_id"]: r["m2"] for r in pca_outlier_scores(_vecs_df(spark, base), k=2).collect()}
+    assert len(got) == 200
+    assert max(got, key=got.get) == 7
+    assert all(v >= 0 for v in got.values())
