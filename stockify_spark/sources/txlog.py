@@ -268,17 +268,25 @@ def _now_ms() -> int:
 
 
 def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
-    """Atomic create-exclusive on the version file — the optimistic
+    """Atomically publish the version file — the optimistic
     concurrency point: two writers racing to version N, one wins,
-    the loser re-reads the log and retries at N+1."""
+    the loser re-reads the log and retries at N+1.
+
+    Publication is write-tmp + ``os.link`` (hard-link refuses to
+    overwrite, atomically), so the winner is decided in the same
+    instant the FULL body becomes visible. The previous shape
+    (O_EXCL create, then write the body into the open fd) left a
+    window where a concurrent loser's log re-read — or a concurrent
+    reader — could observe an empty/partial commit file and die on
+    JSONDecodeError; with link-publication a commit file either does
+    not exist or is complete. (Delta's rename-without-overwrite
+    contract, expressed with link because POSIX rename overwrites.)
+    """
     # in-commit timestamp (Delta's In-Commit Timestamps shape):
     # strictly monotone across versions even when the wall clock
     # steps backwards, so timestamp time travel is well-defined.
-    # Computed BEFORE the O_EXCL create: between winning the create
-    # and writing the body, no fallible work may run — an exception
-    # there would strand an empty version file that bricks every
-    # subsequent log replay. (version-1 is already durable when we
-    # attempt version, so reading it first is race-free.)
+    # version-1 is already durable when we attempt version (the
+    # caller just replayed it), so reading it here is race-free.
     prev_ts = 0
     if version > 0:
         try:
@@ -288,15 +296,17 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
             prev_ts = 0
     ts = max(_now_ms(), prev_ts + 1)
     body = json.dumps({"version": version, "actions": actions, "ts": ts})
+    final = _commit_path(path, version)
+    tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(body)
     try:
-        fd = os.open(
-            _commit_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
+        os.link(tmp, final)  # atomic publish: fails if version exists
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        f.write(body)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 class CommitConflict(RuntimeError):

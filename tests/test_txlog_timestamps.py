@@ -109,3 +109,37 @@ def test_failed_timestamp_read_cannot_brick_the_log(spark, tmp_path, monkeypatch
     assert not os.path.exists(txlog._commit_path(path, 1))
     assert txlog.current_version(path) == 0
     assert txlog.snapshot(spark, path).count() == 10  # table intact
+
+
+def test_timestamps_monotone_under_concurrent_writers(spark, tmp_path):
+    """The in-commit timestamp is derived INSIDE the optimistic
+    commit loop (read prev ts → O_EXCL create), so racing writers
+    must still produce a strictly increasing ts sequence across the
+    versions they land — the invariant timestamp resolution's binary
+    search depends on."""
+    import threading
+
+    path = _mk(spark, tmp_path, n_commits=1)
+    rows = [(i, i * 2) for i in range(100, 160)]
+    errs = []
+
+    def writer(i: int) -> None:
+        try:
+            df = spark.createDataFrame(rows[i * 10 : (i + 1) * 10], "id long, v long")
+            txlog.append(df, path)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    head = txlog.current_version(path)
+    assert head == 6
+    ts = [txlog.commit_timestamp(path, v) for v in range(head + 1)]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)  # strictly increasing
+    # and resolution still lands on exact versions
+    for v in (0, 3, head):
+        assert txlog.version_at_timestamp(path, ts[v]) == v
