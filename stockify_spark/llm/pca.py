@@ -75,26 +75,8 @@ def _gram(emb: DataFrame, vec_col: str):
     from pyspark.sql import functions as F
 
     src = emb.select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
-
-    def _partials(batches):
-        n = 0
-        s = None
-        g = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            n += len(mat)
-            s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
-            gg = mat.T @ mat
-            g = gg if g is None else g + gg
-        if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
-            )
-
     rows = src.mapInPandas(
-        _partials, schema="n long, s array<double>, g array<double>"
+        _gram_partials, schema="n long, s array<double>, g array<double>"
     ).collect()  # bounded: one row per partition (module docstring §2)
     if not rows:
         raise ValueError("pca: empty corpus")
@@ -233,6 +215,13 @@ def pca_block_pairs(
     if m != 0.5 or width <= 0:  # width == 2**(e-1)
         raise ValueError("width must be a positive power of two")
     proj = pca_project(emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    # materialize the projection ONCE before the self-join: its two
+    # sides are different selects over the same pre-exchange
+    # mapInPandas subtree, which would otherwise recompute the full
+    # corpus projection per side (ReusedExchange only dedups AFTER an
+    # exchange — the text_rake/simhash lesson). localCheckpoint is
+    # RDD-level, reclaimed by ContextCleaner on GC.
+    proj = proj.localCheckpoint()
     cell = proj.select(
         F.col(id_col).alias("_id"),
         *[F.col(f"p{c}") for c in range(1, k + 1)],
@@ -416,6 +405,15 @@ def pca_outlier_scores(
     comps = _power_deflate(cov, k, iters)
     w = np.stack([r for _, r in comps])
     lam = np.array([l for l, _ in comps])
+    if (lam <= 0).any():
+        # rank-deficient corpus: a ROUND(6) Rayleigh quotient of 0
+        # would divide the scores into inf/nan silently (and the SQL
+        # oracle's x/0 behaves differently again) — fail loudly like
+        # _power_deflate's zero-norm check
+        raise ValueError(
+            "pca_outlier_scores: eigenvalue <= 0 (rank-deficient "
+            f"corpus for k={k}); reduce k"
+        )
 
     def _score(batches):
         for pdf in batches:

@@ -395,7 +395,7 @@ def fn_variant(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _scratch_table(sf_dir: str, tag: str, build) -> str:
+def _scratch_table(sf_dir: str, tag: str, build, src_file: str = "orders.parquet") -> str:
     """Deterministic scratch txlog table keyed on (tag, sf_dir,
     source fingerprint), built once and REUSED by later invocations —
     repeated driver verification and bench iterations previously
@@ -422,7 +422,11 @@ def _scratch_table(sf_dir: str, tag: str, build) -> str:
     import uuid as _uuid
 
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    src = os.path.join(sf_dir, "orders.parquet")
+    # fingerprint the parquet the BUILD actually reads (callers whose
+    # scripted history reads a different table pass it via src_file —
+    # a stale cache keyed on the wrong source would keep serving a
+    # table built from data the oracle no longer sees)
+    src = os.path.join(sf_dir, src_file)
     st = os.stat(src)
     fp = f"{st.st_size:x}.{st.st_mtime_ns:x}"
     base = os.path.join(tempfile.gettempdir(), f"stockify_txlog_{tag}_{key}")

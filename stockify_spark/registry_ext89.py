@@ -842,7 +842,7 @@ proj AS MATERIALIZED (SELECT d.vec_id, rc.comp,
          JOIN allr rc ON rc.i = u.i
          GROUP BY d.vec_id, rc.comp),
 cells AS MATERIALIZED (
-  SELECT vec_id, {pcols.replace('AS p', 'AS p')} FROM proj GROUP BY vec_id),
+  SELECT vec_id, {pcols} FROM proj GROUP BY vec_id),
 blk AS MATERIALIZED (SELECT vec_id, {', '.join(f'p{c}' for c in range(1, k + 1))},
   {bcols} FROM cells)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({d2}, 9) AS dist2
@@ -902,7 +902,7 @@ def ml_pca_incremental(spark, sf_dir):
         # at-least-once replay of the last batch: must be a no-op
         gram_update(parts[-1], table, app_id="pca-inc", batch_version=2)
 
-    root = _scratch_table(sf_dir, "pcainc", build)
+    root = _scratch_table(sf_dir, "pcainc", build, src_file="embeddings.parquet")
     return pca_from_gram(spark, os.path.join(root, "gram"), k=1, iters=8)
 
 

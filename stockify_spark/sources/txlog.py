@@ -62,7 +62,8 @@ def _latest_checkpoint(path: str, version: int | None = None) -> dict | None:
     except FileNotFoundError:
         return None
     for name in names:
-        if not name.startswith("checkpoint."):
+        # exact shape only — never parse tmp/partial names
+        if not (name.startswith("checkpoint.") and name.endswith(".json")):
             continue
         v = int(name.split(".")[1])
         if version is not None and v > version:
@@ -171,7 +172,13 @@ def checkpoint_log(path: str) -> int:
         "version": version,
         "actions": cons + dvs + rens + idxs + txn_actions + [{"add": a} for a in adds],
     }
-    tmp = _checkpoint_path(path, version) + ".tmp"
+    # tmp name must NOT match the reader's checkpoint pattern: a
+    # concurrent _latest_checkpoint listing the log dir mid-write
+    # would otherwise json.load a half-written file (the same
+    # partial-file race link-publication closes for commit files)
+    tmp = os.path.join(
+        _log_dir(path), f"_ckpt_tmp_{uuid.uuid4().hex}"
+    )
     with open(tmp, "w") as f:
         json.dump(ck, f)
     os.rename(tmp, _checkpoint_path(path, version))

@@ -113,10 +113,10 @@ def test_failed_timestamp_read_cannot_brick_the_log(spark, tmp_path, monkeypatch
 
 def test_timestamps_monotone_under_concurrent_writers(spark, tmp_path):
     """The in-commit timestamp is derived INSIDE the optimistic
-    commit loop (read prev ts → O_EXCL create), so racing writers
-    must still produce a strictly increasing ts sequence across the
-    versions they land — the invariant timestamp resolution's binary
-    search depends on."""
+    commit loop (read prev ts → atomic link-publication of the full
+    body), so racing writers must still produce a strictly
+    increasing ts sequence across the versions they land — the
+    invariant timestamp resolution's binary search depends on."""
     import threading
 
     path = _mk(spark, tmp_path, n_commits=1)
