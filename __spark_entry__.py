@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r11 priority:
-# the EIGHT new r11 queries lead (distributed-PCA family ×6, timestamp time
+# the NINE new r11 queries lead (Gram/PCA family ×7, timestamp time
 # travel, direct streaming CDF), then the 62 queries that have NEVER
 # had a driver row (the r10 verdict's highest-leverage item: a ~50
 # budget lands ~50 of them, leaving ~15 for r12), then every
@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # individually on registration).
 _PRIORITY = [
     'ml_pca_power', 'ml_pca_topk', 'ml_pca_project', 'dedup_pca_blocking',
-    'ml_pca_incremental', 'ml_pca_outliers',
+    'ml_pca_incremental', 'ml_pca_outliers', 'ml_top_correlations',
     'txlog_timestamp_travel',
     'txlog_stream_cdf_direct', 'text_heaps_law', 'stocks_gap_analysis',
     'stocks_streaks', 'text_novelty_ratio', 'orders_revenue_bridge',

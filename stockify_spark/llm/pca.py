@@ -437,3 +437,36 @@ def pca_outlier_scores(
     return src.mapInPandas(_score, schema="_id long, m2 double").withColumnRenamed(
         "_id", id_col
     )
+
+
+def top_correlations(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    top: int = 20,
+) -> DataFrame:
+    """Embedding-dimension correlation profile: the ``top`` pairs by
+    |Pearson r| over the corpus — the profiling face of the Gram
+    front (redundant/co-varying dimensions are candidates for
+    PCA-reduction or pruning before similarity work). One corpus
+    pass (:func:`_gram`); r_ij = c_ij/√(c_ii·c_jj) from the ROUND(9)
+    covariance, emitted as (dim_i < dim_j, r ROUND(6)); ties broken
+    by (dim_i, dim_j). Raises on zero-variance dimensions — a
+    constant dimension has no defined correlation and silently
+    NULLing it would diverge from the oracle's x/0."""
+    import numpy as np
+
+    _, _, cov = _gram(emb, vec_col)
+    d = cov.shape[0]
+    var = np.diag(cov)
+    if (var <= 0).any():
+        raise ValueError("top_correlations: zero-variance dimension")
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            r = _round_half_up(cov[i, j] / float(np.sqrt(var[i] * var[j])), 6)
+            rows.append((i + 1, j + 1, r))
+    rows.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        rows[:top], "dim_i long, dim_j long, r double"
+    )

@@ -942,3 +942,40 @@ def ml_pca_outliers(spark, sf_dir):
     from stockify_spark.llm.pca import pca_outlier_scores
 
     return pca_outlier_scores(_t(spark, sf_dir, "embeddings"), k=3, iters=8)
+
+
+_CORR_SQL = """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM e),
+mu AS MATERIALIZED (SELECT i, SUM(v[i]) / (SELECT n FROM nn) AS m
+       FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+       GROUP BY i),
+c1 AS MATERIALIZED (SELECT g.i, g.j,
+             ROUND(g.s / (SELECT n FROM nn) - mi.m * mj.m, 9) AS c
+      FROM (SELECT ui.i, uj.j, SUM(v[ui.i] * v[uj.j]) AS s
+            FROM e,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) ui,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS j) uj
+            GROUP BY ui.i, uj.j) g
+      JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j)
+SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j, r FROM (
+  SELECT a.i AS dim_i, a.j AS dim_j,
+         ROUND(a.c / sqrt(ai.c * aj.c), 6) AS r
+  FROM c1 a
+  JOIN c1 ai ON ai.i = a.i AND ai.j = a.i
+  JOIN c1 aj ON aj.i = a.j AND aj.j = a.j
+  WHERE a.i < a.j)
+ORDER BY abs(r) DESC, dim_i, dim_j LIMIT 20"""
+
+
+@register("ml_top_correlations", _CORR_SQL)
+def ml_top_correlations(spark, sf_dir):
+    """Embedding-dimension correlation profile
+    (llm/pca.top_correlations): top-20 pairs by |Pearson r| from the
+    one-pass ROUND(9) covariance — the profiling face of the Gram
+    front (co-varying dimensions are pruning/PCA-reduction
+    candidates). Tie order at the cut is (|r| DESC, dim_i, dim_j) on
+    ROUND(6) values, deterministic in both engines, so the selected
+    SET hash-matches."""
+    from stockify_spark.llm.pca import top_correlations
+
+    return top_correlations(_t(spark, sf_dir, "embeddings"), top=20)

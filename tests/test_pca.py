@@ -223,3 +223,26 @@ def test_outlier_scores_flag_planted_outlier(spark):
     assert len(got) == 200
     assert max(got, key=got.get) == 7
     assert all(v >= 0 for v in got.values())
+
+
+def test_top_correlations_finds_planted_pair(spark):
+    from stockify_spark.llm.pca import top_correlations
+
+    rng = np.random.RandomState(61)
+    base = rng.randn(300, 6)
+    base[:, 4] = base[:, 1] * 2.0 + rng.randn(300) * 0.01  # near-perfect pair
+    rows = top_correlations(_vecs_df(spark, base), top=3).collect()
+    assert (rows[0]["dim_i"], rows[0]["dim_j"]) == (2, 5)  # 1-based dims
+    assert rows[0]["r"] > 0.99
+    # numpy parity on the winner
+    want = np.corrcoef(base[:, 1], base[:, 4])[0, 1]
+    assert rows[0]["r"] == pytest.approx(want, abs=1e-4)
+
+
+def test_top_correlations_zero_variance_raises(spark):
+    from stockify_spark.llm.pca import top_correlations
+
+    base = np.ones((50, 3))
+    base[:, 0] = np.arange(50)
+    with pytest.raises(ValueError, match="zero-variance"):
+        top_correlations(_vecs_df(spark, base))
