@@ -120,8 +120,16 @@ def bpe_learn(
         def _fold(batches):
             import pandas as pd
 
-            pdf = pd.concat(list(batches), ignore_index=True)
-            rows = [] if pdf.empty else _fold_rounds_local(pdf, n_steps, 1)
+            # an empty coalesced partition yields ZERO Arrow batches —
+            # pd.concat([]) raises, so materialize first and treat
+            # no-batches as the empty word table
+            parts = list(batches)
+            pdf = pd.concat(parts, ignore_index=True) if parts else None
+            rows = (
+                []
+                if pdf is None or pdf.empty
+                else _fold_rounds_local(pdf, n_steps, 1)
+            )
             yield pd.DataFrame(
                 {
                     "step": pd.Series([r[0] for r in rows], dtype="int64"),
@@ -249,8 +257,14 @@ def bpe_learn_batched(
         def _fold(batches):
             import pandas as pd
 
-            pdf = pd.concat(list(batches), ignore_index=True)
-            rows = [] if pdf.empty else _fold_rounds_local(pdf, n_rounds, n_batch)
+            # zero Arrow batches on an empty partition (see bpe_learn)
+            parts = list(batches)
+            pdf = pd.concat(parts, ignore_index=True) if parts else None
+            rows = (
+                []
+                if pdf is None or pdf.empty
+                else _fold_rounds_local(pdf, n_rounds, n_batch)
+            )
             yield pd.DataFrame(
                 {
                     "round": pd.Series([r[0] for r in rows], dtype="int64"),

@@ -145,6 +145,12 @@ def kmeans_assign(
     # take the distributed loop no matter what the row gate says
     first = e.select(F.size("v").alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
+    if n_rows == 0:
+        # empty corpus: raise the domain error DRIVER-side (the local
+        # fold's executor-side raise would surface as a wrapped
+        # PythonException at collect time, the distributed branch's
+        # seed collect as this same ValueError — unify on the latter)
+        raise ValueError(f"kmeans_assign: no seed vectors with {k} > id")
     if n_rows <= local_rows_limit and n_rows * dim <= 16_000_000:
         n_k, n_up = k, updates
 
@@ -152,7 +158,14 @@ def kmeans_assign(
             import numpy as np
             import pandas as pd
 
-            pdf = pd.concat(list(batches), ignore_index=True)
+            # zero Arrow batches on an empty partition — concat first;
+            # an empty corpus has no seeds, same contract as below
+            parts = list(batches)
+            if not parts:
+                raise ValueError(
+                    f"kmeans_assign: no seed vectors with {n_k} > id"
+                )
+            pdf = pd.concat(parts, ignore_index=True)
             seeds_pdf = pdf[pdf["vec_id"] < n_k].sort_values("vec_id")
             if len(seeds_pdf) == 0:
                 # same contract as the distributed branch below

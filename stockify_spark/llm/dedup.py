@@ -1150,12 +1150,19 @@ def repeated_substring_spans(
 
       1. slide exactly-L windows per doc, hashing each to 64 bits
          map-side — the exchanges carry (id, pos, hash) only;
-      2. count occurrences per hash — ONE window count over the
-         8-byte key (the full (id, pos, hash) stream crosses that
-         exchange once; the window form was measured faster than
-         groupBy+join-back, which re-evaluates the window-
-         materialization scan per join side), keep hashes seen
-         > 1 time;
+      2. count occurrences per hash — materialize the hashed-window
+         frame ONCE (localCheckpoint preserves the scan-once
+         property a naive groupBy+join-back loses: both join sides
+         would re-run the window-materialization scan), then
+         ``groupBy(h).count()`` + semi-join back on the 8-byte key.
+         NOT a window count: repeated-substring hashes follow a
+         power law (one boilerplate span repeated 10⁷× corpus-wide
+         puts 10⁷ rows in a single WindowExec buffer — a straggler/
+         OOM AQE cannot split, since skew handling covers joins,
+         not windows), whereas the groupBy's partial map-side
+         aggregation absorbs the hot key and the join-back is a
+         shape AQE CAN skew-split (or broadcast — the hot-hash set
+         is duplicated-vocabulary-sized);
       3. pull candidate positions (hash-join on the 8-byte key) and
          VERIFY them exactly: re-slice the window text for candidate
          positions only (one doc-keyed join) and re-count on the
@@ -1172,25 +1179,41 @@ def repeated_substring_spans(
     asymptotically cheaper plan."""
     L = min_tokens
     df = _spread_small_scan(df)
-    wh = _windows_hashed(df, text_col, id_col, L)
-    # hashes occurring > 1 time corpus-wide: ONE shuffle of
-    # (id, pos, hash) keyed on the 8-byte hash — a window count, not
-    # groupBy+join-back, so the expensive window-materialization scan
-    # runs exactly once (a self-join would re-evaluate it per side)
-    cand = (
-        wh.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("h")))
+    # materialize the hashed-window stream ONCE: the count side and
+    # the probe side below are two consumers of the same pre-exchange
+    # map subtree, which would otherwise re-run the window-
+    # materialization scan per side (the pca_block_pairs lesson —
+    # ReusedExchange only dedups AFTER an exchange). localCheckpoint
+    # is RDD-level, reclaimed by ContextCleaner on GC.
+    wh = _windows_hashed(df, text_col, id_col, L).localCheckpoint()
+    # hashes occurring > 1 time corpus-wide: groupBy + semi-join back
+    # on the 8-byte key, NEVER count().over(Window.partitionBy("h"))
+    # — repeated-substring hashes are power-law keys, and a window
+    # puts every occurrence of the hot hash in ONE task's buffer
+    # (AQE splits skewed JOINS, not windows). The groupBy's partial
+    # map-side aggregation absorbs the hot key; the hot-hash set is
+    # duplicated-vocabulary-sized, so the join-back broadcasts or
+    # AQE-skew-splits.
+    hot = (
+        wh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") > 1)
-        .select("_id", "sp")
+        .select("h")
     )
+    cand = wh.join(hot, "h", "left_semi").select("_id", "sp")
     # exact-text verification of the candidate positions: a window
     # survives iff its TEXT occurs > 1 time among candidates (all
-    # true repeats are candidates, so the text count is exact)
-    cand_w = _candidate_window_text(df, cand, text_col, id_col, L)
-    verified = (
-        cand_w.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("w")))
+    # true repeats are candidates, so the text count is exact).
+    # Same skew-safe shape — the hot TEXT keys are exactly the hot
+    # hash keys that motivated it.
+    cand_w = _candidate_window_text(df, cand, text_col, id_col, L).localCheckpoint()
+    hot_w = (
+        cand_w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") > 1)
-        .select("_id", "sp")
+        .select("w")
     )
+    verified = cand_w.join(hot_w, "w", "left_semi").select("_id", "sp")
     return _merge_spans(verified, id_col, L)
 
 

@@ -43,6 +43,46 @@ def _round_half_up(x: float, nd: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
 
 
+def _round_half_up_np(a, nd: int):
+    """Vectorized :func:`_round_half_up` for the corpus-sized APPLY
+    faces (project/outliers): one Decimal object per output value
+    capped those passes at Python speed (r11 verdict watch item 2).
+
+    Exactness argument: HALF_UP on the shortest decimal string d of
+    x equals floor(d·10^nd + 0.5)/10^nd in exact arithmetic. The
+    float y = x·10^nd deviates from d·10^nd by a few ulp(y) (one
+    from repr-vs-binary, half from the multiply), so whenever
+    frac(y) is MORE than a small ulp-scaled band away from 0.5,
+    floor(y + 0.5) is the exact decimal answer. Only elements
+    INSIDE the band (possible ties — where HALF_UP vs the binary
+    value could disagree, including the away-from-zero negative tie)
+    fall back to the scalar Decimal path; on real-valued projections
+    those are vanishingly rare, so the pass runs at numpy speed.
+    Property-tested equal to the scalar form on adversarial
+    boundary values and random arrays (tests/test_pca_rounding.py)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    scale = 10.0 ** nd
+    y = a * scale
+    with np.errstate(invalid="ignore"):
+        frac = y - np.floor(y)
+        out = np.floor(y + 0.5) / scale
+    # band: a few ulps of y (covers repr-vs-binary + multiply error)
+    # plus a floor for subnormal-scale y; non-finite values take the
+    # scalar path so they fail exactly like the Decimal form
+    band = 4.0 * np.spacing(np.abs(y)) + 1e-12
+    exact = np.isfinite(y) & (np.abs(frac - 0.5) > band)
+    if not exact.all():
+        idx = np.flatnonzero(~exact)
+        flat_in = a.reshape(-1)
+        flat_out = out.reshape(-1)
+        for i in idx:
+            flat_out[i] = _round_half_up(float(flat_in[i]), nd)
+        out = flat_out.reshape(a.shape)
+    return out
+
+
 def pca_power(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -169,10 +209,10 @@ def pca_project(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            p = (mat - mu) @ w.T
+            p = _round_half_up_np((mat - mu) @ w.T, 6)
             out = {"_id": pdf["_id"].to_numpy()}
             for c in range(w.shape[0]):
-                out[f"p{c + 1}"] = [_round_half_up(v, 6) for v in p[:, c]]
+                out[f"p{c + 1}"] = p[:, c]
             yield pd.DataFrame(out)
 
     src = emb.select(
@@ -420,13 +460,12 @@ def pca_outlier_scores(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            p = (mat - mu) @ w.T
-            p = np.vectorize(lambda v: _round_half_up(v, 6))(p)
+            p = _round_half_up_np((mat - mu) @ w.T, 6)
             m2 = (p * p / lam).sum(axis=1)
             yield pd.DataFrame(
                 {
                     "_id": pdf["_id"].to_numpy(),
-                    "m2": [_round_half_up(v, 6) for v in m2],
+                    "m2": _round_half_up_np(m2, 6),
                 }
             )
 

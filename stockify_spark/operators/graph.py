@@ -73,8 +73,12 @@ def pagerank(
         # already happened distributed above; what remains is a
         # fixed-point over ≤1M (src, dst, w/ow) rows — at the bench's
         # 25-node trade graph the iterative path spent ~17 job floors
-        # on microsecond arithmetic. Semantics are bit-faithful to the
-        # loop below: teleport n is the INITIAL distinct-src count,
+        # on microsecond arithmetic. Semantically identical to the
+        # loop below (NOT bit-for-bit: the fold accumulates frac=w/ow
+        # with np.add.at in array order while the loop sums rank*w/ow
+        # in Spark's engine order — different float association, so
+        # the branches agree to ~1e-12, far inside the ROUND(6/9)
+        # output grid; the parity tests pin abs=1e-12, not equality): teleport n is the INITIAL distinct-src count,
         # and a node keeps rank round-to-round only while it receives
         # in-edge contributions (the inner-join fixed point).
         # Billion-edge graphs take the hash-partitioned loop below.
@@ -85,7 +89,11 @@ def pagerank(
             import numpy as np
             import pandas as pd
 
-            pdf = pd.concat(list(batches), ignore_index=True)
+            # zero Arrow batches on an empty partition — concat first
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
             if pdf.empty:
                 return
             src = pdf["_src"].to_numpy()

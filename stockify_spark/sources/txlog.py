@@ -305,15 +305,22 @@ def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
     body = json.dumps({"version": version, "actions": actions, "ts": ts})
     final = _commit_path(path, version)
     tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        f.write(body)
+    # the tmp write sits INSIDE the try/finally: a failed write (disk
+    # full) must not strand the partial tmp file. A hard crash between
+    # link and unlink still can — vacuum_orphans sweeps aged *.tmp
+    # debris from the log dir for exactly that case.
     try:
+        with open(tmp, "w") as f:
+            f.write(body)
         os.link(tmp, final)  # atomic publish: fails if version exists
         return True
     except FileExistsError:
         return False
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass  # open() itself failed — nothing staged
 
 
 class CommitConflict(RuntimeError):
@@ -2229,4 +2236,22 @@ def vacuum_orphans(
                 continue  # inside the in-flight horizon
             os.remove(full)
             deleted.append(rel)
+    # log-dir debris: a writer that crashed between os.link and the
+    # tmp unlink (_try_commit) strands '<version>.json.<hex>.tmp'; a
+    # checkpoint_log killed mid-write strands '_ckpt_tmp_<hex>'.
+    # Readers never match these names, but no other path reclaims
+    # them. Name-gated (never anything a reader could be using) and
+    # age-gated like data orphans — a LIVE writer's tmp is seconds old.
+    ld = _log_dir(path)
+    if os.path.isdir(ld):
+        for name in sorted(os.listdir(ld)):
+            if not (name.endswith(".tmp") or name.startswith("_ckpt_tmp_")):
+                continue
+            full = os.path.join(ld, name)
+            if not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            os.remove(full)
+            deleted.append(os.path.join("_txlog", name))
     return sorted(deleted)

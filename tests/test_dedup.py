@@ -300,11 +300,42 @@ def test_substring_exchange_carries_hash_not_text(spark):
         isinstance(f.dataType, T.StringType) for f in wh.schema.fields
     ), "window exchange schema must not carry text"
     assert set(wh.columns) == {"_id", "sp", "h"}
-    plan = (
-        dedup.repeated_substring_spans(df, "text", "doc_id", 6)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    # the hash is computed map-side, before the (checkpointed) frame
+    # ever reaches an exchange — pin it on the window stream's own
+    # plan (the full operator's plan starts at the checkpoint RDD, so
+    # the xxhash64 expression no longer appears there)
+    plan = wh._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_substring_count_is_skew_safe_not_window(spark):
+    """Scale pin for the r11 verdict hazard: the occurrence count
+    over the 64-bit window hash must be groupBy partial-agg + semi-
+    join-back, NEVER count().over(Window.partitionBy(h)) — repeated-
+    substring hashes are power-law keys (a boilerplate span repeated
+    10⁷× corpus-wide puts 10⁷ rows in one WindowExec buffer, and AQE
+    splits skewed JOINS, not windows). Plants one ~90k-occurrence
+    window and checks (a) the plan shape and (b) exact output."""
+    from stockify_spark.llm import dedup
+
+    reps, ndocs, L = 30, 600, 5
+    hot = "a b c d e " * reps  # 150 hot tokens per doc, shared by all
+    rows = [(i, f"unique{i} token filler{i} {hot.strip()}") for i in range(ndocs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.repeated_substring_spans(df, "text", "doc_id", L)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ONLY window operators are _merge_spans' per-doc (_id, sp)
+    # ones — no window partitioned by the hash or text key
+    assert "windowspecdefinition(h#" not in plan
+    assert "windowspecdefinition(w#" not in plan
+    assert "windowspecdefinition(_id#" in plan
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in out.collect()
+    }
+    # tokens 1-3 are per-doc unique; the hot region is tokens 4..153,
+    # every L-window inside it is corpus-repeated → one maximal span
+    assert got == {(i, 4, 3 + 5 * reps, 5 * reps) for i in range(ndocs)}
 
 
 def test_substring_hash_collisions_rejected(monkeypatch, spark):

@@ -112,6 +112,25 @@ def test_kmeans_parity(spark):
     assert loc == dist and len(loc) == 120
 
 
+def test_local_folds_on_empty_input(spark):
+    """An empty coalesced partition yields ZERO Arrow batches —
+    pd.concat([]) raises ValueError('No objects to concatenate'), so
+    every local-fold closure must materialize the batch list first.
+    bpe on an empty word table returns an empty merge table (the
+    pre-local-fold behavior); pagerank on an empty edge list returns
+    an empty rank table; kmeans raises its documented domain error."""
+    words = spark.createDataFrame([], "word string, cnt long")
+    assert bpe_learn(spark, words, steps=3).collect() == []
+    assert bpe_learn_batched(spark, words, rounds=2, batch=2).collect() == []
+
+    edges = spark.createDataFrame([], "src int, dst int, w double")
+    assert pagerank(edges, iters=4).collect() == []
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no seed vectors"):
+        kmeans_assign(emb, k=3, updates=2)
+
+
 def test_round6_half_up_matches_spark_round(spark):
     """The local fold's model-boundary rounding must be EXACTLY
     Spark's Round(double, 6) — which rounds the shortest decimal

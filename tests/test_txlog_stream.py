@@ -279,6 +279,71 @@ class TestMultiTableTxn:
         assert got == [os.path.join("data", "deadbeef_orphan.parquet")]
         assert txlog.snapshot(spark, path).count() == o.count()
 
+    def test_vacuum_orphans_sweeps_log_dir_tmp_debris(self, spark, tmp):
+        """A writer crashed between os.link and the tmp unlink strands
+        '<version>.json.<hex>.tmp'; a checkpoint_log killed mid-write
+        strands '_ckpt_tmp_<hex>'. Readers skip both names forever —
+        vacuum_orphans is the only reclamation path."""
+        import time
+
+        o = _orders(spark)
+        path = os.path.join(tmp, "t")
+        txlog.create(o.coalesce(1), path)
+        ld = os.path.join(path, "_txlog")
+        stranded = os.path.join(ld, f"{1:016d}.json.deadbeef.tmp")
+        ckpt_tmp = os.path.join(ld, "_ckpt_tmp_deadbeef")
+        for p in (stranded, ckpt_tmp):
+            with open(p, "w") as f:
+                f.write("{}")
+        # fresh: a LIVE writer may be mid-publish — kept
+        assert txlog.vacuum_orphans(path, min_age_seconds=3600) == []
+        old = time.time() - 7200
+        os.utime(stranded, (old, old))
+        os.utime(ckpt_tmp, (old, old))
+        got = txlog.vacuum_orphans(path, min_age_seconds=3600)
+        assert got == sorted(
+            [
+                os.path.join("_txlog", os.path.basename(stranded)),
+                os.path.join("_txlog", "_ckpt_tmp_deadbeef"),
+            ]
+        )
+        # the log itself is intact: commits, reads, appends all work
+        assert txlog.snapshot(spark, path).count() == o.count()
+        txlog.append(o.limit(3).coalesce(1), path)
+        assert txlog.snapshot(spark, path).count() == o.count() + 3
+
+    def test_try_commit_disk_write_failure_leaves_no_tmp(self, spark, tmp, monkeypatch):
+        """A failed body write (disk full) must not strand a partial
+        tmp file in the log dir."""
+        o = _orders(spark)
+        path = os.path.join(tmp, "t")
+        txlog.create(o.coalesce(1), path)
+        real_open = open
+
+        def boom(p, *a, **k):
+            f = real_open(p, *a, **k)
+            if str(p).endswith(".tmp"):
+                class _Failing:
+                    def __enter__(self):
+                        return self
+
+                    def __exit__(self, *exc):
+                        f.close()
+                        return False
+
+                    def write(self, _):
+                        raise OSError(28, "No space left on device")
+
+                return _Failing()
+            return f
+
+        monkeypatch.setattr("builtins.open", boom)
+        with pytest.raises(OSError):
+            txlog.append(o.limit(1).coalesce(1), path)
+        monkeypatch.undo()
+        ld = os.path.join(path, "_txlog")
+        assert [n for n in os.listdir(ld) if n.endswith(".tmp")] == []
+
     def test_crash_before_manifest_leaves_no_transaction(self, spark, tmp):
         """_fail_after=0: manifest IS published (phase 2 completes),
         zero table commits — recovery must still complete it; the
