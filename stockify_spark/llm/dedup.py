@@ -1217,6 +1217,56 @@ def repeated_substring_spans(
     return _merge_spans(verified, id_col, L)
 
 
+def keepone_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Keep-one exact substring dedup: the maximal spans to CUT when,
+    for every corpus-repeated >= L-token window, the occurrences in
+    the LOWEST-``id_col`` document containing it are retained and
+    every occurrence in any other document is removed — the
+    "retain one copy" policy of :func:`remove_repeated_spans`'s
+    docstring, realized as the promised deterministic post-filter on
+    the verified window stream. Returns
+    (id, span_start, span_end, span_tokens), 1-based inclusive.
+
+    Scale shape: identical to :func:`repeated_substring_spans`
+    (hash-keyed exchanges, skew-safe groupBy counts, candidate-only
+    text re-slice) plus ONE extra model-shaped aggregate — min(doc)
+    per verified window text — joined back to the candidate stream;
+    the keeper table is bounded by the duplicated window vocabulary,
+    not the corpus, so the join-back broadcasts at any corpus size
+    where dedup is meaningful."""
+    L = min_tokens
+    df = _spread_small_scan(df)
+    # same skew-safe shape as repeated_substring_spans (see its
+    # step-2 comment): checkpoint once, groupBy-count, semi-join back
+    wh = _windows_hashed(df, text_col, id_col, L).localCheckpoint()
+    hot = (
+        wh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    cand = wh.join(hot, "h", "left_semi").select("_id", "sp")
+    cand_w = _candidate_window_text(df, cand, text_col, id_col, L).localCheckpoint()
+    # per verified (text-counted, collision-free) window: who keeps it
+    keep = (
+        cand_w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("_id").alias("_keeper"))
+        .filter(F.col("n_occ") > 1)
+        .select("w", "_keeper")
+    )
+    hits = (
+        cand_w.join(keep, "w")
+        .filter(F.col("_id") != F.col("_keeper"))
+        .select("_id", "sp")
+    )
+    return _merge_spans(hits, id_col, L)
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str,

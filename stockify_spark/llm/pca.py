@@ -13,8 +13,12 @@ shape is MLlib's RowMatrix pattern re-expressed on the DataFrame API:
      is one (1 + d + d²)-double row, independent of row count.
   2. The partials collapse to the driver — a BOUNDED collect of one
      row per partition (at 1000 executors: 1000 rows of ~33 KB for
-     d=64; for much larger fleets sum them in one intermediate
-     ``groupBy`` first, the treeAggregate shape).
+     d=64). Above ``_TREE_FOLD_PARTITIONS`` source partitions the
+     fold goes through one intermediate ``groupBy`` (posexplode the
+     (n, s, g) row to (index, value), sum per index — the
+     treeAggregate shape) so the driver collects exactly 1 + d + d²
+     scalars no matter how large the fleet is; parity-tested
+     hash-equal against the direct collect.
   3. The d×d covariance C = G/n − μμᵀ (entries ROUND(9)) is MODEL
      state; 8 power-iteration rounds run in numpy on the driver,
      exactly like the k-means centroid fold — iterating on a 64×64
@@ -106,27 +110,70 @@ def pca_power(
     )
 
 
-def _gram(emb: DataFrame, vec_col: str):
+# above this many source partitions the driver-side partial collect
+# (one (1+d+d²)-double row per partition) stops being "model-sized"
+# — at d=1024 and 10⁵ partitions it is ~800 GB — so the fold takes
+# one intermediate groupBy instead (module docstring §2)
+_TREE_FOLD_PARTITIONS = 1024
+
+
+def _gram(emb: DataFrame, vec_col: str, tree_fold_gate: int = _TREE_FOLD_PARTITIONS):
     """One corpus pass → (n, mean, covariance ROUND(9)) — the shared
-    front half of every PCA face (module docstring §1-2)."""
+    front half of every PCA face (module docstring §1-2). Above
+    ``tree_fold_gate`` source partitions the per-partition partials
+    are summed in one intermediate groupBy (ONE job, one shuffle of
+    partitions·(1+d+d²) scalars) so the collect is exactly 1+d+d²
+    rows regardless of fleet size; the gate is a parameter only so
+    the parity test can force each branch."""
     import numpy as np
-    import pandas as pd
 
     from pyspark.sql import functions as F
 
     src = emb.select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
-    rows = src.mapInPandas(
+    partials = src.mapInPandas(
         _gram_partials, schema="n long, s array<double>, g array<double>"
-    ).collect()  # bounded: one row per partition (module docstring §2)
-    if not rows:
-        raise ValueError("pca: empty corpus")
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["s"])
-    s = np.zeros(d)
-    g = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r["s"])
-        g += np.asarray(r["g"]).reshape(d, d)
+    )
+    # .rdd here is plan conversion, not a job — no corpus pass
+    if src.rdd.getNumPartitions() > tree_fold_gate:
+        # treeAggregate shape: flatten each partial row to (index,
+        # value) with index 0 = n (exact in double below 2^53),
+        # 1..d = Σv, d+1..d+d² = Σ v·vᵀ; sum per index. Partial
+        # map-side aggregation keeps the shuffle at
+        # O(partitions · (1+d+d²)) scalars and the collect at model
+        # size. Same single corpus pass as the direct branch.
+        folded = (
+            partials.select(
+                F.posexplode(
+                    F.concat(
+                        F.array(F.col("n").cast("double")), F.col("s"), F.col("g")
+                    )
+                ).alias("i", "x")
+            )
+            .groupBy("i")
+            .agg(F.sum("x").alias("x"))
+            .collect()
+        )  # bounded: 1 + d + d² rows
+        if not folded:
+            raise ValueError("pca: empty corpus")
+        # len(folded) = 1 + d + d²  →  d = (−1 + √(1+4·(len−1)))/2
+        d = int(round((-1 + (1 + 4 * (len(folded) - 1)) ** 0.5) / 2))
+        vals = np.zeros(len(folded))
+        for r in folded:
+            vals[r["i"]] = r["x"]
+        n = int(round(vals[0]))
+        s = vals[1 : 1 + d]
+        g = vals[1 + d :].reshape(d, d)
+    else:
+        rows = partials.collect()  # bounded: one row per partition
+        if not rows:
+            raise ValueError("pca: empty corpus")
+        n = sum(r["n"] for r in rows)
+        d = len(rows[0]["s"])
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for r in rows:
+            s += np.asarray(r["s"])
+            g += np.asarray(r["g"]).reshape(d, d)
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     cov = np.array([[_round_half_up(v, 9) for v in row] for row in cov])
@@ -419,6 +466,74 @@ def pca_from_gram(
         ],
         "component long, dim long, loading double, eigenvalue double",
     )
+
+
+def compact_gram(spark, path: str) -> int:
+    """Fold checkpoint for the incremental-PCA stats table: COW-
+    rewrite the partial-row history at ``path`` to ONE summed
+    (n, Σv, Σ v·vᵀ) row, so :func:`pca_from_gram`'s rebuild is
+    O(d²) forever instead of O(batches·d²) on a long-lived stream
+    (the partial table grows one row per micro-batch ever appended).
+
+    The fold runs distributed — posexplode each partial row to
+    (index, value), sum per index, collect 1+d+d² scalars (model-
+    sized regardless of batch history) — then commits
+    remove(all live files) + add(one file) through the txlog's
+    optimistic-concurrency path, so a concurrent :func:`gram_update`
+    either lands before the rewrite (its rows are folded) or after
+    (its rows survive beside the folded row; the Gram is associative
+    so both orders read identically).
+
+    Exactly-once markers are PRESERVED: ``txn`` actions live in the
+    LOG, not the data files — the COW commit touches only files, and
+    both :func:`stockify_spark.sources.txlog.last_txn_version` and
+    the checkpoint collapse keep every (app, version) marker, so a
+    replayed micro-batch is still a no-op across the fold boundary
+    (pinned by tests/test_pca.py). Returns the commit version;
+    no-op (current version) when the table already holds one row."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stockify_spark.sources import txlog
+
+    # pin the fold to ONE version: folding snapshot(head) but
+    # removing _live_rel(later head) would silently drop a partial a
+    # concurrent gram_update landed in between — fold and remove the
+    # same pinned file set instead (the commit's own conflict check
+    # covers concurrent REMOVERS; concurrent appenders land beside)
+    v = txlog.current_version(path)
+    snap = txlog.snapshot(spark, path, version=v)
+    if snap.count() <= 1:
+        return v
+    folded = (
+        snap.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n").cast("double")), F.col("s"), F.col("g"))
+            ).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )  # bounded: 1 + d + d² rows of model state
+    d = int(round((-1 + (1 + 4 * (len(folded) - 1)) ** 0.5) / 2))
+    vals = np.zeros(len(folded))
+    for r in folded:
+        vals[r["i"]] = r["x"]
+    one = spark.createDataFrame(
+        [
+            (
+                int(round(vals[0])),
+                [float(x) for x in vals[1 : 1 + d]],
+                [float(x) for x in vals[1 + d :]],
+            )
+        ],
+        "n long, s array<double>, g array<double>",
+    )
+    rels = txlog._live_rel(path, v)
+    actions: list[dict] = [{"remove": {"path": r}} for r in rels]
+    actions.extend(txlog._write_data_files(one.coalesce(1), path))
+    return txlog._commit(path, actions)
 
 
 def pca_outlier_scores(

@@ -379,3 +379,48 @@ def test_substring_hash_collisions_rejected(monkeypatch, spark):
         for r in dedup.contaminated_spans(train, ev, "text", "doc_id", 10).collect()
     }
     assert got == {(1, 3, 12)}
+
+
+def test_keepone_substring_spans(spark):
+    """Keeper rule: every occurrence of a repeated window in the
+    LOWEST doc_id survives (even multiple occurrences inside that
+    doc); every other doc's occurrences become cut spans. Doc 3 has
+    no repeats → no rows."""
+    from stockify_spark.llm import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (5, f"one two {shared} three four"),          # NOT keeper → cut
+        (2, f"{shared} mid words pad pad and {shared}"),  # keeper: BOTH stay
+        (3, "completely unique text with no repeats anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.keepone_substring_spans(df, "text", "doc_id", 6).collect()
+    }
+    assert got == {(5, 3, 8, 6)}
+
+
+def test_keepone_collisions_rejected(monkeypatch, spark):
+    """Squeezed 2-bit hash: colliding windows must not create cut
+    spans — the keeper aggregate runs on verified TEXT."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.llm import dedup
+
+    monkeypatch.setattr(
+        dedup, "_win_hash", lambda w: F.pmod(F.xxhash64(w), F.lit(2))
+    )
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} unrelated tail words here padd"),
+        (3, "totally different filler text colliding only in hash land"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.keepone_substring_spans(df, "text", "doc_id", 6).collect()
+    }
+    assert got == {(2, 1, 6)}  # doc 1 keeps; doc 3's collisions rejected

@@ -246,3 +246,110 @@ def test_top_correlations_zero_variance_raises(spark):
     base[:, 0] = np.arange(50)
     with pytest.raises(ValueError, match="zero-variance"):
         top_correlations(_vecs_df(spark, base))
+
+
+def test_compact_gram_bounds_rebuild_and_preserves_model(spark, tmp_path):
+    """Fold checkpoint: after compact_gram the stats table holds ONE
+    summed row (rebuild cost O(d²) regardless of batch history), the
+    model is unchanged, and further incremental updates keep
+    composing."""
+    import os
+
+    from stockify_spark.llm.pca import (
+        compact_gram,
+        gram_update,
+        pca_from_gram,
+        pca_topk,
+    )
+    from stockify_spark.sources import txlog
+
+    rng = np.random.RandomState(53)
+    base = rng.rand(200, 5)
+    df = _vecs_df(spark, base)
+    table = os.path.join(str(tmp_path), "gram")
+    for v, (lo, hi) in enumerate([(0, 50), (50, 90), (90, 140), (140, 200)]):
+        gram_update(
+            df.filter((df.vec_id >= lo) & (df.vec_id < hi)),
+            table,
+            batch_version=v,
+        )
+    assert txlog.snapshot(spark, table).count() == 4
+    before = sorted(map(tuple, pca_from_gram(spark, table, k=2).collect()))
+    compact_gram(spark, table)
+    snap = txlog.snapshot(spark, table)
+    assert snap.count() == 1
+    assert len(txlog.live_files(table)) == 1
+    after = sorted(map(tuple, pca_from_gram(spark, table, k=2).collect()))
+    assert before == after
+    # second compact is a no-op commit-wise
+    v_now = txlog.current_version(table)
+    assert compact_gram(spark, table) == v_now
+    # and the fold composes: more data still folds in correctly
+    extra = rng.rand(60, 5)
+    gram_update(
+        _vecs_df(spark, extra).withColumn("vec_id", F.col("vec_id") + 200),
+        table,
+        batch_version=4,
+    )
+    inc = sorted(map(tuple, pca_from_gram(spark, table, k=2).collect()))
+    one = sorted(
+        map(tuple, pca_topk(_vecs_df(spark, np.vstack([base, extra])), k=2).collect())
+    )
+    assert inc == one
+
+
+def test_compact_gram_exactly_once_across_fold_boundary(spark, tmp_path):
+    """A replayed micro-batch (at-least-once foreachBatch window)
+    must STAY a no-op after the fold rewrote the data files — the
+    txn markers live in the log, which the COW commit leaves
+    intact."""
+    import os
+
+    from stockify_spark.llm.pca import compact_gram, gram_update, pca_from_gram
+    from stockify_spark.sources import txlog
+
+    rng = np.random.RandomState(59)
+    df = _vecs_df(spark, rng.rand(80, 4))
+    table = os.path.join(str(tmp_path), "gram")
+    gram_update(df.filter(df.vec_id < 40), table, batch_version=0)
+    gram_update(df.filter(df.vec_id >= 40), table, batch_version=1)
+    compact_gram(spark, table)
+    before = sorted(map(tuple, pca_from_gram(spark, table).collect()))
+    v_now = txlog.current_version(table)
+    # replay BOTH pre-fold batches: no commit, no model change
+    gram_update(df.filter(df.vec_id < 40), table, batch_version=0)
+    gram_update(df.filter(df.vec_id >= 40), table, batch_version=1)
+    assert txlog.current_version(table) == v_now
+    assert sorted(map(tuple, pca_from_gram(spark, table).collect())) == before
+    # ... and across a LOG checkpoint collapse too
+    txlog.checkpoint_log(table)
+    gram_update(df.filter(df.vec_id < 40), table, batch_version=1)
+    assert txlog.current_version(table) == v_now
+    assert sorted(map(tuple, pca_from_gram(spark, table).collect())) == before
+
+
+def test_gram_tree_fold_parity(spark):
+    """The >1024-partition intermediate-groupBy fold must produce the
+    same model as the direct partial collect — force both branches
+    with the gate parameter and compare the full query output."""
+    from stockify_spark.llm.pca import _gram, _power_deflate
+
+    rng = np.random.RandomState(61)
+    mat = rng.rand(300, 8)
+    df = _vecs_df(spark, mat, parts=8)
+    n_a, mu_a, cov_a = _gram(df, "embedding", tree_fold_gate=0)  # forced tree fold
+    n_b, mu_b, cov_b = _gram(df, "embedding", tree_fold_gate=10_000)  # direct
+    assert n_a == n_b == 300
+    assert np.allclose(mu_a, mu_b, atol=1e-12)
+    assert cov_a.tolist() == cov_b.tolist()  # identical on the ROUND(9) grid
+    a = _power_deflate(cov_a, 2, 8)
+    b = _power_deflate(cov_b, 2, 8)
+    assert [(lam, r.tolist()) for lam, r in a] == [(lam, r.tolist()) for lam, r in b]
+
+
+def test_gram_tree_fold_empty_corpus_raises(spark):
+    from stockify_spark.llm.pca import _gram
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="empty corpus"):
+        _gram(df, "embedding", tree_fold_gate=0)
