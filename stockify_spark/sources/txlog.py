@@ -260,7 +260,19 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
         rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
         final = os.path.join(path, rel)
         os.rename(os.path.join(staging, name), final)
-        adds.append({"add": {"path": rel, "stats": _file_stats(final)}})
+        # byte size in the log: stream admission (max_bytes_per_
+        # trigger) and maintenance planning read it from the commit
+        # alone — no per-file stat/GET at plan time (same rationale
+        # as the min/max stats; Delta's add.size field)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "size": os.path.getsize(final),
+                    "stats": _file_stats(final),
+                }
+            }
+        )
     # best-effort staging cleanup (only non-data markers remain)
     for name in os.listdir(staging):
         os.remove(os.path.join(staging, name))

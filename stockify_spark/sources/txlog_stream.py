@@ -608,6 +608,46 @@ def _table_schema(
     )
 
 
+def _commit_add_bytes(path: str, version: int) -> int:
+    """Bytes this commit ADDS, from the log alone: sum of the add
+    actions' ``size`` fields (recorded at write time). Legacy
+    commits written before sizes were logged fall back to one local
+    stat per file — a migration path only; new logs never stat."""
+    cpath = txlog._commit_path(path, version)
+    if not os.path.exists(cpath):
+        raise ValueError(f"version {version} not found at {path}")
+    with open(cpath) as f:
+        actions = json.load(f)["actions"]
+    total = 0
+    for a in actions:
+        add = a.get("add")
+        if add is None:
+            continue
+        sz = add.get("size")
+        if sz is None:
+            sz = os.path.getsize(txlog._abs(path, add["path"]))
+        total += int(sz)
+    return total
+
+
+def _bytes_cap_end(path: str, base: int, hi: int, max_bytes: int) -> int:
+    """Largest end version in (base, hi] whose admitted add-bytes
+    stay UNDER ``max_bytes`` when the batch closes — i.e. commits are
+    admitted until the running sum reaches the cap, and the first
+    commit after ``base`` is always admitted (a single over-cap
+    commit must still drain, Delta's minimum-one-file rule). Cost:
+    one driver-side JSON read per commit scanned, bounded by the
+    caps themselves on every trigger after the first."""
+    total = 0
+    end = base
+    for v in range(base + 1, hi + 1):
+        if end > base and total >= max_bytes:
+            break
+        total += _commit_add_bytes(path, v)
+        end = v
+    return end
+
+
 class _TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         if "path" not in options:
@@ -639,6 +679,19 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._max = int(mx) if mx is not None else None
         if self._max is not None and self._max < 1:
             raise ValueError("max_commits_per_trigger must be >= 1")
+        # Delta's maxBytesPerTrigger analog: commits vary wildly in
+        # size (one compaction commit can carry 1000× an append's
+        # bytes), so a commit-count cap alone cannot bound a batch's
+        # memory/IO. The admission sum reads ONLY log-recorded add
+        # sizes (a planning-time JSON read per commit, no file
+        # stats/GETs); a batch closes once its admitted bytes REACH
+        # the cap, and at least one commit is always admitted so a
+        # single over-cap commit still drains. Both caps compose:
+        # whichever closes the batch first wins.
+        mb = options.get("max_bytes_per_trigger")
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("max_bytes_per_trigger must be >= 1")
         # last offset this RUN has planned up to — the cap's base.
         # The python datasource API has no admission-control
         # handshake (latestOffset takes no start offset), so the
@@ -658,7 +711,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = txlog.current_version(self._path)
-        if self._max is None:
+        if self._max is None and self._max_bytes is None:
             return {"version": head}
         if self._base is None:
             # First offset request of this reader's life. Two cases,
@@ -676,7 +729,12 @@ class _TxlogStreamReader(DataSourceStreamReader):
             #     offset log below delivered commits.
             self._base = self._start - 1
 
-        end = max(min(head, self._base + self._max), self._base)
+        end = head
+        if self._max is not None:
+            end = min(end, self._base + self._max)
+        if self._max_bytes is not None and end > self._base:
+            end = min(end, _bytes_cap_end(self._path, self._base, end, self._max_bytes))
+        end = max(end, self._base)
         self._base = end
         return {"version": end}
 

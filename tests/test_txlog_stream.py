@@ -1339,3 +1339,175 @@ class TestDirectCdfSchemaEdges:
                 .load()
                 .count()
             )
+
+
+class TestByteAdmission:
+    """max_bytes_per_trigger: admission by LOG-RECORDED add sizes —
+    commits vary wildly in bytes, so the commit-count cap alone
+    cannot bound a batch (the r11 verdict's item 4)."""
+
+    def _mixed_commits(self, spark, path):
+        """8 commits alternating tiny (1 row) and fat (3000 rows)."""
+        def mk(i, n):
+            return spark.createDataFrame(
+                [(i * 10_000 + j, float(j)) for j in range(n)],
+                "o_orderkey long, o_totalprice double",
+            ).coalesce(1)
+
+        sizes = [1, 3000, 1, 3000, 1, 1, 3000, 1]
+        txlog.create(mk(0, sizes[0]), path)
+        for i, n in enumerate(sizes[1:], start=1):
+            txlog.append(mk(i, n), path)
+        return sizes
+
+    def test_log_records_sizes_and_sum_matches_disk(self, spark, tmp):
+        from stockify_spark.sources.txlog_stream import _commit_add_bytes
+
+        path = os.path.join(tmp, "t")
+        self._mixed_commits(spark, path)
+        import json as _json
+
+        for v in range(8):
+            with open(txlog._commit_path(path, v)) as f:
+                actions = _json.load(f)["actions"]
+            adds = [a["add"] for a in actions if "add" in a]
+            assert adds and all("size" in a for a in adds)
+            want = sum(
+                os.path.getsize(txlog._abs(path, a["path"])) for a in adds
+            )
+            assert _commit_add_bytes(path, v) == want
+
+    def test_legacy_commit_without_sizes_falls_back_to_stat(self, spark, tmp):
+        from stockify_spark.sources.txlog_stream import _commit_add_bytes
+
+        path = os.path.join(tmp, "t")
+        self._mixed_commits(spark, path)
+        import json as _json
+
+        want = _commit_add_bytes(path, 3)
+        cpath = txlog._commit_path(path, 3)
+        with open(cpath) as f:
+            body = _json.load(f)
+        for a in body["actions"]:
+            a.get("add", {}).pop("size", None)
+        os.unlink(cpath)  # rewrite in place (test-only log surgery)
+        with open(cpath, "w") as f:
+            _json.dump(body, f)
+        assert _commit_add_bytes(path, 3) == want
+
+    def test_offset_arithmetic_bytes(self, spark, tmp):
+        """Mechanics: batch boundaries track BYTES — a batch closes
+        once its admitted add-bytes reach the cap, at least one
+        commit always admitted, and the count cap composes."""
+        from stockify_spark.sources.txlog_stream import (
+            _TxlogStreamReader,
+            _commit_add_bytes,
+            _table_schema,
+        )
+
+        path = os.path.join(tmp, "t")
+        self._mixed_commits(spark, path)
+        s = [_commit_add_bytes(path, v) for v in range(8)]
+        small, fat = s[0], s[1]
+        assert fat > 3 * small  # the premise: sizes differ materially
+
+        # cap below one fat commit: every fat commit drains ALONE,
+        # tiny neighbors pack together up to the cap
+        cap = fat - 1
+        schema = _table_schema(path)
+        r = _TxlogStreamReader(
+            schema, {"path": path, "max_bytes_per_trigger": str(cap)}
+        )
+        ends = []
+        prev = -1
+        while prev < 7:
+            got = int(r.latestOffset()["version"])
+            assert got > prev  # liveness: always >= 1 commit
+            batch = list(range(prev + 1, got + 1))
+            bytes_but_last = sum(s[v] for v in batch[:-1])
+            # could not have closed earlier...
+            assert bytes_but_last < cap
+            # ...and closed for a reason: cap reached or caught up
+            assert sum(s[v] for v in batch) >= cap or got == 7
+            ends.append(got)
+            prev = got
+        assert ends[-1] == 7 and len(ends) >= 4
+        # fat commits 1,3,6 were not batched with anything after them
+        for v_fat in (1, 3, 6):
+            assert v_fat in ends
+
+        # compose with the commit cap: count closes first when finer
+        r2 = _TxlogStreamReader(
+            schema,
+            {
+                "path": path,
+                "max_bytes_per_trigger": str(10 * fat),
+                "max_commits_per_trigger": "2",
+            },
+        )
+        assert r2.latestOffset() == {"version": 1}
+        assert r2.latestOffset() == {"version": 3}
+
+        # rejects nonsense
+        with pytest.raises(ValueError, match="max_bytes_per_trigger"):
+            _TxlogStreamReader(
+                schema, {"path": path, "max_bytes_per_trigger": "0"}
+            )
+
+    def test_mixed_backlog_drains_exactly_once_across_restart(self, spark, tmp):
+        """End-to-end: byte-capped drain delivers every commit exactly
+        once, batch boundaries tracking bytes, including across a
+        checkpoint restart with new commits."""
+        from stockify_spark.sources.txlog_stream import (
+            _commit_add_bytes,
+            register_txlog_stream,
+        )
+
+        path = os.path.join(tmp, "t")
+        self._mixed_commits(spark, path)
+        fat = _commit_add_bytes(path, 1)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        batches: list[list[int]] = []
+
+        def sink(df, bid):
+            vs = sorted(
+                r["_commit_version"]
+                for r in df.select("_commit_version").distinct().collect()
+            )
+            if vs:
+                batches.append(vs)
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", path)
+                .option("max_bytes_per_trigger", str(fat - 1))
+                .load()
+            )
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        assert sorted(v for vs in batches for v in vs) == list(range(8))
+        assert len(batches) >= 4  # bounded batches, not one table-sized
+        # every fat commit (1, 3, 6) ends its batch
+        for v_fat in (1, 3, 6):
+            assert any(vs[-1] == v_fat for vs in batches)
+        # restart with fresh commits: exactly once, no replay
+        for i in range(8, 11):
+            txlog.append(
+                spark.createDataFrame(
+                    [(i, float(i))], "o_orderkey long, o_totalprice double"
+                ),
+                path,
+            )
+        n_before = len(batches)
+        run_once()
+        new = [v for vs in batches[n_before:] for v in vs]
+        assert sorted(new) == [8, 9, 10]
