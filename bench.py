@@ -552,6 +552,105 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ingest_sink_experiment(spark, sf_dir: str) -> dict:
+    """Wall-clock for the streaming-ingest dedup sinks (r11 verdict
+    item 6): a scripted 4-batch feed of the documents table with
+    cross-batch duplicates planted in the last batch, destination
+    growing across batches — the per-batch anti-join against an
+    ever-larger history is exactly the shape whose regression should
+    be bench-visible. Three rows: the exact fingerprint sink, the
+    MinHash-LSH near-dup sink, and the state-store streaming dedup
+    (dropDuplicates drain through a real checkpointed query). Fresh
+    tmp destinations every run — these are honest write-path times,
+    not cached-scratch reads (which is why they live here and not in
+    BENCH_QUERIES)."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.llm.dedup import (
+        dedup_ingest_sink,
+        near_dedup_ingest_sink,
+        streaming_exact_dedup,
+    )
+    from stockify_spark.sources import txlog
+    from stockify_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = []
+    for b in range(4):
+        batch = docs.filter(F.col("doc_id") % 4 == b)
+        if b == 3:
+            batch = batch.unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == 0)
+                ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+            )
+        batches.append(batch.localCheckpoint())  # pre-materialized feed
+
+    tmp = tempfile.mkdtemp(prefix="stockify_ingest_")
+    try:
+        # exact fingerprint sink: per-batch timing shows the
+        # anti-join's growth trend as history accumulates
+        dst = os.path.join(tmp, "exact")
+        sink = dedup_ingest_sink(spark, dst, "bench", "text", "doc_id")
+        exact_secs = []
+        for b, batch in enumerate(batches):
+            t0 = time.perf_counter()
+            sink(batch, b)
+            exact_secs.append(round(time.perf_counter() - t0, 4))
+        n_exact = txlog.snapshot(spark, dst).count()
+
+        # near-dup (MinHash-LSH) sink over the same feed
+        dst_n = os.path.join(tmp, "near")
+        nsink = near_dedup_ingest_sink(
+            spark, dst_n, "bench", "text", "doc_id"
+        )
+        t0 = time.perf_counter()
+        for b, batch in enumerate(batches):
+            nsink(batch, b)
+        near_sec = time.perf_counter() - t0
+        n_near = txlog.snapshot(spark, dst_n).count()
+
+        # state-store streaming dedup: 4-file source, one file per
+        # micro-batch, checkpointed drain through dropDuplicates
+        src = os.path.join(tmp, "src")
+        for b, batch in enumerate(batches):
+            batch.coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+        out = os.path.join(tmp, "out")
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            streaming_exact_dedup(stream, "text", "doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stream_sec = time.perf_counter() - t0
+        n_stream = spark.read.parquet(out).count()
+        # all three implement first-wins exact dedup on this feed
+        # (near-dup subsumes exact; planted dups must all drop)
+        assert n_exact == n_stream and n_near <= n_exact, (
+            n_exact,
+            n_near,
+            n_stream,
+        )
+        return {
+            "ingest_exact_sink_sec": round(sum(exact_secs), 4),
+            "ingest_exact_batch_secs": exact_secs,
+            "ingest_near_sink_sec": round(near_sec, 4),
+            "ingest_stream_dedup_sec": round(stream_sec, 4),
+            "ingest_rows_kept": int(n_exact),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from stockify_spark.registry import ORACLE, QUERIES
     from stockify_spark.session import get_spark
@@ -575,6 +674,7 @@ def main() -> None:
             oracle_q[name] = round(o_med, 4)
 
     extras: dict = layout_experiment(spark, SF_DIR)
+    extras.update(ingest_sink_experiment(spark, SF_DIR))
     if with_oracle:
         extras["timing"] = "interleaved"
         extras["oracle_total_sec"] = round(sum(oracle_q.values()), 4)

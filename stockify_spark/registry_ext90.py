@@ -145,3 +145,84 @@ def dedup_substring_keepone(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return keepone_substring_spans(docs, "text", "doc_id", _KEEPONE_L)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_ingest_sink — dedup-against-history ingest replayed
+# as a scripted 4-batch feed (llm/dedup.dedup_ingest_sink): the
+# destination TABLE is the dedup state; each batch dedups within
+# itself, anti-joins the accumulated fingerprints, appends
+# exactly-once. The r11 verdict's "bench the ingest sinks" item —
+# this face also gives the per-batch anti-join a SCALING row.
+# ---------------------------------------------------------------------------
+
+_INGEST_SINK_SQL = """
+WITH feed AS (
+  SELECT doc_id, text, doc_id % 4 AS batch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 3 AS batch FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+),
+fp AS (
+  SELECT doc_id, batch,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM feed
+),
+r AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY batch, doc_id) AS rn
+  FROM fp
+)
+SELECT doc_id, fingerprint FROM r WHERE rn = 1
+"""
+
+
+@register("pipeline_dedup_ingest_sink", _INGEST_SINK_SQL)
+def pipeline_dedup_ingest_sink(spark, sf_dir):
+    """Exact dedup-against-history ingest: documents arrive as four
+    micro-batches (doc_id % 4), batch 3 additionally REPLAYS a third
+    of batch 0's texts under fresh ids (the cross-batch duplicates
+    the anti-join must drop). Final table = first (batch, id) winner
+    per fingerprint — the oracle states that closed form over the
+    same schedule. Batch 2's sink call is replayed mid-feed and must
+    be a no-op (the (app, batch-id) idempotency marker).
+
+    Scale shape: per batch, ONE anti-join keyed on the 32-char md5 —
+    batch-sized build side against the history scan (at 100 TB:
+    bloom file-skip on the fingerprint column turns the scan side
+    into bounded IO, llm/dedup.dedup_ingest_sink docstring); the
+    table is the state, so restart needs no state-store bootstrap."""
+    import os
+
+    from stockify_spark.llm.dedup import dedup_ingest_sink
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(path: str) -> None:
+        dst = os.path.join(path, "corpus")
+        sink = dedup_ingest_sink(spark, dst, "ingest", "text", "doc_id")
+        for b in range(4):
+            batch = docs.filter(F.col("doc_id") % 4 == b)
+            if b == 3:
+                batch = batch.unionByName(
+                    docs.filter(
+                        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == 0)
+                    ).select(
+                        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+                    )
+                )
+            sink(batch, b)
+            if b == 2:  # at-least-once replay mid-feed: must be a no-op
+                v = txlog.current_version(dst)
+                sink(batch, b)
+                assert txlog.current_version(dst) == v
+
+    root = _scratch_table(
+        sf_dir, "ingestsink", build, src_file="documents.parquet"
+    )
+    return txlog.snapshot(spark, os.path.join(root, "corpus")).select(
+        "doc_id", "fingerprint"
+    )
