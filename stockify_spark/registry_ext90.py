@@ -226,3 +226,243 @@ def pipeline_dedup_ingest_sink(spark, sf_dir):
     return txlog.snapshot(spark, os.path.join(root, "corpus")).select(
         "doc_id", "fingerprint"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal rank fusion of a lexical (BM25) ranking
+# and a semantic (cosine) ranking: the standard hybrid-retrieval
+# combiner (Cormack, Clarke & Büttcher 2009), and the retrieval face
+# a curation pipeline uses to pick deduplication / decontamination
+# review candidates from two signals at once.
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("data", "spark", "query")  # the sim_bm25_search query
+_RRF_K = 60       # the paper's constant
+_RRF_DEPTH = 50   # per-ranker candidate depth
+_TOKS90 = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_RRF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS90}) AS tok FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+                    / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM documents),
+df AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM tok WHERE tok IN {_RRF_TERMS!r} GROUP BY tok),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok WHERE tok IN {_RRF_TERMS!r} GROUP BY doc_id, tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl)))
+           AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      ORDER BY ROUND(score, 6) DESC, doc_id) AS lex_rank
+    FROM scored) WHERE lex_rank <= {_RRF_DEPTH}
+),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+      ORDER BY list_cosine_similarity(
+        embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      ) DESC, vec_id) AS sem_rank
+    FROM embeddings WHERE vec_id <> 0) WHERE sem_rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0.0), 9) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@register("sim_rrf_fusion", _RRF_SQL)
+def sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal rank fusion: top-20 docs by
+    Σ_r 1/(60 + rank_r(d)) over two independent rankers — BM25 for
+    the fixed 3-term query (sim_bm25_search's model) and cosine
+    against doc 0's embedding (sim_cosine_topk's bit-exact
+    dimension-sequential scorer), each contributing its top-50.
+    Ranks are INTEGERS (ties broken by score-ROUND(6) then id), so
+    the fusion is exact cross-engine arithmetic on 1/(60+r) terms
+    summed in a fixed order; absent ranks contribute 0 and surface
+    as NULL columns.
+
+    Scale shape: each ranker is its own bounded top-N (BM25 probes
+    only term-matching rows; cosine is the map-side partial-top-k
+    batcher), the fusion is one full-outer join of two 50-row
+    tables — model-sized regardless of corpus size."""
+    from stockify_spark.functions.text import tokens
+    from stockify_spark.llm.similarity import cosine_topk_batched
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # lexical leg: BM25 (same model as sim_bm25_search), top-50 ranks
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = float(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.lit(float(n_docs))).alias("a")
+        ).collect()[0]["a"]
+    )
+    hits = tok.filter(F.col("tok").isin(*_RRF_TERMS))
+    df_t = hits.groupBy(F.col("tok").alias("term")).agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf = hits.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = F.log((float(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / avgdl)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (1.2 + 1.0) / denom).alias("score"))
+    )
+    from pyspark.sql import Window as _W
+
+    lex = (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(
+                _W.orderBy(F.round("score", 6).desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("lex_rank") <= _RRF_DEPTH)
+        .select("doc_id", "lex_rank")
+    )
+
+    # semantic leg: bit-exact cosine ranks against doc 0's embedding
+    sem = (
+        cosine_topk_batched(
+            emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_jackknife — delete-one jackknife standard error from
+# SUFFICIENT STATISTICS: for a statistic that is a function of
+# group-level counts (here: proportion of high-value orders), the n
+# leave-one-out estimates take only two distinct values, so the
+# jackknife collapses to closed-form algebra on (n, s) — the 100 TB
+# story: no per-row resample materialization, ever. The oracle runs
+# the BRUTE per-row jackknife (a real leave-one-out estimate per
+# order via window sums) to prove the closed form IS the definition.
+# ---------------------------------------------------------------------------
+
+_JACK_CUT = 150_000.0
+
+_JACK_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_totalprice > {_JACK_CUT} THEN 1 ELSE 0 END AS b
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, b,
+         SUM(b) OVER (PARTITION BY o_orderpriority) AS s,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM base
+),
+loo AS (
+  SELECT o_orderpriority, n, s,
+         CAST(s - b AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS theta_i
+  FROM g
+),
+agg AS (
+  -- θ̄ = s/n exactly (Σθ_(i) = s), carried per-row into the
+  -- deviation so no aggregate nests another
+  SELECT o_orderpriority,
+         ANY_VALUE(n) AS n, ANY_VALUE(s) AS s,
+         SUM((theta_i - CAST(s AS DOUBLE) / n)
+             * (theta_i - CAST(s AS DOUBLE) / n)) AS ss
+  FROM loo GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS prop,
+       ROUND(sqrt((CAST(n - 1 AS DOUBLE) / n) * ss), 6) AS jack_se,
+       CAST(n AS BIGINT) AS n
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+@register("stats_jackknife", _JACK_SQL)
+def stats_jackknife(spark, sf_dir):
+    """Delete-one jackknife SE of a per-group proportion (orders
+    above {cut} by priority). The n leave-one-out estimates
+    θ_(i) = (s − b_i)/(n − 1) take exactly TWO distinct values
+    (b_i ∈ {{0, 1}}), and Σθ_(i) = s, so the whole resample collapses
+    to sufficient statistics:
+
+        θ̄ = s/n,  SS = s·((s−1)/(n−1) − s/n)² + (n−s)·(s/(n−1) − s/n)²,
+        SE = √((n−1)/n · SS)
+
+    ONE count aggregate per group — a delete-one resample over
+    100 TB with zero per-row resample materialization (the same
+    sufficient-statistic discipline as the Gram/PCA family). The
+    oracle deliberately runs the BRUTE definition instead — a real
+    θ_(i) per order via window sums, then the deviation aggregate —
+    so the driver hash proves closed form == definition on every
+    group."""
+    cut = _JACK_CUT
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") > cut, 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    d1 = (s - 1.0) / (n - 1.0) - s / n          # θ_(i) deviation, b_i = 1
+    d0 = s / (n - 1.0) - s / n                  # θ_(i) deviation, b_i = 0
+    ss = s * d1 * d1 + (n - s) * d0 * d0
+    return agg.select(
+        "o_orderpriority",
+        F.round(s / n, 6).alias("prop"),
+        F.round(F.sqrt(((n - 1.0) / n) * ss), 6).alias("jack_se"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("o_orderpriority")
