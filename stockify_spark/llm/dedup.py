@@ -355,14 +355,18 @@ def ngram_jaccard_pairs(
     ).persist()
     inv = base.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
 
-    # document frequency as a COUNT window over the shingle partition:
-    # one shuffle of the inverted index keyed by shingle, instead of a
-    # groupBy plus a join that re-shuffles the full index a second
-    # time — at 100 TB the exploded index is the widest intermediate
-    # in this pipeline, so every full pass over it counts.
-    ranked = inv.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    ).withColumn(
+    # document frequency: groupBy + join-back, NOT a count window over
+    # the shingle partition — shingle frequency is power-law, and a
+    # window puts every row of a stopword-grade shingle in ONE
+    # WindowExec buffer (AQE splits skewed joins, not windows; the
+    # substring-dedup lesson, r11 verdict). The groupBy's map-side
+    # partial aggregation absorbs the hot key into one (shingle, n)
+    # row, the shuffled count table is vocabulary-sized, and the
+    # join-back is broadcast-able or AQE-skew-splittable. inv itself
+    # re-derives map-side from the PERSISTED base on each consumer —
+    # no second pass over the source text.
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = inv.join(dfreq, "shingle").withColumn(
         "_pos",
         F.row_number().over(
             W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
@@ -458,9 +462,10 @@ def shingle_containment_pairs(
     inv = base.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
     )
-    ranked = inv.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    ).withColumn(
+    # skew-safe df (see ngram_jaccard_pairs: groupBy partial-agg +
+    # join-back, never a window over the power-law shingle key)
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = inv.join(dfreq, "shingle").withColumn(
         "_pos",
         F.row_number().over(
             W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
@@ -982,9 +987,11 @@ def fuzzy_set_join(
     inv = both.select(
         "_side", "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("tok")
     )
-    ranked = inv.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("tok"))
-    ).withColumn(
+    # skew-safe df (see ngram_jaccard_pairs): a hot token (part-name
+    # stopword) would otherwise pin one WindowExec buffer; inv
+    # re-derives map-side from the CHECKPOINTED union per consumer
+    dfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = inv.join(dfreq, "tok").withColumn(
         "_pos",
         F.row_number().over(
             W.partitionBy("_side", "_id").orderBy(F.col("_df").asc(), F.col("tok"))
@@ -1434,17 +1441,23 @@ def dedup_ingest_sink(spark, dst: str, app_id: str, text_col: str, id_col: str):
     whose filter rejects, turning the scan side into bounded IO. A
     fingerprint column is added to stored rows; the destination table
     is created on first batch."""
-    from pyspark.sql import Window as _W
-
     from stockify_spark.sources import txlog as _txlog
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tagged = batch_df.withColumn("fingerprint", fingerprint(text_col))
-        first = _W.partitionBy("fingerprint").orderBy(id_col)
+        # first id per fingerprint via min_by groupBy, not a window:
+        # an adversarial batch (one document repeated batch-wide)
+        # would pin a row_number window's single partition, while
+        # the groupBy's map-side partial min_by absorbs the hot key
+        cols = [c for c in tagged.columns if c != "fingerprint"]
         batch_unique = (
-            tagged.withColumn("_rn", F.row_number().over(first))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            tagged.groupBy("fingerprint")
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+                ).alias("_r")
+            )
+            .select(*[F.col(f"_r.{c}").alias(c) for c in cols], "fingerprint")
         )
         try:
             seen = _txlog.snapshot(spark, dst).select("fingerprint").distinct()

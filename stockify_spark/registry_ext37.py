@@ -118,7 +118,15 @@ def pipeline_cdc_chunk_dedup(spark, sf_dir):
             F.substring(F.col("text"), F.col("s"), F.col("e") - F.col("s") + 1)
         ).alias("h"),
     )
-    occ = ch.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    # occurrence count per chunk hash: groupBy + join-back, not a
+    # window over "h" — a boilerplate chunk repeated corpus-wide is a
+    # power-law key that would pin one WindowExec buffer (AQE splits
+    # skewed joins, not windows; the substring-dedup lesson). The
+    # checkpoint keeps the chunking scan single-pass across the
+    # count side and the probe side.
+    ch = ch.localCheckpoint()
+    occ_n = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    occ = ch.join(occ_n, "h")
     dup = F.sum(F.when(F.col("n_occ") > 1, F.col("clen")).otherwise(F.lit(0)))
     return occ.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),

@@ -143,13 +143,14 @@ def text_tfidf_topk(spark, sf_dir):
 
     Scale shape: the raw exploded-token stream (the 100 TB-scale
     thing) is scanned ONCE into the tf aggregate (map-side combine on
-    doc_id+token); document frequency is a window count over that
-    compact result re-partitioned by token, and the top-k is a
-    bounded per-doc window — three sequential shuffles, all moving
-    only (doc_id, token, tf) rows, no join, no second text scan
-    (an earlier join-based draft double-scanned the source because
-    exchange reuse does not fire across the differently-filtered
-    subtrees)."""
+    doc_id+token), which is checkpointed; document frequency is a
+    vocabulary-sized groupBy over that compact result joined back on
+    token (skew-safe: a stopword's df rows would pin a single
+    WindowExec buffer, while the join is broadcast-able or
+    AQE-skew-splittable — the substring-dedup lesson), and the top-k
+    is a bounded per-doc window. The checkpoint is what keeps the
+    source single-scan across the two df consumers (exchange reuse
+    does not fire across differently-filtered subtrees)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -160,16 +161,23 @@ def text_tfidf_topk(spark, sf_dir):
             )
         ).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a window count over the tf table, not a second aggregate
-    # joined back: (doc_id, token) is unique after the tf
-    # aggregation, so COUNT OVER (PARTITION BY token) IS the document
-    # frequency — and the raw exploded-token stream (the big thing)
-    # is scanned exactly once, with all later shuffles moving only
-    # the compact (doc_id, token, tf) rows.
-    withdf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    # the raw exploded-token stream (the 100 TB thing) is scanned
+    # exactly once into the compact (doc_id, token, tf) table, which
+    # is checkpointed so BOTH df consumers below read the
+    # materialized rows instead of re-running the explode
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    # df: groupBy + join-back, not COUNT OVER (PARTITION BY token) —
+    # token document-frequency is the canonical power-law key (a
+    # stopword appears in ~every doc, putting n_docs rows in ONE
+    # WindowExec buffer at corpus scale; AQE splits skewed joins,
+    # not windows). The map-side partial count absorbs the hot
+    # token; the df table is vocabulary-sized (broadcast-able).
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tf.join(dfreq, "token")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
     )
