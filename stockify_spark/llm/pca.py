@@ -76,6 +76,10 @@ def _round_half_up_np(a, nd: int):
     # plus a floor for subnormal-scale y; non-finite values take the
     # scalar path so they fail exactly like the Decimal form
     band = 4.0 * np.spacing(np.abs(y)) + 1e-12
+    # sign-faithful zero: the Decimal form rounds a tiny NEGATIVE to
+    # -0.0 (Decimal('-0.000000')), floor-based rounding to +0.0 —
+    # a "-0" vs "0" formatted-value difference downstream
+    out = np.where(out == 0.0, np.copysign(out, a), out)
     exact = np.isfinite(y) & (np.abs(frac - 0.5) > band)
     if not exact.all():
         idx = np.flatnonzero(~exact)

@@ -98,3 +98,16 @@ def test_shape_preserved_and_2d():
     assert got.shape == (2, 2)
     want = [[_round_half_up(float(v), 6) for v in row] for row in a]
     assert got.tolist() == want
+
+
+def test_signed_zero_matches_scalar():
+    """The Decimal form rounds tiny negatives to -0.0; the vector
+    form must reproduce the SIGN bit (a '-0' vs '0' formatted-value
+    difference otherwise)."""
+    import math
+
+    vals = [-1e-9, 1e-9, -0.0, 0.0, -4.9e-7, 4.9e-7, -1e-300]
+    got = _round_half_up_np(np.array(vals), 6)
+    for g, v in zip(got.tolist(), vals):
+        w = _round_half_up(v, 6)
+        assert g == w and math.copysign(1.0, g) == math.copysign(1.0, w), (v, g, w)
