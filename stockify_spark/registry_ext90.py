@@ -466,3 +466,435 @@ def stats_jackknife(spark, sf_dir):
         F.round(F.sqrt(((n - 1.0) / n) * ss), 6).alias("jack_se"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# stats_permutation_test — randomization test for a difference in
+# proportions, completing the repo's resampling trio (Poisson
+# bootstrap = stats_bootstrap_ci, delete-one jackknife =
+# stats_jackknife, reassignment test = here). The statistic is
+# INTEGER-derived (counts), so replicate statistics and the p-value
+# are exact cross-engine arithmetic — no float-sum drift anywhere.
+# ---------------------------------------------------------------------------
+
+_PERM_P = 200          # replicates
+_PERM_CUT = 150_000.0  # high-value order threshold
+
+_PERM_SQL = f"""
+WITH d AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treat,
+         CASE WHEN o_totalprice > {_PERM_CUT} THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+tot AS (
+  SELECT CAST(SUM(treat) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(treat) AS BIGINT) AS n0,
+         CAST(SUM(treat * y) AS BIGINT) AS s1,
+         CAST(SUM((1 - treat) * y) AS BIGINT) AS s0,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d
+),
+obs AS (
+  SELECT n1, n0,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS t_obs
+  FROM tot
+),
+e AS (SELECT k, y, unnest(range(1, {_PERM_P + 1})) AS b FROM d),
+flags AS (
+  SELECT b, y,
+         CASE WHEN CAST(CONCAT('0x', substr(md5(CONCAT(CAST(b AS VARCHAR),
+                    '|', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT)
+                   / 4294967296.0
+              < CAST((SELECT n1 FROM tot) AS DOUBLE) / (SELECT n FROM tot)
+         THEN 1 ELSE 0 END AS a
+  FROM e
+),
+rep AS (
+  SELECT b,
+         CAST(SUM(a * y) AS DOUBLE) / SUM(a)
+         - CAST(SUM((1 - a) * y) AS DOUBLE) / (COUNT(*) - SUM(a)) AS t_b
+  FROM flags GROUP BY b
+  HAVING SUM(a) > 0 AND SUM(a) < COUNT(*)
+),
+pv AS (
+  SELECT COUNT(*) AS n_perm,
+         CAST(SUM(CASE WHEN abs(t_b) >= abs((SELECT t_obs FROM obs))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM rep
+)
+SELECT obs.n1, obs.n0, ROUND(obs.t_obs, 6) AS t_obs,
+       pv.n_extreme,
+       ROUND(CAST(1 + pv.n_extreme AS DOUBLE) / (pv.n_perm + 1), 6) AS p_value
+FROM obs, pv
+"""
+
+
+@register("stats_permutation_test", _PERM_SQL)
+def stats_permutation_test(spark, sf_dir):
+    """Randomization (permutation) test: is the urgent-priority
+    high-value-order rate different from everyone else's? Statistic
+    T = s1/n1 − s0/n0 over INTEGER counts; null replicates reassign
+    each order to the treatment arm with the deterministic seeded
+    Bernoulli(n1/n) draw (md5(b|k)/2³² — the stats_bootstrap_ci
+    randomness discipline; the unconditional-randomization variant
+    that needs NO per-replicate global rank, so it is one narrow
+    map pass at any scale). Two-sided p = (1 + #{|T_b| ≥ |T_obs|})
+    / (P + 1), the add-one Monte-Carlo estimator.
+
+    Every quantity is a ratio of exact integers — replicate
+    statistics, the comparison, and the p-value are bit-identical
+    cross-engine with NO float-summation exposure (contrast the
+    bootstrap's rounded weighted sums). Scale shape: the replicate
+    explode is a narrow map ×P; the only shuffle is the P-group
+    integer aggregate, map-side combinable."""
+    d = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("treat"),
+        F.when(F.col("o_totalprice") > _PERM_CUT, 1).otherwise(0).alias("y"),
+    )
+    tot = d.agg(
+        F.sum("treat").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("treat")).alias("n0"),
+        F.sum(F.col("treat") * F.col("y")).alias("s1"),
+        F.sum((1 - F.col("treat")) * F.col("y")).alias("s0"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n1, n0, s1, s0, n = (int(tot[c]) for c in ("n1", "n0", "s1", "s0", "n"))
+    t_obs = s1 / n1 - s0 / n0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    e = d.select(
+        "k", "y", F.explode(F.sequence(F.lit(1), F.lit(_PERM_P))).alias("b")
+    )
+    flags = e.select(
+        "b", "y", F.when(u < F.lit(n1 / n), 1).otherwise(0).alias("a")
+    )
+    rep = (
+        flags.groupBy("b")
+        .agg(
+            F.sum(F.col("a") * F.col("y")).alias("sa"),
+            F.sum("a").alias("na"),
+            F.sum((1 - F.col("a")) * F.col("y")).alias("sb"),
+            (F.count(F.lit(1)) - F.sum("a")).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            ).alias("t_b")
+        )
+    )
+    pv = rep.agg(
+        F.count(F.lit(1)).alias("n_perm"),
+        F.sum(
+            F.when(F.abs(F.col("t_b")) >= F.lit(abs(t_obs)), 1).otherwise(0)
+        ).alias("n_extreme"),
+    ).collect()[0]
+    n_perm, n_extreme = int(pv["n_perm"]), int(pv["n_extreme"])
+    return spark.createDataFrame(
+        [
+            (
+                n1,
+                n0,
+                float(_round6(t_obs)),
+                n_extreme,
+                float(_round6((1 + n_extreme) / (n_perm + 1))),
+            )
+        ],
+        "n1 long, n0 long, t_obs double, n_extreme long, p_value double",
+    )
+
+
+def _round6(x: float) -> float:
+    from stockify_spark.llm.pca import _round_half_up
+
+    return _round_half_up(x, 6)
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_gopher_ngrams — the REST of the Gopher/MassiveText
+# repetition suite (Rae et al. 2022, table A1): fraction of
+# characters in the most frequent {2,3,4}-gram, and fraction of
+# characters in duplicated {5..10}-grams. doc_quality_gopher covers
+# the token/bigram top fractions; this closes the n-gram family.
+# ---------------------------------------------------------------------------
+
+_GOPHER_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_GOPHER_NG_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_GOPHER_TOKS} AS t,
+         length(array_to_string({_GOPHER_TOKS}, ' ')) AS c
+  FROM documents
+),
+dn AS (
+  SELECT doc_id, c, t, ns.n AS n
+  FROM d, LATERAL (SELECT unnest(range(2, 11)) AS n) AS ns
+  WHERE len(t) >= ns.n
+),
+g AS (
+  SELECT doc_id, c, n,
+         array_to_string(t[i:i + n - 1], ' ') AS gr
+  FROM dn,
+       LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS i) AS pos
+),
+cnt AS (
+  SELECT doc_id, n, gr, ANY_VALUE(c) AS c, COUNT(*) AS k
+  FROM g GROUP BY doc_id, n, gr
+),
+top AS (
+  SELECT doc_id, n, k * length(gr) AS mass FROM (
+    SELECT doc_id, n, gr, k,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                              ORDER BY k DESC, gr ASC) AS r
+    FROM cnt WHERE n <= 4) WHERE r = 1
+),
+dup AS (
+  SELECT doc_id, n,
+         SUM(CASE WHEN k > 1 THEN (k - 1) * length(gr) ELSE 0 END) AS mass
+  FROM cnt WHERE n >= 5 GROUP BY doc_id, n
+),
+m AS (
+  SELECT doc_id, n, mass FROM top
+  UNION ALL SELECT doc_id, n, mass FROM dup
+)
+SELECT d.doc_id,
+  {", ".join(
+    f"ROUND(COALESCE(MAX(CASE WHEN m.n = {n} THEN m.mass END), 0)"
+    f" * 1.0 / d.c, 6) AS {'top' if n <= 4 else 'dup'}{n}_frac"
+    for n in range(2, 11)
+  )}
+FROM d LEFT JOIN m ON m.doc_id = d.doc_id
+WHERE d.c > 0
+GROUP BY d.doc_id, d.c
+"""
+
+
+@register("doc_quality_gopher_ngrams", _GOPHER_NG_SQL)
+def doc_quality_gopher_ngrams(spark, sf_dir):
+    """Gopher repetition filters, n-gram half (Rae et al. 2022 A1):
+    per doc, the fraction of characters in the MOST FREQUENT
+    {2,3,4}-gram (count × gram chars / doc chars; ties broken by
+    count DESC then gram ASC) and the fraction of characters in
+    DUPLICATED {5..10}-grams (the repeated character mass:
+    Σ over grams seen k>1 times of (k−1)·gram chars — every
+    occurrence beyond the first counts, the Dolma/RedPajama
+    accounting). All masses are exact integers; one division +
+    ROUND(6) per cell.
+
+    Scale shape: ONE explode produces (doc, n, gram) for all nine
+    n's in a single map pass over the token arrays; one map-side-
+    combined groupBy to gram counts; the top pick is a per-(doc, n)
+    window over the doc's own gram vocabulary (doc-bounded, never
+    corpus-keyed — the round-12 skew policy's bounded-key case);
+    the final fold is one per-doc aggregate."""
+    from pyspark.sql import Window as _W
+
+    from stockify_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    d = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.length(F.concat_ws(" ", t)).alias("c"),
+    ).filter(F.col("c") > 0)
+    g = (
+        d.select(
+            "doc_id",
+            "c",
+            "t",
+            F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n"),
+        )
+        .filter(F.size("t") >= F.col("n"))
+        .select(
+            "doc_id",
+            "c",
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, F.col("n"))
+                    ),
+                )
+            ).alias("gr"),
+        )
+    )
+    cnt = g.groupBy("doc_id", "n", "gr").agg(
+        F.first("c").alias("c"), F.count(F.lit(1)).alias("k")
+    )
+    top = (
+        cnt.filter(F.col("n") <= 4)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                _W.partitionBy("doc_id", "n").orderBy(
+                    F.col("k").desc(), F.col("gr").asc()
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("doc_id", "n", (F.col("k") * F.length("gr")).alias("mass"))
+    )
+    dup = (
+        cnt.filter(F.col("n") >= 5)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("k") > 1, (F.col("k") - 1) * F.length("gr")
+                ).otherwise(0)
+            ).alias("mass")
+        )
+    )
+    m = top.unionByName(dup)
+    cells = [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("mass"))), F.lit(0)
+            )
+            * 1.0
+            / F.first("c"),
+            6,
+        ).alias(f"{'top' if n <= 4 else 'dup'}{n}_frac")
+        for n in range(2, 11)
+    ]
+    return (
+        d.select("doc_id", "c")
+        .join(m, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.first("c").alias("_c"), *[c for c in cells])
+        .drop("_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_distance_profile — the matrix-profile PRIMITIVE: the
+# z-normalized Euclidean distance between every length-w subsequence
+# of a series and one fixed query subsequence (a "distance profile",
+# the inner kernel MASS/STOMP iterate). Motif/anomaly mining over
+# sensor- or price-series reduces to arg-min/arg-max over this row.
+# ---------------------------------------------------------------------------
+
+_DP_W = 8
+_DP_ROWS = 1800
+_DP_LEN = 180
+
+_DP_SQL = f"""
+WITH s AS (
+  SELECT i // {_DP_LEN} AS symbol, i % {_DP_LEN} AS pos,
+         CAST(500 + (i % 18) * 10 + (i % 7) AS DOUBLE) AS x
+  FROM range({_DP_ROWS}) t(i)
+),
+arr AS (
+  SELECT symbol, pos,
+         list(x) OVER (PARTITION BY symbol ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_DP_W - 1} FOLLOWING) AS a
+  FROM s
+),
+w AS (SELECT symbol, pos, a FROM arr WHERE len(a) = {_DP_W}),
+q AS (SELECT symbol, a AS qa FROM w WHERE pos = 0),
+d AS (
+  SELECT w.symbol, w.pos,
+         list_sum(w.a) AS sx,
+         list_sum(list_transform(w.a, v -> v * v)) AS sxx,
+         list_sum(q.qa) AS sq,
+         list_sum(list_transform(q.qa, v -> v * v)) AS sqq,
+         list_dot_product(w.a, q.qa) AS dot
+  FROM w JOIN q ON q.symbol = w.symbol
+)
+SELECT CAST(symbol AS BIGINT) AS symbol, CAST(pos AS BIGINT) AS pos,
+       ROUND(CASE
+         WHEN (sxx - sx * sx / {_DP_W}) <= 0 OR (sqq - sq * sq / {_DP_W}) <= 0
+         THEN NULL
+         ELSE sqrt(greatest(
+           2.0 * {_DP_W} * (1.0 - (dot - sx * sq / {_DP_W})
+             / sqrt((sxx - sx * sx / {_DP_W}) * (sqq - sq * sq / {_DP_W}))),
+           0.0))
+       END, 6) AS dist
+FROM d
+"""
+
+
+@register("window_distance_profile", _DP_SQL)
+def window_distance_profile(spark, sf_dir):
+    """Distance profile (z-normalized, w = 8) of every subsequence of
+    each series against that series' FIRST window — the matrix-
+    profile inner kernel. The series is the reference ramp with a
+    co-prime period-7 perturbation (18·7 = 126-row true period), so
+    the profile has exact zeros precisely where the mixed phase
+    realigns, nontrivial values elsewhere — known geometry, pinned
+    in tests.
+
+    Cross-engine exactness: the series is INTEGER-valued, so every
+    window sum / sum-of-squares / dot product is exact regardless of
+    either engine's summation association (Spark's sequential
+    aggregate fold vs DuckDB's segment tree — the usual float-drift
+    channel is closed by integrality); the remaining chain is
+    identical scalar IEEE ops. Zero-variance windows surface as NULL
+    in both engines rather than a div-by-zero artifact.
+
+    Scale shape: one window pass builds the length-w frames
+    (collect_list over a bounded ROWS frame, per-symbol — the
+    entity-bounded window the r12 skew policy keeps), the per-symbol
+    query rows broadcast, and all arithmetic is JVM higher-order
+    functions over 8-element arrays — no Python, no corpus-keyed
+    shuffle; parallelism = series count, the time-series layout."""
+    from pyspark.sql import Window as _W
+
+    from stockify_spark.sources.fixtures import stocks_ramp
+
+    s = stocks_ramp(spark, cycles=_DP_ROWS // 18).select(
+        (F.col("row_id") / _DP_LEN).cast("long").alias("symbol"),
+        (F.col("row_id") % _DP_LEN).cast("long").alias("pos"),
+        (F.col("close") + (F.col("row_id") % 7)).alias("x"),
+    )
+    frame = _W.partitionBy("symbol").orderBy("pos").rowsBetween(0, _DP_W - 1)
+    arr = s.select(
+        "symbol", "pos", F.collect_list("x").over(frame).alias("a")
+    ).filter(F.size("a") == _DP_W)
+    q = arr.filter(F.col("pos") == 0).select(
+        "symbol", F.col("a").alias("qa")
+    )
+    j = arr.join(F.broadcast(q), "symbol")
+    ssum = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+    sx = ssum(F.col("a"))
+    sxx = ssum(F.transform(F.col("a"), lambda v: v * v))
+    sq = ssum(F.col("qa"))
+    sqq = ssum(F.transform(F.col("qa"), lambda v: v * v))
+    dot = ssum(F.zip_with(F.col("a"), F.col("qa"), lambda a, b: a * b))
+    w = float(_DP_W)
+    varx = sxx - sx * sx / w
+    varq = sqq - sq * sq / w
+    num = dot - sx * sq / w
+    dist = F.when(
+        (varx <= 0) | (varq <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.sqrt(
+            F.greatest(
+                2.0 * w * (1.0 - num / F.sqrt(varx * varq)), F.lit(0.0)
+            )
+        )
+    )
+    return j.select("symbol", "pos", F.round(dist, 6).alias("dist"))
