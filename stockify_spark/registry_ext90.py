@@ -898,3 +898,96 @@ def window_distance_profile(spark, sf_dir):
         )
     )
     return j.select("symbol", "pos", F.round(dist, 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_eval — the ANN EVALUATION harness: recall@k of the
+# deterministic seeded-IVF path against brute-force ground truth,
+# per query. The number a pipeline engineer needs before trusting
+# the approximate path at 100 TB — and because both the bucketed
+# spec and the exact spec are deterministic, the recall itself is
+# an exact cross-engine quantity, not a statistical estimate.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+_RECALL_Q = 20
+
+_ANN_RECALL_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+s AS (SELECT vec_id, embedding, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY list_cosine_similarity(embedding, cvec) DESC, cid) AS rnk
+      FROM embeddings CROSS JOIN c),
+corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM s WHERE rnk = 1),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id < {_RECALL_Q}),
+qc AS (SELECT s.vec_id AS query_id, s.cid FROM s
+       WHERE s.vec_id < {_RECALL_Q} AND s.rnk <= 4),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, corpus.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, corpus.ne) DESC,
+                      corpus.neighbor_id) AS rank
+    FROM (SELECT qv.query_id, qv.qe, qc.cid FROM qv JOIN qc USING (query_id)) q
+    JOIN corpus USING (cid)
+    WHERE q.query_id <> corpus.neighbor_id)
+  WHERE rank <= {_RECALL_K}
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qv.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qv.query_id
+             ORDER BY list_cosine_similarity(qv.qe, e.embedding) DESC,
+                      e.vec_id) AS rank
+    FROM qv, embeddings e WHERE qv.query_id <> e.vec_id)
+  WHERE rank <= {_RECALL_K}
+)
+SELECT b.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(i.neighbor_id) / {_RECALL_K}.0, 6) AS recall
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@register("sim_ann_recall_eval", _ANN_RECALL_SQL)
+def sim_ann_recall_eval(spark, sf_dir):
+    """recall@5 of the seeded-IVF ANN (16 cells, probe 4) against the
+    brute-force exact top-5, for the first 20 queries: per query,
+    how many true neighbors the bucketed path found. Both rankings
+    are bit-exact deterministic specs (dimension-sequential cosine,
+    integer-rank tie-breaks), so the recall column is exact-hash
+    comparable — the evaluation harness itself is differential, not
+    just the operators under it.
+
+    Scale shape: the brute leg is the partial-top-k batcher over a
+    BOUNDED query set (model-sized broadcast, map-side heaps); the
+    IVF leg is the cell equi-join; the comparison is one join of two
+    Q·k-row tables. At 100 TB brute ground truth stays affordable
+    exactly because Q is a sample — which is how recall is audited
+    in production ANN systems."""
+    from stockify_spark.llm.similarity import cosine_topk_batched, seeded_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_Q)
+    brute = cosine_topk_batched(emb, queries, k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = seeded_ivf_topk(
+        emb, queries, k=_RECALL_K, n_centroids=16, n_probe=4
+    ).select("query_id", F.col("neighbor_id").alias("_ivf_n"))
+    return (
+        brute.join(
+            ivf,
+            (brute["query_id"] == ivf["query_id"])
+            & (brute["neighbor_id"] == ivf["_ivf_n"]),
+            "left",
+        )
+        .groupBy(brute["query_id"].alias("query_id"))
+        .agg(
+            F.count("_ivf_n").alias("n_hits"),
+            F.round(F.count("_ivf_n") / float(_RECALL_K), 6).alias("recall"),
+        )
+    )

@@ -608,6 +608,33 @@ def _table_schema(
     )
 
 
+def _resolve_start(options: dict) -> int:
+    """Starting version from either ``starting_version`` (inclusive,
+    Delta's startingVersion) or ``starting_timestamp`` (epoch millis
+    — Delta's startingTimestamp: the EARLIEST commit at or after the
+    timestamp, resolved against the in-commit timestamps, so a
+    wall-clock step backwards cannot change the answer). Mutually
+    exclusive. A timestamp past the head resolves to head+1 — a
+    tail-only subscription; nothing historical qualifies."""
+    sv = options.get("starting_version")
+    st = options.get("starting_timestamp")
+    if st is None:
+        return int(sv) if sv is not None else 0
+    if sv is not None:
+        raise ValueError(
+            "starting_version and starting_timestamp are mutually exclusive"
+        )
+    path = options["path"]
+    ts = int(st)
+    head = txlog.current_version(path)
+    if ts <= txlog.commit_timestamp(path, 0):
+        return 0
+    if ts > txlog.commit_timestamp(path, head):
+        return head + 1
+    v = txlog.version_at_timestamp(path, ts)
+    return v if txlog.commit_timestamp(path, v) == ts else v + 1
+
+
 def _commit_add_bytes(path: str, version: int) -> int:
     """Bytes this commit ADDS, from the log alone: sum of the add
     actions' ``size`` fields (recorded at write time). Legacy
@@ -654,8 +681,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
             raise ValueError("txlog_stream requires a 'path' option")
         self._path = options["path"]
         # starting_version is INCLUSIVE (Delta's startingVersion);
-        # default 0 replays the table's whole append history
-        self._start = int(options.get("starting_version", 0))
+        # default 0 replays the table's whole append history.
+        # starting_timestamp (Delta's startingTimestamp) resolves to
+        # the earliest commit at/after the in-commit timestamp.
+        self._start = _resolve_start(options)
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
         # read_changes=true: Delta's readChangeFeed streaming face —
         # row-level insert/delete feed for EVERY commit, no audit
@@ -785,7 +814,7 @@ class _TxlogBatchReader(DataSourceReader):
         if "path" not in options:
             raise ValueError("txlog_stream requires a 'path' option")
         self._path = options["path"]
-        self._start = int(options.get("starting_version", 0))
+        self._start = _resolve_start(options)
         end = options.get("end_version")
         self._end = int(end) if end is not None else txlog.current_version(options["path"])
         self._skip_changes = str(options.get("skip_change_commits", "false")).lower() == "true"
@@ -885,10 +914,17 @@ class TxlogStreamDataSource(DataSource):
              .option("path", table_path).load()
 
     Options: ``path`` (required), ``starting_version`` (inclusive,
-    default 0), ``skip_change_commits`` (default false — raise on
+    default 0), ``starting_timestamp`` (epoch millis — Delta's
+    startingTimestamp: start at the earliest commit whose in-commit
+    timestamp is at/after it; mutually exclusive with
+    starting_version; past-head resolves to a tail-only
+    subscription), ``skip_change_commits`` (default false — raise on
     COW/DV commits), ``max_commits_per_trigger`` (streaming face:
     cap each micro-batch at N commits — Delta's maxFilesPerTrigger
     analog — so a long backlog drains in bounded batches),
+    ``max_bytes_per_trigger`` (admit commits until their
+    log-recorded add-bytes reach the cap, at least one per batch;
+    composes with the commit cap — whichever closes first wins),
     ``read_changes`` (Delta's readChangeFeed: emit row-level
     ``_change_type`` insert/delete rows for EVERY commit, appends
     fanned out per file and change commits diffed per commit — no
