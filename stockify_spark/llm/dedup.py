@@ -962,7 +962,7 @@ def fuzzy_set_join(
     but candidates only cross relations, never within one).
 
     Scale shape: token document-frequency is computed over the UNION
-    of both sides (one window over the token partition — the global
+    of both sides (skew-safe groupBy + join-back — the global
     ordering must be shared or the prefix bound is unsound), each
     side indexes only its ``|d| - ceil(t*|d|) + 1`` rarest tokens,
     and the equi-join on the indexed token replaces the cross join.

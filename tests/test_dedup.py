@@ -424,3 +424,66 @@ def test_keepone_collisions_rejected(monkeypatch, spark):
         for r in dedup.keepone_substring_spans(df, "text", "doc_id", 6).collect()
     }
     assert got == {(2, 1, 6)}  # doc 1 keeps; doc 3's collisions rejected
+
+
+def test_df_counts_are_skew_safe_across_family(spark):
+    """r12 policy pin: no operator in the dedup/text family counts a
+    content-derived key (shingle/token/chunk-hash) with a window —
+    the plans must carry the groupBy + join-back shape. Windows over
+    entity-bounded keys (_id, doc_id) remain."""
+    from stockify_spark.llm import dedup
+    from stockify_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = spark.createDataFrame(
+        [(i, f"common phrase shared by every doc plus unique tail {i} x{i} y{i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    p = plan_of(dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5))
+    assert "windowspecdefinition(shingle#" not in p
+    p = plan_of(
+        dedup.shingle_containment_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+    )
+    assert "windowspecdefinition(shingle#" not in p
+
+    parts = spark.createDataFrame(
+        [(i, f"widget alpha beta part{i}") for i in range(30)],
+        "p_id long, p_name string",
+    ).select("p_id", F.array_distinct(F.split("p_name", " ")).alias("toks"))
+    p = plan_of(
+        dedup.fuzzy_set_join(
+            parts.filter(F.col("p_id") % 2 == 0),
+            parts.filter(F.col("p_id") % 2 == 1),
+            "p_id", "toks", threshold=0.3,
+        )
+    )
+    assert "windowspecdefinition(tok#" not in p
+
+    for q in ("text_tfidf_topk", "pipeline_cdc_chunk_dedup"):
+        p = plan_of(QUERIES[q](spark, SF_SMOKE))
+        assert "windowspecdefinition(token#" not in p, q
+        assert "windowspecdefinition(h#" not in p, q
+
+
+def test_jaccard_hot_shingle_correctness(spark):
+    """Planted hot key: every doc shares an 8-token boilerplate
+    prefix (its shingles are corpus-hot), only one near-dup pair
+    exists above threshold — the prefix-filtered join must still
+    find exactly it."""
+    from stockify_spark.llm.dedup import ngram_jaccard_pairs
+
+    boiler = "standard license header text appears on every file"
+    rows = [(i, f"{boiler} unique body {i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(300)]
+    # the planted near-dup: 301 differs from 300 by one token
+    rows.append((1300, f"{boiler} unique body 299 alpha299 beta299 gamma299 CHANGED"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.75).collect()
+    }
+    assert pairs == {(299, 1300)}
