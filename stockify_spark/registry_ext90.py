@@ -991,3 +991,101 @@ def sim_ann_recall_eval(spark, sf_dir):
             F.round(F.count("_ivf_n") / float(_RECALL_K), 6).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_threshold_sweep — the dedup OPERATING CURVE: pairs
+# flagged and documents touched at every candidate Jaccard
+# threshold, from ONE candidate-generation pass. The number a
+# curation engineer sweeps before committing a threshold to a
+# 100 TB dedup run — re-running the pair join per threshold (the
+# naive sweep) multiplies the most expensive stage by the number of
+# grid points; here the grid is a post-filter on the verified pairs.
+# ---------------------------------------------------------------------------
+
+_SWEEP_BASE = 0.4
+_SWEEP_GRID = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len("
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    ") - 3, 0) + 1), i -> array_to_string("
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    "[i + 1:i + 3], ' ')))"
+)
+
+_SWEEP_SQL = f"""
+WITH s AS (SELECT doc_id, {_SWEEP_SHINGLES} AS sh FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {_SWEEP_BASE}
+),
+grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_GRID)}]) AS threshold),
+np AS (SELECT g.threshold, CAST(COUNT(p.id_a) AS BIGINT) AS n_pairs
+       FROM grid g LEFT JOIN pairs p ON p.j >= g.threshold
+       GROUP BY g.threshold),
+nd AS (SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM (SELECT g.threshold, p.id_a AS doc_id
+             FROM grid g JOIN pairs p ON p.j >= g.threshold
+             UNION
+             SELECT g.threshold, p.id_b
+             FROM grid g JOIN pairs p ON p.j >= g.threshold)
+       GROUP BY threshold)
+SELECT np.threshold, np.n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs_flagged
+FROM np LEFT JOIN nd ON nd.threshold = np.threshold
+"""
+
+
+@register("pipeline_dedup_threshold_sweep", _SWEEP_SQL)
+def pipeline_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold operating curve: (n_pairs, n_docs_flagged) at
+    Jaccard thresholds 0.4..0.9, all derived from ONE prefix-filtered
+    candidate join at the base threshold 0.4 — higher thresholds are
+    subsets, so the sweep is a narrow post-filter of the verified
+    pair table crossed with the 6-point grid (never 6 joins). The
+    ROUND(6) jaccard column and identical threshold literals make
+    every comparison exact cross-engine; the oracle brute-forces all
+    pairs and re-derives the curve independently.
+
+    Scale shape: candidate generation once (the AllPairs prefix
+    filter of ngram_jaccard_pairs); the sweep works on the PAIR
+    table (duplicated-fraction-sized), so grid resolution is free at
+    any corpus size."""
+    from stockify_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=_SWEEP_BASE
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_GRID], "threshold double"
+    )
+    hit = grid.join(pairs, pairs["jaccard"] >= grid["threshold"], "left")
+    docs_per = hit.select(
+        "threshold",
+        F.explode(
+            F.when(
+                F.col("id_a").isNotNull(),
+                F.array(F.col("id_a"), F.col("id_b")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("doc_id"),
+    )
+    n_pairs = hit.groupBy("threshold").agg(
+        F.count("id_a").alias("n_pairs")
+    )
+    n_docs = docs_per.groupBy("threshold").agg(
+        F.countDistinct("doc_id").alias("n_docs_flagged")
+    )
+    return (
+        n_pairs.join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            "n_pairs",
+            F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
+        )
+    )
