@@ -37,12 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r12 priority:
-# the TEN new r12 queries lead (Gram fold checkpoint, keep-one
+# the ELEVEN new r12 queries lead (Gram fold checkpoint, keep-one
 # substring dedup, ingest-sink feed, RRF fusion, jackknife,
 # permutation test, Gopher n-gram fractions, distance profile,
-# ANN recall eval, dedup threshold sweep), then the 21 queries that have never had a driver
+# ANN recall eval, dedup threshold sweep, DESCRIBE HISTORY), then
+# the 21 queries that have never had a driver
 # row (the r11 verdict's top item — this round closes the backlog to
-# zero: 31 < the ~50 budget), then every previously-checked query
+# zero: 32 < the ~50 budget), then every previously-checked query
 # sorted oldest-evidence-first (alphabetical within one round
 # vintage; unchanged from the r11 regeneration).
 _PRIORITY = [
@@ -50,7 +51,7 @@ _PRIORITY = [
     'pipeline_dedup_ingest_sink', 'sim_rrf_fusion', 'stats_jackknife',
     'stats_permutation_test', 'doc_quality_gopher_ngrams',
     'window_distance_profile', 'sim_ann_recall_eval',
-    'pipeline_dedup_threshold_sweep', 'window_ar1_halflife',
+    'pipeline_dedup_threshold_sweep', 'txlog_history', 'window_ar1_halflife',
     'events_burst_detect', 'tokenizer_fertility', 'agg_kmv_sketch', 'stats_rbo',
     'text_mattr', 'join_allen_relations', 'fn_jaro_winkler', 'text_char_entropy',
     'orders_abc_xyz', 'text_langid_eval', 'stats_kendall_tau',

@@ -1089,3 +1089,87 @@ def pipeline_dedup_threshold_sweep(spark, sf_dir):
             F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# txlog_history — DESCRIBE HISTORY: the log's observability face
+# (sources/txlog.history). One row per commit with per-action-kind
+# counts, logged byte totals, in-commit-timestamp monotonicity, and
+# the derived operation kind — the first thing to read when byte
+# admission or data skipping behaves unexpectedly.
+# ---------------------------------------------------------------------------
+
+_HISTORY_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'create',   CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE, TRUE),
+  (CAST(1 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE, TRUE),
+  (CAST(2 AS BIGINT), 'metadata', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE, TRUE),
+  (CAST(3 AS BIGINT), 'metadata', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE, FALSE, TRUE),
+  (CAST(4 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE, TRUE),
+  (CAST(5 AS BIGINT), 'delete',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE,  FALSE, TRUE)
+) AS t(version, operation, n_add, n_remove, n_add_dv, n_txn,
+       n_schema, n_constraint, is_change_commit, bytes_logged, ts_monotone)
+"""
+
+
+@register("txlog_history", _HISTORY_SQL)
+def txlog_history(spark, sf_dir):
+    """DESCRIBE HISTORY over a scripted six-commit table: create
+    (2 files) → append (1 file) → rename_column (metadata) →
+    CHECK constraint (metadata) → idempotent append (1 file + txn
+    marker) → MOR delete-all (ONE deletion-vector sidecar per delete
+    operation — cardinality tracks deleted rows, not touched files —
+    a change commit). The oracle is the closed-form VALUES of what
+    a correct log must contain: per-kind action counts, operation
+    classification, change-commit flag (the stream's skip/refuse
+    rule), ``bytes_logged`` (add sizes present for every data
+    commit — the byte-admission planning input), and in-commit
+    timestamp monotonicity across the whole history.
+
+    Scale shape: driver-side, one small JSON per commit — O(history),
+    zero data IO; the face is metadata observability, not a scan."""
+    import os
+
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def build(path: str) -> None:
+        t = os.path.join(path, "t")
+        txlog.create(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2), t)
+        txlog.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(1), t)
+        txlog.rename_column(t, "o_totalprice", "price")
+        txlog.set_constraint(t, "pos_price", "price >= 0")
+        txlog.append_idempotent(
+            orders.filter(F.col("o_orderkey") % 3 == 2)
+            .coalesce(1)
+            .withColumnRenamed("o_totalprice", "price"),
+            t,
+            "hist",
+            0,
+        )
+        txlog.delete_where_dv(spark, t, F.col("price") >= 0.0)
+
+    root = _scratch_table(sf_dir, "history", build)
+    h = txlog.history(spark, os.path.join(root, "t"))
+    from pyspark.sql import Window as _W
+
+    prev_ts = F.lag("ts_ms").over(_W.orderBy("version"))
+    return h.select(
+        "version",
+        "operation",
+        "n_add",
+        "n_remove",
+        "n_add_dv",
+        "n_txn",
+        "n_schema",
+        "n_constraint",
+        "is_change_commit",
+        (F.col("add_bytes").isNotNull() & (F.col("add_bytes") > 0)).alias(
+            "bytes_logged"
+        ),
+        F.coalesce(F.col("ts_ms") > prev_ts, F.lit(True)).alias("ts_monotone"),
+    )

@@ -428,6 +428,75 @@ def _validate_constraints(df: DataFrame, path: str) -> None:
         )
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit, straight off the commit
+    files (never the checkpoint collapse — history is the thing a
+    checkpoint deliberately summarizes away, and commit files are
+    retained precisely so this face and time travel keep working).
+    Columns: version, ts_ms (in-commit timestamp, strictly monotone;
+    NULL for legacy pre-timestamp commits), per-action-kind counts,
+    add_bytes (sum of logged file sizes; NULL when any add predates
+    size logging), is_change_commit (the stream's skip/refuse rule),
+    and a derived operation kind — 'create' / 'append' / 'rewrite'
+    (adds+removes) / 'delete' (removes or DV adds, no data adds) /
+    'metadata' (constraint/rename/index/txn-only commits).
+
+    Driver-side cost: one small JSON read per commit — the
+    observability face of the log, the first thing to look at when
+    byte-based admission or skipping behaves unexpectedly."""
+    head = current_version(path)
+    rows = []
+    for v in range(head + 1):
+        with open(_commit_path(path, v)) as f:
+            c = json.load(f)
+        acts = c["actions"]
+        n_add = sum(1 for a in acts if "add" in a)
+        n_remove = sum(1 for a in acts if "remove" in a)
+        n_add_dv = sum(1 for a in acts if "add_dv" in a)
+        n_remove_dv = sum(1 for a in acts if "remove_dv" in a)
+        n_txn = sum(1 for a in acts if "txn" in a or "mtxn" in a)
+        n_schema = sum(1 for a in acts if "rename" in a or "drop" in a)
+        n_constraint = sum(1 for a in acts if "constraint" in a)
+        n_index = sum(1 for a in acts if "index" in a)
+        sizes = [a["add"].get("size") for a in acts if "add" in a]
+        add_bytes = sum(sizes) if sizes and all(s is not None for s in sizes) else None
+        is_change = n_remove > 0 or n_add_dv > 0 or n_remove_dv > 0
+        if v == 0 and n_add:
+            op = "create"
+        elif n_add and is_change:
+            op = "rewrite"
+        elif is_change:
+            op = "delete"
+        elif n_add:
+            op = "append"
+        else:
+            op = "metadata"
+        rows.append(
+            (
+                v,
+                c.get("ts"),
+                n_add,
+                n_remove,
+                n_add_dv,
+                n_remove_dv,
+                n_txn,
+                n_schema,
+                n_constraint,
+                n_index,
+                add_bytes,
+                is_change,
+                op,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, ts_ms long, n_add long, n_remove long,"
+        " n_add_dv long, n_remove_dv long, n_txn long, n_schema long,"
+        " n_constraint long, n_index long, add_bytes long,"
+        " is_change_commit boolean, operation string",
+    )
+
+
 def table_stats(path: str, version: int | None = None) -> dict:
     """Metadata-only table statistics as of ``version``: exact row
     count plus per-column min/max, folded from the per-file stats the
