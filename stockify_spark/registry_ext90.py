@@ -1024,7 +1024,7 @@ pairs AS (
   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(a.sh, b.sh))) >= {_SWEEP_BASE}
 ),
-grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_GRID)}]) AS threshold),
+grid AS (SELECT CAST(unnest([{", ".join(str(t) for t in _SWEEP_GRID)}]) AS DOUBLE) AS threshold),
 np AS (SELECT g.threshold, CAST(COUNT(p.id_a) AS BIGINT) AS n_pairs
        FROM grid g LEFT JOIN pairs p ON p.j >= g.threshold
        GROUP BY g.threshold),
