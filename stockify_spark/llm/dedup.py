@@ -1183,7 +1183,22 @@ def repeated_substring_spans(
     Every stage is linear in corpus tokens, versus O(log n)
     prefix-doubling rounds (each a full shuffle of the position
     space) for a distributed suffix array — same output set,
-    asymptotically cheaper plan."""
+    asymptotically cheaper plan.
+
+    Fault-tolerance trade: the scan-once materialization uses
+    ``localCheckpoint`` — EXECUTOR-LOCAL, unreplicated storage with
+    the lineage truncated, so on a real cluster an executor loss
+    mid-query fails the query (no recompute path) and it must be
+    rerun. That is the right trade for the local/bench path and for
+    idempotent batch jobs (rerun = retry); for a long multi-tenant
+    job at cluster scale substitute ``persist(StorageLevel.
+    DISK_ONLY_2)`` (2× replicated, lineage kept) or a reliable
+    ``checkpoint()`` to HDFS/object storage at the same two sites —
+    the plan shape is unchanged, only the materialization's
+    durability. The same trade (and the same substitution) applies
+    at every corpus-sized localCheckpoint in this family:
+    :func:`keepone_substring_spans`, registry_ext4's tfidf term
+    frame, and registry_ext37's CDC chunk stream."""
     L = min_tokens
     df = _spread_small_scan(df)
     # materialize the hashed-window stream ONCE: the count side and

@@ -123,7 +123,10 @@ def pipeline_cdc_chunk_dedup(spark, sf_dir):
     # power-law key that would pin one WindowExec buffer (AQE splits
     # skewed joins, not windows; the substring-dedup lesson). The
     # checkpoint keeps the chunking scan single-pass across the
-    # count side and the probe side.
+    # count side and the probe side. localCheckpoint is executor-
+    # local and unreplicated (lineage truncated): fine locally; at
+    # cluster scale use persist(DISK_ONLY_2) / reliable checkpoint —
+    # the trade documented at llm/dedup.repeated_substring_spans.
     ch = ch.localCheckpoint()
     occ_n = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     occ = ch.join(occ_n, "h")

@@ -164,7 +164,12 @@ def text_tfidf_topk(spark, sf_dir):
     # the raw exploded-token stream (the 100 TB thing) is scanned
     # exactly once into the compact (doc_id, token, tf) table, which
     # is checkpointed so BOTH df consumers below read the
-    # materialized rows instead of re-running the explode
+    # materialized rows instead of re-running the explode.
+    # localCheckpoint = executor-local, unreplicated, lineage
+    # truncated: right for the local/bench path; at cluster scale
+    # swap in persist(DISK_ONLY_2) or a reliable checkpoint() — the
+    # fault-tolerance trade documented at
+    # llm/dedup.repeated_substring_spans
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -86,9 +86,9 @@ def ml_pca_gram_compact(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # dedup_substring_keepone — the keep-one variant of exact substring
-# dedup: cut every occurrence of a corpus-repeated span EXCEPT the
-# one in the lowest-(doc, pos) document (Lee et al. 2022 deploy the
-# remove-all form; keep-one is the deterministic post-filter the
+# dedup: cut every occurrence of a corpus-repeated span EXCEPT those
+# in the lowest-doc_id document containing it (Lee et al. 2022 deploy
+# the remove-all form; keep-one is the deterministic post-filter the
 # remove_repeated_spans docstring promises composes on top).
 # ---------------------------------------------------------------------------
 

@@ -615,7 +615,11 @@ def _resolve_start(options: dict) -> int:
     timestamp, resolved against the in-commit timestamps, so a
     wall-clock step backwards cannot change the answer). Mutually
     exclusive. A timestamp past the head resolves to head+1 — a
-    tail-only subscription; nothing historical qualifies."""
+    tail-only subscription; nothing historical qualifies. Legacy
+    (pre-timestamp) commits sort as OLDER than any timestamp — the
+    same ts=-1 rule txlog.version_at_timestamp applies — so a log
+    whose early commits predate in-commit timestamps resolves to the
+    first timestamped commit instead of erroring."""
     sv = options.get("starting_version")
     st = options.get("starting_timestamp")
     if st is None:
@@ -627,12 +631,17 @@ def _resolve_start(options: dict) -> int:
     path = options["path"]
     ts = int(st)
     head = txlog.current_version(path)
-    if ts <= txlog.commit_timestamp(path, 0):
+
+    def _lts(v: int) -> int:  # legacy ts-less commits read as -1
+        with open(txlog._commit_path(path, v)) as f:
+            return json.load(f).get("ts", -1)
+
+    if ts <= _lts(0):
         return 0
-    if ts > txlog.commit_timestamp(path, head):
+    if ts > _lts(head):
         return head + 1
     v = txlog.version_at_timestamp(path, ts)
-    return v if txlog.commit_timestamp(path, v) == ts else v + 1
+    return v if _lts(v) == ts else v + 1
 
 
 def _commit_add_bytes(path: str, version: int) -> int:
@@ -658,11 +667,13 @@ def _commit_add_bytes(path: str, version: int) -> int:
 
 
 def _bytes_cap_end(path: str, base: int, hi: int, max_bytes: int) -> int:
-    """Largest end version in (base, hi] whose admitted add-bytes
-    stay UNDER ``max_bytes`` when the batch closes — i.e. commits are
-    admitted until the running sum reaches the cap, and the first
-    commit after ``base`` is always admitted (a single over-cap
-    commit must still drain, Delta's minimum-one-file rule). Cost:
+    """Largest end version in (base, hi]: commits are admitted until
+    the running add-bytes sum reaches ``max_bytes`` (a Delta-style
+    SOFT cap — the closing commit may push the batch total to or
+    past it; only the prefix before that commit stays under), and
+    the first commit after ``base`` is always admitted (a single
+    over-cap commit must still drain, Delta's minimum-one-file
+    rule). Cost:
     one driver-side JSON read per commit scanned, bounded by the
     caps themselves on every trigger after the first."""
     total = 0

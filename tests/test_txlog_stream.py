@@ -1549,6 +1549,45 @@ class TestStartingTimestamp:
         with pytest.raises(Exception, match="mutually exclusive"):
             read(starting_timestamp=ts2, starting_version=1).count()
 
+    def test_legacy_tsless_prefix_resolves_to_first_timestamped(self, spark, tmp):
+        """A log whose EARLY commits predate in-commit timestamps (no
+        "ts" field — the legacy on-disk form) must still resolve
+        starting_timestamp: legacy commits sort as OLDER than any
+        timestamp (version_at_timestamp's ts=-1 rule), so a timestamp
+        at or below the first timestamped commit starts there instead
+        of propagating commit_timestamp's ValueError."""
+        import json as _json
+
+        path = os.path.join(tmp, "t")
+        _append_history(spark, path)  # v0..v3
+        for v in (0, 1):  # strip ts from the prefix — legacy form
+            p = txlog._commit_path(path, v)
+            with open(p) as f:
+                c = _json.load(f)
+            c.pop("ts", None)
+            with open(p, "w") as f:
+                _json.dump(c, f)
+        register_txlog_stream(spark)
+        ts2 = txlog.commit_timestamp(path, 2)
+
+        def versions_from(ts):
+            got = (
+                spark.read.format("txlog_stream")
+                .option("path", path)
+                .option("starting_timestamp", str(ts))
+                .load()
+            )
+            return {
+                r["_commit_version"]
+                for r in got.select("_commit_version").distinct().collect()
+            }
+
+        # below the first timestamped commit → starts AT it (never 0/1:
+        # the legacy prefix has no timestamps to match)
+        assert versions_from(ts2 - 1) == {2, 3}
+        assert versions_from(ts2) == {2, 3}
+        assert versions_from(ts2 + 1) == {3}
+
     def test_streaming_face_tail_only_when_past_head(self, spark, tmp):
         """A timestamp past the head subscribes to the TAIL: nothing
         historical, only commits landing after the stream starts."""
