@@ -97,6 +97,18 @@ def _read_log(path: str, version: int | None = None) -> list[dict]:
         with open(p) as f:
             commits.append(json.load(f))
         v += 1
+    if not commits:
+        # no checkpoint at/below `version` and no commit 0: either no
+        # table (callers' documented FileNotFoundError path) or the
+        # requested version's replay base was removed by expire_log
+        try:
+            e = earliest_version(path)
+        except FileNotFoundError:
+            return commits
+        raise VersionExpired(
+            f"version {version} at {path} predates the log retention "
+            f"horizon (earliest readable version: {e})"
+        )
     return commits
 
 
@@ -105,7 +117,10 @@ def checkpoint_log(path: str) -> int:
     live-adds set (with stats) in one file. Subsequent reads replay
     from here; all commit files are left in place so time travel to
     pre-checkpoint versions still works (those reads ignore the
-    checkpoint because it is above their version)."""
+    checkpoint because it is above their version). Trimming the
+    pre-checkpoint prefix is a separate, explicit act —
+    :func:`expire_log` — so checkpointing alone never shrinks the
+    time-travel window."""
     commits = _read_log(path)
     version = commits[-1]["version"]
     adds = _live_adds(path)
@@ -190,6 +205,92 @@ def current_version(path: str) -> int:
     if not commits:
         raise FileNotFoundError(f"no txlog table at {path}")
     return commits[-1]["version"]
+
+
+class VersionExpired(LookupError):
+    """A read (time travel, history, timestamp resolution) addressed
+    a version whose commit files were removed by :func:`expire_log`.
+    The message names the earliest readable version — the retention
+    horizon's replay base."""
+
+
+def earliest_version(path: str) -> int:
+    """Oldest version with a surviving commit file — the earliest
+    readable version. 0 until :func:`expire_log` removes a prefix;
+    afterwards the retained replay-base checkpoint's version. One
+    log-dir listing, no file reads."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no txlog table at {path}")
+    vs = [int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()]
+    if not vs:
+        raise FileNotFoundError(f"no txlog table at {path}")
+    return min(vs)
+
+
+def _load_commit(path: str, version: int) -> dict:
+    """Read one commit file, distinguishing the three absence cases:
+    expired below the retention horizon (VersionExpired), never
+    committed (FileNotFoundError), no table at all."""
+    p = _commit_path(path, version)
+    if not os.path.exists(p):
+        e = earliest_version(path)  # raises FileNotFoundError: no table
+        if version < e:
+            raise VersionExpired(
+                f"version {version} at {path} was removed by log "
+                f"retention (earliest readable version: {e})"
+            )
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def expire_log(path: str, keep_versions: int) -> list[str]:
+    """Log retention (Delta's ``logRetentionDuration``, version-
+    horizon form): physically delete commit files — and superseded
+    checkpoints — below the newest checkpoint at or below
+    ``head - keep_versions + 1``. That checkpoint stays as the replay
+    base, so every version from it to head remains fully readable
+    (time travel, CDF, timestamp resolution included); versions below
+    it raise :class:`VersionExpired` afterwards. Without a checkpoint
+    at or below the horizon NOTHING is deleted (the checkpoint
+    contract is never broken — run :func:`checkpoint_log` first, or
+    let :func:`maintain` order the two).
+
+    Rationale at scale: a 10⁶-commit streaming table otherwise
+    accumulates 10⁶ JSON files forever, and every un-paged
+    :func:`history` call walks all of them driver-side. Retention
+    bounds the log dir at O(keep_versions); DATA files are untouched
+    (that is :func:`vacuum`'s job — the two horizons compose but are
+    independent, exactly as in Delta).
+
+    Returns the log-dir file names deleted, sorted."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    head = current_version(path)
+    horizon = head - keep_versions + 1
+    if horizon <= 0:
+        return []
+    ck = _latest_checkpoint(path, horizon)
+    if ck is None:
+        return []  # no replay base at/below the horizon: expire nothing
+    base = ck["version"]
+    removed = []
+    for name in sorted(os.listdir(_log_dir(path))):
+        if name.endswith(".json") and name[:-5].isdigit():
+            if int(name[:-5]) >= base:
+                continue
+        elif name.startswith("checkpoint.") and name.endswith(".json"):
+            # a checkpoint below the base can no longer anchor a full
+            # replay of any retained version — dead metadata
+            if int(name.split(".")[1]) >= base:
+                continue
+        else:
+            continue  # tmp debris is vacuum_orphans' job
+        os.remove(os.path.join(_log_dir(path), name))
+        removed.append(name)
+    return sorted(removed)
 
 
 def _abs(path: str, p: str) -> str:
@@ -428,11 +529,19 @@ def _validate_constraints(df: DataFrame, path: str) -> None:
         )
 
 
-def history(spark: SparkSession, path: str) -> DataFrame:
+def history(
+    spark: SparkSession,
+    path: str,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
     """DESCRIBE HISTORY: one row per commit, straight off the commit
     files (never the checkpoint collapse — history is the thing a
-    checkpoint deliberately summarizes away, and commit files are
-    retained precisely so this face and time travel keep working).
+    checkpoint deliberately summarizes away). ``start``/``end``
+    (inclusive) page the walk: default is every SURVIVING commit —
+    earliest readable (0 until :func:`expire_log` trims the prefix)
+    through head. Explicitly asking below the retention horizon
+    raises VersionExpired; past head raises FileNotFoundError.
     Columns: version, ts_ms (in-commit timestamp, strictly monotone;
     NULL for legacy pre-timestamp commits), per-action-kind counts,
     add_bytes (sum of logged file sizes; NULL when any add predates
@@ -441,14 +550,22 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     (adds+removes) / 'delete' (removes or DV adds, no data adds) /
     'metadata' (constraint/rename/index/txn-only commits).
 
-    Driver-side cost: one small JSON read per commit — the
-    observability face of the log, the first thing to look at when
-    byte-based admission or skipping behaves unexpectedly."""
+    Driver-side cost: one small JSON read per commit IN THE RANGE —
+    paging is what keeps the observability face usable on a
+    long-lived stream table (a 10⁶-commit log is not a 10⁶-file walk
+    per look; pair with :func:`expire_log` to bound the log itself)."""
     head = current_version(path)
+    if end is None:
+        end = head
+    elif end > head:
+        raise FileNotFoundError(f"no committed version {end} at {path}")
+    if start is None:
+        start = earliest_version(path)
+    if start < 0 or start > end:
+        raise ValueError(f"bad history range [{start}, {end}]")
     rows = []
-    for v in range(head + 1):
-        with open(_commit_path(path, v)) as f:
-            c = json.load(f)
+    for v in range(start, end + 1):
+        c = _load_commit(path, v)
         acts = c["actions"]
         n_add = sum(1 for a in acts if "add" in a)
         n_remove = sum(1 for a in acts if "remove" in a)
@@ -856,13 +973,10 @@ def _reject_tombstoned(df: DataFrame, path: str) -> None:
 
 def commit_timestamp(path: str, version: int) -> int:
     """The in-commit timestamp (epoch millis) of ``version``. Raises
-    for unknown versions and for commits written before timestamps
+    for unknown versions (FileNotFoundError), versions expired by log
+    retention (VersionExpired), and commits written before timestamps
     existed (legacy logs have no "ts" field)."""
-    p = _commit_path(path, version)
-    if not os.path.exists(p):
-        raise FileNotFoundError(f"no committed version {version} at {path}")
-    with open(p) as f:
-        ts = json.load(f).get("ts")
+    ts = _load_commit(path, version).get("ts")
     if ts is None:
         raise ValueError(
             f"version {version} at {path} predates in-commit timestamps"
@@ -873,17 +987,24 @@ def commit_timestamp(path: str, version: int) -> int:
 def version_at_timestamp(path: str, ts_ms: int) -> int:
     """Latest version whose in-commit timestamp is <= ``ts_ms`` —
     Delta's TIMESTAMP AS OF resolution rule. Binary search over the
-    dense version range (commit files are never deleted and their
-    timestamps are strictly monotone; commits from before timestamps
-    existed sort as older than every timestamped one). Raises when
-    ``ts_ms`` is earlier than the first commit."""
+    dense SURVIVING version range (timestamps are strictly monotone;
+    commits from before timestamps existed sort as older than every
+    timestamped one; :func:`expire_log` only ever removes a prefix,
+    so the range stays dense). Raises VersionExpired when ``ts_ms``
+    lands below the retention horizon, FileNotFoundError when it is
+    earlier than the first commit of an unexpired log."""
 
     def _ts(v: int) -> int:
         with open(_commit_path(path, v)) as f:
             return json.load(f).get("ts", -1)
 
-    lo, hi = 0, current_version(path)
+    lo, hi = earliest_version(path), current_version(path)
     if _ts(lo) > ts_ms:
+        if lo > 0:
+            raise VersionExpired(
+                f"timestamp {ts_ms} at {path} predates the log retention "
+                f"horizon (earliest readable version {lo} is at {_ts(lo)})"
+            )
         raise FileNotFoundError(
             f"no commit at or before timestamp {ts_ms} at {path} "
             f"(first commit is at {_ts(lo)})"
@@ -1310,12 +1431,12 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
 
     # read the commit FILE directly: _read_log may substitute a
     # synthetic checkpoint commit at this version, whose actions are
-    # the full live set, not this commit's delta
-    cpath = _commit_path(path, version)
-    if not os.path.exists(cpath):
+    # the full live set, not this commit's delta. Expired versions
+    # raise VersionExpired (their file-level delta is gone for good).
+    try:
+        commit = _load_commit(path, version)
+    except FileNotFoundError:
         raise ValueError(f"version {version} not found at {path}")
-    with open(cpath) as f:
-        commit = json.load(f)
     added = [_abs(path, a["add"]["path"]) for a in commit["actions"] if "add" in a]
     removed = [_abs(path, a["remove"]["path"]) for a in commit["actions"] if "remove" in a]
     has_dv_actions = any(
