@@ -1,0 +1,126 @@
+"""Round-13 extension wave 91: the maintenance policy face.
+
+The r12 verdict's top item: every maintenance primitive existed
+(checkpoint_log, compact_small, expire_log, vacuum_orphans,
+compact_gram) but each was a manual call; a real 100 TB deployment
+runs them on thresholds after every ingest cycle, the way Delta's
+auto-compaction and log cleanup do. ``txlog.maintain(path, policy)``
+is that loop; this query states its decision table — two calls over
+a scripted fragmented-ingest fixture — as a closed-form VALUES
+oracle (the txlog_history precedent), including the idempotence
+contract: the second call triggers NOTHING.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+# The scripted fixture: table "t" is a trickle-ingest shape — create
+# + 7 single-file appends (v0..v7, 8 small files, no checkpoint) and
+# one planted 2-hour-old orphan in data/. Table "gram" holds 3
+# incremental-PCA partial rows. The first maintain() call must
+# checkpoint (8 commits since > 3), compact (fraction 1.0 > 0.9,
+# committing v8), expire commits 0..6 (keep 2, base = the fresh v7
+# checkpoint), sweep the 1 orphan, and fold the gram history (3 rows
+# > 1, committing v3); the second call must trigger nothing.
+_MAINTAIN_SQL = """
+SELECT * FROM (VALUES
+  ('t',    CAST(1 AS BIGINT), 'checkpoint',     CAST(8.0 AS DOUBLE), CAST(3.0 AS DOUBLE),    TRUE,  CAST(7  AS BIGINT)),
+  ('t',    CAST(1 AS BIGINT), 'compact_small',  CAST(1.0 AS DOUBLE), CAST(0.9 AS DOUBLE),    TRUE,  CAST(8  AS BIGINT)),
+  ('t',    CAST(1 AS BIGINT), 'expire_log',     CAST(7.0 AS DOUBLE), CAST(2.0 AS DOUBLE),    TRUE,  CAST(7  AS BIGINT)),
+  ('t',    CAST(1 AS BIGINT), 'vacuum_orphans', CAST(1.0 AS DOUBLE), CAST(3600.0 AS DOUBLE), TRUE,  CAST(1  AS BIGINT)),
+  ('t',    CAST(2 AS BIGINT), 'checkpoint',     CAST(1.0 AS DOUBLE), CAST(3.0 AS DOUBLE),    FALSE, CAST(-1 AS BIGINT)),
+  ('t',    CAST(2 AS BIGINT), 'compact_small',  CAST(1.0 AS DOUBLE), CAST(0.9 AS DOUBLE),    FALSE, CAST(-1 AS BIGINT)),
+  ('t',    CAST(2 AS BIGINT), 'expire_log',     CAST(0.0 AS DOUBLE), CAST(2.0 AS DOUBLE),    FALSE, CAST(0  AS BIGINT)),
+  ('t',    CAST(2 AS BIGINT), 'vacuum_orphans', CAST(0.0 AS DOUBLE), CAST(3600.0 AS DOUBLE), FALSE, CAST(0  AS BIGINT)),
+  ('gram', CAST(1 AS BIGINT), 'compact_gram',   CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE),    TRUE,  CAST(3  AS BIGINT)),
+  ('gram', CAST(2 AS BIGINT), 'compact_gram',   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),    FALSE, CAST(-1 AS BIGINT))
+) AS m(tbl, call, action, metric, threshold, triggered, result)
+"""
+
+
+@register("txlog_maintain", _MAINTAIN_SQL)
+def txlog_maintain(spark, sf_dir):
+    """maintain(path, policy): the threshold decision table of two
+    back-to-back maintenance passes over a scripted trickle-ingest
+    table (+ a gram-stats table), the oracle its closed form. Proves
+    the ordering contract (checkpoint BEFORE retention, so the first
+    pass both writes the replay base and expires below it), the
+    metric arithmetic (commits-since-checkpoint, small-file
+    fraction, removable commits, aged orphans, partial rows), and
+    idempotence (the second pass triggers nothing and commits
+    nothing — the converged state is a fixpoint).
+
+    Scale shape: maintenance cost tracks what's wrong with the table
+    — selective compaction rewrites only fragments, retention
+    unlinks only expired JSON, the gram fold collects 1+d+d² scalars
+    — never table size; the decision pass itself is driver-side log
+    metadata plus one count on the gram table."""
+    import time
+
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.llm.pca import gram_update
+    from stockify_spark.sources import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    policy = {
+        "checkpoint_commits": 3,
+        "small_file_bytes": 512 << 20,
+        "small_file_fraction": 0.9,
+        "log_keep_versions": 2,
+        "orphan_age_seconds": 3600.0,
+    }
+
+    def build(path: str) -> None:
+        t = os.path.join(path, "t")
+        txlog.create(orders.filter(F.col("o_orderkey") % 10 == 0).coalesce(1), t)
+        for r in range(1, 8):
+            txlog.append(
+                orders.filter(F.col("o_orderkey") % 10 == r).coalesce(1), t
+            )
+        orphan = os.path.join(t, "data", "orphan_debris.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"crashed-writer debris")
+        old = time.time() - 7200
+        os.utime(orphan, (old, old))
+        g = os.path.join(path, "gram")
+        for v in range(3):
+            gram_update(
+                emb.filter(F.col("vec_id") % 3 == v), g, app_id="m91",
+                batch_version=v,
+            )
+        rows = []
+        for call in (1, 2):
+            for d in txlog.maintain(spark, t, policy):
+                rows.append({"tbl": "t", "call": call, **d})
+            for d in txlog.maintain(spark, g, {"gram_partial_rows": 1}):
+                rows.append({"tbl": "gram", "call": call, **d})
+        with open(os.path.join(path, "decisions.json"), "w") as f:
+            json.dump(rows, f)
+
+    root = _scratch_table(sf_dir, "maintain", build)
+    with open(os.path.join(root, "decisions.json")) as f:
+        rows = json.load(f)
+    return spark.createDataFrame(
+        [
+            (
+                r["tbl"],
+                r["call"],
+                r["action"],
+                r["metric"],
+                r["threshold"],
+                r["triggered"],
+                r["result"],
+            )
+            for r in rows
+        ],
+        "tbl string, call long, action string, metric double,"
+        " threshold double, triggered boolean, result long",
+    )

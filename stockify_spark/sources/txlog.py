@@ -293,6 +293,127 @@ def expire_log(path: str, keep_versions: int) -> list[str]:
     return sorted(removed)
 
 
+def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
+    """Threshold-driven table maintenance — the operational loop that
+    turns the manual primitives (:func:`checkpoint_log`,
+    :func:`compact_small`, :func:`expire_log`,
+    :func:`vacuum_orphans`, :func:`stockify_spark.llm.pca.
+    compact_gram`) into a policy a scheduler can run after every
+    ingest cycle, the way Delta's auto-compaction / log cleanup do.
+    Each action runs only if its policy key is present AND its metric
+    crosses the threshold, so a converged table is a no-op: calling
+    ``maintain`` twice in a row performs no state change on the
+    second call (every decision reports ``triggered=False``).
+
+    Policy keys (all optional):
+
+    - ``checkpoint_commits``: N — write a log checkpoint when commits
+      since the newest checkpoint exceed N (metric: that count;
+      head+1 when no checkpoint exists).
+    - ``small_file_bytes``: B (+ ``small_file_fraction``: f, default
+      0.5; ``compact_target_partitions``, default 1) — selective
+      small-file compaction when the fraction of live files under B
+      bytes exceeds f, at least two fragments exist, and no deletion
+      vectors are active (MOR sidecars block rewrites — materialize
+      first; the decision then reports triggered=False rather than
+      raising, so the rest of the policy still runs).
+    - ``gram_partial_rows``: B — fold the incremental-PCA stats table
+      to one row when its partial-row count exceeds B (the table must
+      have the gram schema; see llm/pca.compact_gram).
+    - ``log_keep_versions``: K — expire commit files below the
+      retention horizon (metric: commit files removed; a no-op until
+      a checkpoint at/below the horizon exists, which the checkpoint
+      step above supplies over successive calls).
+    - ``orphan_age_seconds``: A — sweep never-referenced data/dv/log
+      debris older than A seconds (metric: files removed).
+
+    Actions run in that fixed order — checkpoint BEFORE retention, so
+    the expiry's replay base exists; compaction before retention, so
+    its remove-actions land above the base and stay replayable.
+
+    Returns the decision table, one dict per policy key:
+    ``{"action", "metric", "threshold", "triggered", "result"}`` —
+    ``result`` is the commit version an action produced (-1 when not
+    triggered) for checkpoint/compact actions, and the count of files
+    removed for expire/vacuum. Cost: driver-side log reads plus only
+    the Spark jobs of the actions actually triggered."""
+    known = {
+        "checkpoint_commits",
+        "small_file_bytes",
+        "small_file_fraction",
+        "compact_target_partitions",
+        "gram_partial_rows",
+        "log_keep_versions",
+        "orphan_age_seconds",
+    }
+    unknown = set(policy) - known
+    if unknown:
+        raise ValueError(f"unknown maintain policy keys: {sorted(unknown)}")
+    decisions: list[dict] = []
+
+    def record(action: str, metric, threshold, triggered: bool, result) -> None:
+        decisions.append(
+            {
+                "action": action,
+                "metric": float(metric),
+                "threshold": float(threshold),
+                "triggered": bool(triggered),
+                "result": int(result),
+            }
+        )
+
+    if "checkpoint_commits" in policy:
+        n = int(policy["checkpoint_commits"])
+        head = current_version(path)
+        ck = _latest_checkpoint(path)
+        since = head - ck["version"] if ck is not None else head + 1
+        trig = since > n
+        record("checkpoint", since, n, trig, checkpoint_log(path) if trig else -1)
+
+    if "small_file_bytes" in policy:
+        b = int(policy["small_file_bytes"])
+        f_thr = float(policy.get("small_file_fraction", 0.5))
+        rels = _live_rel(path)
+        small = [r for r in rels if os.path.getsize(_abs(path, r)) < b]
+        frac = len(small) / len(rels) if rels else 0.0
+        trig = frac > f_thr and len(small) >= 2 and not _has_active_dvs(path)
+        res = (
+            compact_small(
+                spark,
+                path,
+                min_bytes=b,
+                target_partitions=int(policy.get("compact_target_partitions", 1)),
+            )
+            if trig
+            else -1
+        )
+        record("compact_small", frac, f_thr, trig, res)
+
+    if "gram_partial_rows" in policy:
+        b = int(policy["gram_partial_rows"])
+        # lazy import: llm.pca imports this module
+        from stockify_spark.llm.pca import compact_gram
+
+        rows = snapshot(spark, path).count()
+        trig = rows > b
+        record(
+            "compact_gram", rows, b, trig, compact_gram(spark, path) if trig else -1
+        )
+
+    if "log_keep_versions" in policy:
+        k = int(policy["log_keep_versions"])
+        removed = expire_log(path, k)
+        n_commits = sum(1 for name in removed if name[:-5].isdigit())
+        record("expire_log", n_commits, k, bool(removed), len(removed))
+
+    if "orphan_age_seconds" in policy:
+        a = float(policy["orphan_age_seconds"])
+        deleted = vacuum_orphans(path, min_age_seconds=a)
+        record("vacuum_orphans", len(deleted), a, bool(deleted), len(deleted))
+
+    return decisions
+
+
 def _abs(path: str, p: str) -> str:
     """Resolve a logged (relative) file path against the table root.
     Absolute paths (pre-relative-log tables) pass through; the
@@ -1936,25 +2057,30 @@ def materialize_dvs(spark: SparkSession, path: str) -> int:
     return _commit(path, actions)
 
 
-def _require_no_dvs(path: str, op: str) -> None:
-    """File-rewriting ops read raw parquet; running them over a table
-    with active DVs would resurrect deleted rows. Refuse loudly."""
+def _has_active_dvs(path: str) -> bool:
+    """True if any deletion-vector sidecar still targets a LIVE file
+    (a sidecar whose targets were all rewritten is stale metadata).
+    Cheap driver probe: sidecars are deleted-row-sized."""
     live = {os.path.basename(p) for p in _live_rel(path)}
     for rel in _live_dvs(path):
-        # cheap activity probe: the sidecar is active if ANY of its
-        # rows targets a live file; sidecars are small, read driverless
-        # is overkill — presence of any DV sidecar while its commit's
-        # target may be live is grounds to require materialization
         if os.path.exists(_abs(path, rel)):
             import pyarrow.parquet as pq
 
             t = pq.read_table(_abs(path, rel), columns=["_dv_file"])
             if any(f in live for f in t.column("_dv_file").to_pylist()):
-                raise RuntimeError(
-                    f"{op}: table at {path} has active deletion vectors; "
-                    "run materialize_dvs() first (file-rewriting ops over "
-                    "raw files would resurrect DV-deleted rows)"
-                )
+                return True
+    return False
+
+
+def _require_no_dvs(path: str, op: str) -> None:
+    """File-rewriting ops read raw parquet; running them over a table
+    with active DVs would resurrect deleted rows. Refuse loudly."""
+    if _has_active_dvs(path):
+        raise RuntimeError(
+            f"{op}: table at {path} has active deletion vectors; "
+            "run materialize_dvs() first (file-rewriting ops over "
+            "raw files would resurrect DV-deleted rows)"
+        )
 
 
 # ---------------------------------------------------------------------------

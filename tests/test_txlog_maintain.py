@@ -1,0 +1,196 @@
+"""Threshold-driven maintenance policy face (sources/txlog.maintain)
+— the r12 verdict's top item: checkpoint / selective compaction /
+log retention / orphan sweep / gram fold unified behind one
+policy call, idempotent once the table has converged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stockify_spark.sources import txlog
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def _fragmented(spark, path, n_appends: int = 7):
+    """create + n single-file appends — a trickle-ingest shape."""
+    o = _orders(spark)
+    txlog.create(o.filter(F.col("o_orderkey") % 10 == 0).coalesce(1), path)
+    for r in range(1, n_appends + 1):
+        txlog.append(o.filter(F.col("o_orderkey") % 10 == r).coalesce(1), path)
+    return o
+
+
+def _by_action(decisions):
+    return {d["action"]: d for d in decisions}
+
+
+POLICY = {
+    "checkpoint_commits": 3,
+    "small_file_bytes": 512 << 20,
+    "small_file_fraction": 0.9,
+    "log_keep_versions": 2,
+    "orphan_age_seconds": 3600.0,
+}
+
+
+class TestMaintain:
+    def test_full_policy_then_idempotent_second_call(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path)  # v0..v7, 8 small files, no checkpoint
+        orphan = os.path.join(path, "data", "orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"debris")
+        old = time.time() - 7200
+        os.utime(orphan, (old, old))
+        n_before = txlog.snapshot(spark, path).count()
+
+        d1 = _by_action(txlog.maintain(spark, path, POLICY))
+        assert d1["checkpoint"]["triggered"] and d1["checkpoint"]["result"] == 7
+        assert d1["checkpoint"]["metric"] == 8.0  # head+1: no prior ckpt
+        assert d1["compact_small"]["triggered"]
+        assert d1["compact_small"]["metric"] == 1.0
+        assert d1["compact_small"]["result"] == 8
+        assert d1["expire_log"]["triggered"] and d1["expire_log"]["metric"] == 7.0
+        assert d1["vacuum_orphans"]["triggered"]
+        assert d1["vacuum_orphans"]["result"] == 1
+        assert not os.path.exists(orphan)
+        # table content untouched by maintenance
+        assert txlog.snapshot(spark, path).count() == n_before
+        assert len(txlog.live_files(path)) == 1
+        assert txlog.earliest_version(path) == 7
+
+        # second call: converged — every decision reports False and
+        # no commit / deletion happens
+        head = txlog.current_version(path)
+        d2 = _by_action(txlog.maintain(spark, path, POLICY))
+        assert not any(d["triggered"] for d in d2.values())
+        assert txlog.current_version(path) == head
+        assert d2["checkpoint"]["result"] == -1
+        assert d2["compact_small"]["result"] == -1
+        assert d2["expire_log"]["result"] == 0
+        assert d2["vacuum_orphans"]["result"] == 0
+
+    def test_each_threshold_gates_its_action(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path, n_appends=2)  # 3 commits
+        # thresholds ABOVE the metrics: nothing fires
+        quiet = _by_action(
+            txlog.maintain(
+                spark,
+                path,
+                {
+                    "checkpoint_commits": 10,
+                    "small_file_bytes": 1,  # nothing is under 1 byte
+                    "small_file_fraction": 0.9,
+                    "log_keep_versions": 50,
+                    "orphan_age_seconds": 3600.0,
+                },
+            )
+        )
+        assert not any(d["triggered"] for d in quiet.values())
+        assert txlog.current_version(path) == 2
+        # fraction threshold: 3 small files of 3 = 1.0; f=1.0 is NOT
+        # exceeded (strict >), f=0.99 is
+        d = _by_action(
+            txlog.maintain(
+                spark,
+                path,
+                {"small_file_bytes": 512 << 20, "small_file_fraction": 1.0},
+            )
+        )
+        assert not d["compact_small"]["triggered"]
+        d = _by_action(
+            txlog.maintain(
+                spark,
+                path,
+                {"small_file_bytes": 512 << 20, "small_file_fraction": 0.99},
+            )
+        )
+        assert d["compact_small"]["triggered"]
+
+    def test_compact_skipped_while_dvs_active(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path, n_appends=2)
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 7 == 0)
+        d = _by_action(
+            txlog.maintain(
+                spark,
+                path,
+                {"small_file_bytes": 512 << 20, "small_file_fraction": 0.5},
+            )
+        )
+        # metric still reported, action withheld (MOR sidecars block
+        # rewrites); the policy call itself must not raise
+        assert d["compact_small"]["metric"] == 1.0
+        assert not d["compact_small"]["triggered"]
+        txlog.materialize_dvs(spark, path)
+        d = _by_action(
+            txlog.maintain(
+                spark,
+                path,
+                {"small_file_bytes": 512 << 20, "small_file_fraction": 0.5},
+            )
+        )
+        assert d["compact_small"]["triggered"]
+
+    def test_gram_fold_threshold(self, spark, tmp):
+        from stockify_spark.llm.pca import gram_update
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        table = os.path.join(tmp, "gram")
+        for v in range(3):
+            gram_update(
+                emb.filter(F.col("vec_id") % 3 == v),
+                table,
+                app_id="m",
+                batch_version=v,
+            )
+        d = _by_action(txlog.maintain(spark, table, {"gram_partial_rows": 1}))
+        assert d["compact_gram"]["metric"] == 3.0
+        assert d["compact_gram"]["triggered"]
+        assert txlog.snapshot(spark, table).count() == 1
+        d = _by_action(txlog.maintain(spark, table, {"gram_partial_rows": 1}))
+        assert not d["compact_gram"]["triggered"]
+        assert d["compact_gram"]["metric"] == 1.0
+
+    def test_unknown_policy_key_rejected(self, spark, tmp):
+        path = os.path.join(tmp, "t")
+        txlog.create(_orders(spark).limit(5).coalesce(1), path)
+        with pytest.raises(ValueError, match="unknown maintain policy"):
+            txlog.maintain(spark, path, {"compact_every": 5})
+
+    def test_retention_converges_over_successive_calls(self, spark, tmp):
+        """First call checkpoints AND expires in one pass (checkpoint
+        runs before retention, so the replay base it writes already
+        qualifies when the keep window reaches it)."""
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path, n_appends=5)  # v0..v5
+        d = _by_action(
+            txlog.maintain(
+                spark, path, {"checkpoint_commits": 0, "log_keep_versions": 1}
+            )
+        )
+        assert d["checkpoint"]["triggered"] and d["checkpoint"]["result"] == 5
+        assert d["expire_log"]["triggered"] and d["expire_log"]["metric"] == 5.0
+        assert txlog.earliest_version(path) == 5
+        assert txlog.snapshot(spark, path).count() > 0
