@@ -1516,6 +1516,7 @@ def near_dedup_ingest_sink(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.5,
+    instrument: dict | None = None,
 ):
     """NEAR-duplicate dedup-against-history ingest — the MinHash-LSH
     sibling of :func:`dedup_ingest_sink`: each micro-batch's docs are
@@ -1536,7 +1537,17 @@ def near_dedup_ingest_sink(
     any history doc, or (b) any smaller-id doc of the same batch —
     greedy first-id-wins, the same convention the batch LSH operator
     documents. Exact duplicates are near-duplicates at any threshold,
-    so this subsumes the exact sink when fed the same stream."""
+    so this subsumes the exact sink when fed the same stream.
+
+    Per-batch cost is LINEAR in history: the probe derives band keys
+    from every stored signature — a cheap map scan (8·num_hashes
+    bytes/row), but a scan nonetheless. When the destination outgrows
+    the batch by orders of magnitude, use
+    :func:`near_dedup_ingest_sink_indexed`, which keeps a bloom-
+    indexed band-key table beside the corpus and opens only files
+    that might contain a colliding key. ``instrument``, when a dict,
+    receives per-stage wall seconds (signature/probe/append) for the
+    bench's history-growth probe."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -1549,6 +1560,9 @@ def near_dedup_ingest_sink(
         return (union > 0) & (inter / union >= threshold)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         base = batch_df.select(
             F.col(id_col).alias("_id"),
             F.col(text_col).alias("_text"),
@@ -1560,6 +1574,9 @@ def near_dedup_ingest_sink(
         # the explode×num_hashes signature pipeline per consumer (the
         # minhash_lsh_pairs persist lesson)
         bt = base.join(sigs, "_id").localCheckpoint()
+        if instrument is not None:
+            instrument["signature_sec"] = round(_time.perf_counter() - t0, 4)
+        t1 = _time.perf_counter()
         b_bands = bt.select(
             "_id",
             F.explode(_band_key_structs(F.col("_sig"), bands, r)).alias("bk"),
@@ -1615,6 +1632,12 @@ def near_dedup_ingest_sink(
             .distinct()
         )
         dropped = bb if dropped is None else dropped.unionByName(bb).distinct()
+        if instrument is not None:
+            # materialize the id-only drop set so the probe's cost is
+            # separable from the append's (ids are collision-sized)
+            dropped = dropped.localCheckpoint()
+            instrument["probe_sec"] = round(_time.perf_counter() - t1, 4)
+        t2 = _time.perf_counter()
         survivors = (
             bt.join(dropped, "_id", "left_anti")
             .select(
@@ -1626,5 +1649,178 @@ def near_dedup_ingest_sink(
         # append_idempotent bootstraps a missing table itself: batch
         # 0's data and its marker ride commit 0 atomically
         _txlog.append_idempotent(survivors, dst, app_id, batch_id)
+        if instrument is not None:
+            instrument["append_sec"] = round(_time.perf_counter() - t2, 4)
+
+    return sink
+
+
+def near_dedup_ingest_sink_indexed(
+    spark,
+    dst: str,
+    app_id: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    instrument: dict | None = None,
+):
+    """Bloom-indexed near-dup ingest — the SUBLINEAR-in-history form
+    of :func:`near_dedup_ingest_sink`. Same dedup rule and identical
+    survivors on any feed (parity-pinned in tests/test_dedup.py);
+    what changes is the per-batch probe's cost model.
+
+    Beside the corpus it maintains ``<dst>_bandidx``, a txlog table
+    of (bk = "band:key", id) rows — each survivor contributes
+    ``bands`` rows at append time — with a per-file Bloom filter on
+    ``bk`` (and one on the corpus id column), attached incrementally
+    (``attach_bloom(missing_only=True)``: only the files the batch
+    just added are scanned — batch-sized index maintenance).
+
+    Per-batch probe: the batch's band keys (a bounded driver list,
+    ≤ batch_rows × bands) go through
+    :func:`stockify_spark.sources.txlog.snapshot_point_any` — pure
+    driver-side bit tests against every index file's filter, then a
+    Spark read of ONLY the files that might hold a colliding key.
+    Matching history ids (bounded by true band collisions) are
+    fetched the same way from the corpus table for exact-Jaccard
+    verification. For the common ingest case — mostly-novel
+    documents — every filter rejects and the probe opens ZERO data
+    files: per-batch IO is bounded by the batch and the collision
+    density, not the destination size. The residual linear term is
+    driver-side bit-testing across index files, O(files × keys) with
+    no IO; run :func:`stockify_spark.sources.txlog.maintain` with
+    small-file compaction on the index table to keep the file count
+    (and thus that term) bounded — freshly compacted files are
+    re-bloomed by the next batch's missing_only pass.
+
+    Exactly-once across restarts: corpus and index appends carry the
+    same (app, batch-id) marker, each in its own log, so a replay
+    after a crash between the two appends converges (the completed
+    side no-ops, the missing side lands). The sink owns its
+    destination from batch 0 — pointing it at a corpus built by the
+    unindexed sink would silently skip history matching until the
+    index catches up."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    idx_path = dst + "_bandidx"
+
+    from stockify_spark.sources import txlog as _txlog
+
+    def _jaccard_ok(sh_a: Column, sh_b: Column) -> Column:
+        inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+        union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
+        return (union > 0) & (inter / union >= threshold)
+
+    def _flat_bk(frame: DataFrame, id_out: str) -> DataFrame:
+        """(id, bk) with bk as the flat 'band:key' string the index
+        table stores and the bloom filters key on."""
+        return frame.select(
+            F.col("_id").alias(id_out),
+            F.explode(_band_key_structs(F.col("_sig"), bands, r)).alias("s"),
+        ).select(
+            id_out,
+            F.concat_ws(
+                ":", F.col("s.band").cast("string"), F.col("s.key")
+            ).alias("bk"),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        base = batch_df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            shingles(text_col, k).alias("_sh"),
+        ).localCheckpoint()  # batch-sized; read by signature build + joins
+        sigs = _signatures_from_base(base, num_hashes)
+        bt = base.join(sigs, "_id").localCheckpoint()
+        # batch-sized, read by the probe join AND the index append
+        b_bands = _flat_bk(bt, "_id").localCheckpoint()
+        b_sh = bt.select("_id", "_sh")
+        if instrument is not None:
+            instrument["signature_sec"] = round(_time.perf_counter() - t0, 4)
+        t1 = _time.perf_counter()
+        dropped = None
+        try:
+            # bounded collect: batch_rows × bands key strings
+            keys = [x["bk"] for x in b_bands.select("bk").distinct().collect()]
+            cand_idx = _txlog.snapshot_point_any(
+                spark, idx_path, "bk", keys
+            ).select("bk", "_hid")
+            cand = (
+                b_bands.join(cand_idx, "bk").select("_id", "_hid").distinct()
+            ).localCheckpoint()  # band-collision-sized
+            # bounded collect: ids of truly colliding history docs
+            hids = [x["_hid"] for x in cand.select("_hid").distinct().collect()]
+            if hids:
+                hist_cand = _txlog.snapshot_point_any(
+                    spark, dst, id_col, hids
+                ).select(
+                    F.col(id_col).alias("_hid"),
+                    shingles(text_col, k).alias("_hsh"),
+                )
+                dropped = (
+                    cand.join(b_sh, "_id")
+                    .join(hist_cand, "_hid")
+                    .filter(_jaccard_ok(F.col("_sh"), F.col("_hsh")))
+                    .select("_id")
+                    .distinct()
+                )
+        except FileNotFoundError:
+            pass  # tables not born yet: no history to match
+        # within-batch: greedy smaller-id wins (batch-sized frames)
+        bb = (
+            b_bands.alias("a")
+            .join(
+                b_bands.select(
+                    F.col("_id").alias("_idb"), F.col("bk").alias("bk")
+                ).alias("b"),
+                "bk",
+            )
+            .filter(F.col("a._id") < F.col("_idb"))
+            .select(F.col("a._id").alias("_ida"), F.col("_idb").alias("_id"))
+            .distinct()
+            .join(
+                b_sh.select(
+                    F.col("_id").alias("_ida"), F.col("_sh").alias("_sha")
+                ),
+                "_ida",
+            )
+            .join(b_sh, "_id")
+            .filter(_jaccard_ok(F.col("_sha"), F.col("_sh")))
+            .select("_id")
+            .distinct()
+        )
+        dropped = bb if dropped is None else dropped.unionByName(bb).distinct()
+        if instrument is not None:
+            dropped = dropped.localCheckpoint()
+            instrument["probe_sec"] = round(_time.perf_counter() - t1, 4)
+        t2 = _time.perf_counter()
+        survivors = bt.join(dropped, "_id", "left_anti").localCheckpoint()
+        _txlog.append_idempotent(
+            survivors.select(
+                F.col("_id").alias(id_col), F.col("_text").alias(text_col), "_sig"
+            ),
+            dst,
+            app_id,
+            batch_id,
+        )
+        # self-index maintenance: survivors' band keys + blooms for
+        # exactly the files these two appends created
+        _txlog.append_idempotent(
+            _flat_bk(survivors, "_hid").select("bk", "_hid"),
+            idx_path,
+            app_id,
+            batch_id,
+        )
+        _txlog.attach_bloom(spark, idx_path, "bk", missing_only=True)
+        _txlog.attach_bloom(spark, dst, id_col, missing_only=True)
+        if instrument is not None:
+            instrument["append_sec"] = round(_time.perf_counter() - t2, 4)
 
     return sink

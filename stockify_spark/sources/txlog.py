@@ -1673,6 +1673,7 @@ def attach_bloom(
     column: str,
     bits: int | None = None,
     k: int = 6,
+    missing_only: bool = False,
 ) -> int:
     """Per-file Bloom filter index on ``column``, committed to the
     LOG (a new action type older readers ignore). Min/max stats
@@ -1693,14 +1694,24 @@ def attach_bloom(
     distinct key (>= 8192): a fixed size silently saturates once a
     file's cardinality outgrows it — every bit set, every probe a
     false positive, the index worse than useless — measured exactly
-    that way at sf0.1 before auto-sizing."""
+    that way at sf0.1 before auto-sizing.
+
+    ``missing_only=True`` indexes only live files that have NO bloom
+    entry for ``column`` yet — the incremental form a per-batch
+    ingest sink needs: each append blooms just the files it added
+    (batch-sized work), instead of re-scanning the whole table per
+    batch. A compaction's new files are picked up the same way on
+    the next call."""
     from pyspark.sql import functions as F
 
     if bits is not None and bits & (bits - 1):
         raise ValueError("bits must be a power of two")
     column = _mapping(path).get(column, column)  # index keys physical names
+    have = set(_bloom_indexes(path, column)) if missing_only else set()
     actions = []
     for rel in _live_rel(path):
+        if rel in have:
+            continue
         df = spark.read.parquet(_abs(path, rel)).select(
             F.col(column).cast("string").alias("_v")
         )
@@ -1810,6 +1821,82 @@ def snapshot_point(
             spark.read.option("mergeSchema", "true").parquet(*keep),
             version,
         ).filter(F.col(column) == value),
+        m,
+        dropped,
+    )
+
+
+def snapshot_point_any(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    values,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-key point lookup through the log-stored Bloom index: a
+    file opens only if its filter admits AT LEAST ONE of ``values``
+    (or it has no filter — conservatively kept). The batch form of
+    :func:`snapshot_point`, built for ingest-dedup probes where a
+    micro-batch carries thousands of keys that are mostly ABSENT
+    from the table: the driver-side cost is pure bit tests —
+    each value's k md5 digests are computed ONCE (file-independent;
+    only the modulo is per-file) and tested against every file's
+    bitset, O(files × values) with no IO — and the Spark job then
+    opens only files that might contain a colliding key. Results are
+    exact: the residual IN filter always runs."""
+    import base64
+    import hashlib as _hashlib
+
+    from pyspark.sql import functions as F
+
+    vals = list(values)
+    m, dropped = _fold_schema(path, version)
+    column = m.get(column, column)  # bloom indexes key physical names
+    if column in dropped:
+        raise ValueError(f"column {column!r} was dropped")
+    if not vals:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    blooms = _bloom_indexes(path, column, version)
+    svals = [str(v) for v in vals]
+    hmemo: dict[tuple[int, str], int] = {}
+
+    def _h(i: int, sval: str) -> int:
+        key = (i, sval)
+        if key not in hmemo:
+            hmemo[key] = int(
+                _hashlib.md5(f"{i}|{sval}".encode()).hexdigest()[:8], 16
+            )
+        return hmemo[key]
+
+    keep = []
+    for a in _live_adds(path, version):
+        idx = blooms.get(a["path"])
+        if idx is not None:
+            bitset = base64.b64decode(idx["bloom"])
+            bits, kk = idx["bits"], idx["k"]
+            admit = False
+            for sval in svals:
+                hit = True
+                for i in range(kk):
+                    p = _h(i, sval) % bits
+                    if not bitset[p >> 3] & (1 << (p & 7)):
+                        hit = False
+                        break
+                if hit:
+                    admit = True
+                    break
+            if not admit:
+                continue  # every probed key provably absent
+        keep.append(_abs(path, a["path"]))
+    if not keep:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    return _to_logical(
+        _with_dvs(
+            spark,
+            path,
+            spark.read.option("mergeSchema", "true").parquet(*keep),
+            version,
+        ).filter(F.col(column).isin(vals)),
         m,
         dropped,
     )

@@ -482,6 +482,63 @@ def test_bloom_false_positive_rate_is_bounded(spark, tmp_path):
     assert opened <= 20
 
 
+def test_snapshot_point_any_multi_key_and_incremental_bloom(spark, tmp_path):
+    """snapshot_point_any: one Spark read answers a BATCH of point
+    probes (the ingest-dedup shape), opening only files whose bloom
+    admits at least one key; attach_bloom(missing_only=True) indexes
+    only newly-appended files, so per-batch index maintenance is
+    batch-sized."""
+    path = str(tmp_path / "t")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    txlog.create(li, path)
+    txlog.compact(spark, path, target_partitions=4)
+    txlog.attach_bloom(spark, path, "l_orderkey")
+    keys = sorted(
+        r.l_orderkey for r in li.select("l_orderkey").distinct().limit(3).collect()
+    )
+    top = max(r.l_orderkey for r in li.select("l_orderkey").collect())
+    absent = [top + 100 + i for i in range(5)]
+    # all-absent batch: zero files opened
+    df0 = txlog.snapshot_point_any(spark, path, "l_orderkey", absent)
+    assert df0.count() == 0 and df0.inputFiles() == []
+    # mixed batch: exact union of the per-key results
+    got = {
+        tuple(r)
+        for r in txlog.snapshot_point_any(
+            spark, path, "l_orderkey", keys + absent
+        ).collect()
+    }
+    expect = {
+        tuple(r) for r in li.filter(F.col("l_orderkey").isin(keys)).collect()
+    }
+    assert got == expect and expect
+    # empty key list: empty result, no error
+    assert txlog.snapshot_point_any(spark, path, "l_orderkey", []).count() == 0
+    # incremental blooming: append a new file, missing_only indexes
+    # JUST it (one new index action), and the probe covers it
+    pre_bloomed = set(txlog._bloom_indexes(path, "l_orderkey"))
+    txlog.append(
+        spark.createDataFrame(
+            [(top + 7, 1)], "l_orderkey long, l_partkey long"
+        ).coalesce(1),
+        path,
+    )
+    v = txlog.attach_bloom(spark, path, "l_orderkey", missing_only=True)
+    import json as _json
+
+    with open(txlog._commit_path(path, v)) as f:
+        acts = _json.load(f)["actions"]
+    # only the newly-appended file is indexed — never a re-scan of
+    # the already-bloomed ones
+    assert acts and all("index" in a for a in acts)
+    assert not {a["index"]["path"] for a in acts} & pre_bloomed
+    assert len(acts) == len(txlog.live_files(path)) - len(pre_bloomed)
+    hit = txlog.snapshot_point_any(spark, path, "l_orderkey", [top + 7])
+    assert hit.count() == 1 and len(hit.inputFiles()) == 1
+    # fully-indexed table: missing_only is a commit-free no-op
+    assert txlog.attach_bloom(spark, path, "l_orderkey", missing_only=True) == v
+
+
 def test_compact_small_leaves_healthy_files_shared(spark, tmp_path):
     """Selective OPTIMIZE: small trickle-append files bin-pack into
     one; the original big file keeps its path (still shared with the

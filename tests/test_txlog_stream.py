@@ -1231,6 +1231,97 @@ class TestNearDedupIngestSink:
         assert txlog.snapshot(spark, dst).count() == 3
 
 
+class TestNearDedupIngestSinkIndexed:
+    def test_same_semantics_as_plain_sink(self, spark, tmp):
+        """The bloom-indexed sink mirrors the near-dup semantics:
+        history dups, within-batch greedy smaller-id, novel pass,
+        replay no-op — same scripted feed as the plain sink's test."""
+        from stockify_spark.llm.dedup import near_dedup_ingest_sink_indexed
+
+        base_text = (
+            "the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the river"
+        )
+        near = base_text.replace("softly", "gently")
+        near2 = base_text.replace("quiet", "calm")
+        other = (
+            "completely different subject matter entirely about "
+            "spacecraft navigation systems and orbital mechanics designs"
+        )
+        dst = os.path.join(tmp, "dst")
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        sink = near_dedup_ingest_sink_indexed(
+            spark, dst, "neari", "text", "doc_id", threshold=0.5
+        )
+        sink(mk([(1, base_text), (2, near)]), 0)
+        sink(mk([(3, near2)]), 1)
+        sink(mk([(4, other)]), 2)
+        got = txlog.snapshot(spark, dst)
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 4]
+        assert got.columns == ["doc_id", "text", "_sig"]
+        # the self-index exists, is bloomed, and an absent key opens
+        # ZERO files (the mostly-novel ingest hot path)
+        idx = dst + "_bandidx"
+        assert txlog.snapshot(spark, idx).count() > 0
+        pruned = txlog.snapshot_point_any(
+            spark, idx, "bk", ["999:absent,key,never"]
+        )
+        assert pruned.inputFiles() == []
+        # replay of batch 1 outside the engine: marker no-op on BOTH
+        # the corpus and the index
+        v_dst, v_idx = txlog.current_version(dst), txlog.current_version(idx)
+        sink(mk([(3, near2)]), 1)
+        assert txlog.snapshot(spark, dst).count() == 2
+        assert txlog.current_version(dst) == v_dst
+        # (attach_bloom(missing_only) after a no-op append adds no
+        # commit either: no new files to index)
+        assert txlog.current_version(idx) == v_idx
+
+    def test_parity_with_plain_sink_on_documents_feed(self, spark, tmp):
+        """Survivor-set parity on a real 4-batch documents feed with
+        planted cross-batch duplicates: the indexed probe must make
+        the SAME drop decisions as the linear-scan probe."""
+        from stockify_spark.llm.dedup import (
+            near_dedup_ingest_sink,
+            near_dedup_ingest_sink_indexed,
+        )
+
+        docs = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text")
+        )
+        batches = []
+        for b in range(4):
+            batch = docs.filter(F.col("doc_id") % 4 == b)
+            if b == 3:
+                batch = batch.unionByName(
+                    docs.filter(
+                        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == 0)
+                    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+                )
+            batches.append(batch.localCheckpoint())
+        plain_dst = os.path.join(tmp, "plain")
+        idx_dst = os.path.join(tmp, "indexed")
+        plain = near_dedup_ingest_sink(
+            spark, plain_dst, "p", "text", "doc_id"
+        )
+        indexed = near_dedup_ingest_sink_indexed(
+            spark, idx_dst, "i", "text", "doc_id"
+        )
+        for b, batch in enumerate(batches):
+            plain(batch, b)
+            indexed(batch, b)
+        a = sorted(
+            r["doc_id"] for r in txlog.snapshot(spark, plain_dst).collect()
+        )
+        bids = sorted(
+            r["doc_id"] for r in txlog.snapshot(spark, idx_dst).collect()
+        )
+        assert a == bids and len(a) > 0
+
+
 class TestDirectCdfSchemaEdges:
     def test_mid_stream_rename_fails_loud_not_silent_nulls(self, spark, tmp):
         """A rename committed AFTER a read_changes stream captured its
