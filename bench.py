@@ -202,6 +202,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canary(spark) -> float:
+    """One fixed no-op job — identical work every call — timed as a
+    machine-load probe (r12 verdict item 5). Four rounds running, the
+    driver's bench run has shown uniform 1.3-2.7× per-query elevation
+    over the builder's same-HEAD run; per-query canary readings let
+    any reader separate that load drift from a code regression
+    straight from the JSON: a mover whose neighboring canaries are
+    also elevated is the machine, not the plan."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000, 1, 8).select(
+        F.sum((F.col("id") * 3) % 7)
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def _oracle_con():
     import duckdb
 
@@ -599,14 +616,18 @@ def ingest_sink_experiment(spark, sf_dir: str) -> dict:
             exact_secs.append(round(time.perf_counter() - t0, 4))
         n_exact = txlog.snapshot(spark, dst).count()
 
-        # near-dup (MinHash-LSH) sink over the same feed
+        # near-dup (MinHash-LSH) sink over the same feed, with the
+        # per-batch stage breakdown (signature build / LSH probe +
+        # verify / anti-join append) the r12 verdict asked for
         dst_n = os.path.join(tmp, "near")
-        nsink = near_dedup_ingest_sink(
-            spark, dst_n, "bench", "text", "doc_id"
-        )
+        near_stages: list[dict] = []
         t0 = time.perf_counter()
         for b, batch in enumerate(batches):
-            nsink(batch, b)
+            stages: dict = {}
+            near_dedup_ingest_sink(
+                spark, dst_n, "bench", "text", "doc_id", instrument=stages
+            )(batch, b)
+            near_stages.append(stages)
         near_sec = time.perf_counter() - t0
         n_near = txlog.snapshot(spark, dst_n).count()
 
@@ -644,9 +665,101 @@ def ingest_sink_experiment(spark, sf_dir: str) -> dict:
             "ingest_exact_sink_sec": round(sum(exact_secs), 4),
             "ingest_exact_batch_secs": exact_secs,
             "ingest_near_sink_sec": round(near_sec, 4),
+            "ingest_near_batch_stages": near_stages,
             "ingest_stream_dedup_sec": round(stream_sec, 4),
             "ingest_rows_kept": int(n_exact),
         }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def near_sink_history_experiment(spark, sf_dir: str) -> dict:
+    """History-growth probe for the near-dup ingest sinks (r12
+    verdict item 3): is the per-batch cost bounded by the BATCH or by
+    the DESTINATION? Four destinations are seeded at doubling history
+    sizes (one sink call each), then the SAME fixed novel probe batch
+    is timed into each — for the linear-scan sink (whose probe ships
+    every stored signature's band keys) and the bloom-indexed sink
+    (whose probe opens only files admitting a colliding key). The
+    100 TB verdict is the slope of probe seconds across the
+    doublings: ~flat for the indexed sink, growing for the scan."""
+    from pyspark.sql import functions as F
+
+    from stockify_spark.llm.dedup import (
+        near_dedup_ingest_sink,
+        near_dedup_ingest_sink_indexed,
+    )
+    from stockify_spark.sources import txlog
+
+    from stockify_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    sizes = [n_docs // 16, n_docs // 8, n_docs // 4, n_docs // 2]
+    # fixed probe batch: the tail slice, ids offset so they are novel
+    probe = (
+        docs.filter(F.col("doc_id") % 16 == 15)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="stockify_nearhist_")
+    out: dict = {
+        "near_history_rows": [],
+        "near_history_plain_sec": [],
+        "near_history_plain_probe_sec": [],
+        "near_history_indexed_sec": [],
+        "near_history_indexed_probe_sec": [],
+    }
+    try:
+        # warm-up: one tiny sink+probe per variant, untimed — the
+        # first sink call otherwise carries the codegen/JIT cost and
+        # inflates the smallest history size's reading
+        wp, wx = os.path.join(tmp, "wp"), os.path.join(tmp, "wx")
+        warm = docs.limit(40).localCheckpoint()
+        near_dedup_ingest_sink(spark, wp, "w", "text", "doc_id")(warm, 0)
+        near_dedup_ingest_sink_indexed(spark, wx, "w", "text", "doc_id")(warm, 0)
+        for i, h in enumerate(sizes):
+            seed = docs.filter(F.col("doc_id") % 16 < (i + 1) * 2).limit(h)
+            seed = seed.localCheckpoint()
+            p_dst = os.path.join(tmp, f"p{i}")
+            x_dst = os.path.join(tmp, f"x{i}")
+            plain = near_dedup_ingest_sink(spark, p_dst, "hp", "text", "doc_id")
+            indexed = near_dedup_ingest_sink_indexed(
+                spark, x_dst, "hx", "text", "doc_id"
+            )
+            plain(seed, 0)
+            indexed(seed, 0)
+            hist_rows = txlog.snapshot(spark, p_dst).count()
+            st_p: dict = {}
+            t0 = time.perf_counter()
+            near_dedup_ingest_sink(
+                spark, p_dst, "hp", "text", "doc_id", instrument=st_p
+            )(probe, 1)
+            t_plain = time.perf_counter() - t0
+            st_x: dict = {}
+            t0 = time.perf_counter()
+            near_dedup_ingest_sink_indexed(
+                spark, x_dst, "hx", "text", "doc_id", instrument=st_x
+            )(probe, 1)
+            t_idx = time.perf_counter() - t0
+            out["near_history_rows"].append(int(hist_rows))
+            out["near_history_plain_sec"].append(round(t_plain, 4))
+            out["near_history_plain_probe_sec"].append(
+                st_p.get("probe_sec", 0.0)
+            )
+            out["near_history_indexed_sec"].append(round(t_idx, 4))
+            out["near_history_indexed_probe_sec"].append(
+                st_x.get("probe_sec", 0.0)
+            )
+        p = out["near_history_indexed_probe_sec"]
+        out["near_indexed_probe_slope"] = (
+            round(p[-1] / p[0], 3) if p and p[0] else None
+        )
+        q = out["near_history_plain_probe_sec"]
+        out["near_plain_probe_slope"] = (
+            round(q[-1] / q[0], 3) if q and q[0] else None
+        )
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -660,10 +773,16 @@ def main() -> None:
     with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
     con = _oracle_con() if with_oracle else None
 
+    # load canary baseline: median of 5 fixed jobs on the warm session
+    _canary(spark)  # JIT/codegen warm-up, untimed
+    canary_base = statistics.median(_canary(spark) for _ in range(5))
+
     timings: dict[str, float] = {}
     oracle_q: dict[str, float] = {}
+    canary_ms: dict[str, float] = {}
     interrupted: list[str] = []
     for name in BENCH_QUERIES:
+        canary_ms[name] = round(_canary(spark) * 1000, 1)
         sql = ORACLE.get(name) if with_oracle else None
         s_med, o_med, was_interrupted = time_pair(QUERIES[name], spark, con, sql)
         timings[name] = round(s_med, 4)
@@ -675,6 +794,12 @@ def main() -> None:
 
     extras: dict = layout_experiment(spark, SF_DIR)
     extras.update(ingest_sink_experiment(spark, SF_DIR))
+    extras.update(near_sink_history_experiment(spark, SF_DIR))
+    cvals = sorted(canary_ms.values())
+    extras["canary_baseline_ms"] = round(canary_base * 1000, 1)
+    extras["canary_med_ms"] = cvals[len(cvals) // 2]
+    extras["canary_p90_ms"] = cvals[int(len(cvals) * 0.9)]
+    extras["canary_ms"] = canary_ms  # per-query (BENCH_DETAIL only)
     if with_oracle:
         extras["timing"] = "interleaved"
         extras["oracle_total_sec"] = round(sum(oracle_q.values()), 4)
@@ -716,7 +841,20 @@ def main() -> None:
     # round-4 lesson — rc=0 but "parsed": null).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(result, f, indent=1)
-    slim_extras = {k: v for k, v in extras.items() if k != "oracle_queries"}
+    # per-query maps and per-batch stage lists live in BENCH_DETAIL
+    # only; the printed line keeps the summary scalars (canary
+    # baseline/median/p90, probe slopes)
+    _detail_only = {
+        "oracle_queries",
+        "canary_ms",
+        "ingest_near_batch_stages",
+        "near_history_rows",
+        "near_history_plain_sec",
+        "near_history_plain_probe_sec",
+        "near_history_indexed_sec",
+        "near_history_indexed_probe_sec",
+    }
+    slim_extras = {k: v for k, v in extras.items() if k not in _detail_only}
     slim = dict(result, extras=slim_extras)
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 2200:  # still too big: drop per-query spark timings last
