@@ -250,3 +250,4 @@ def pipeline_near_ingest_indexed(spark, sf_dir):
         "survivor_parity boolean, n_only_plain long, n_only_indexed long,"
         " planted_dups_kept long, absent_probe_files long, replay_noop boolean",
     )
+
