@@ -36,17 +36,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing order. The driver verifies queries in dict order and
-# may budget-cap how many it checks per round (~50). r12 priority:
-# the ELEVEN new r12 queries lead (Gram fold checkpoint, keep-one
-# substring dedup, ingest-sink feed, RRF fusion, jackknife,
-# permutation test, Gopher n-gram fractions, distance profile,
-# ANN recall eval, dedup threshold sweep, DESCRIBE HISTORY), then
-# the 21 queries that have never had a driver
-# row (the r11 verdict's top item — this round closes the backlog to
-# zero: 32 < the ~50 budget), then every previously-checked query
-# sorted oldest-evidence-first (alphabetical within one round
-# vintage; unchanged from the r11 regeneration).
+# may budget-cap how many it checks per round (~50). r13 priority:
+# the THREE new r13 queries lead (the maintain() decision table, the
+# bloom-indexed near-dup ingest invariants, the chunked-prefix-scan
+# runs test), then the r12 vintage, then every previously-checked
+# query sorted oldest-evidence-first (alphabetical within one round
+# vintage; unchanged from the r11 regeneration). As of r12 every
+# registered query has at least one green driver row, so everything
+# below the new head is re-verification.
 _PRIORITY = [
+    'txlog_maintain', 'pipeline_near_ingest_indexed',
+    'stats_runs_test_chunked',
     'ml_pca_gram_compact', 'dedup_substring_keepone',
     'pipeline_dedup_ingest_sink', 'sim_rrf_fusion', 'stats_jackknife',
     'stats_permutation_test', 'doc_quality_gopher_ngrams',
