@@ -37,16 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r13 priority:
-# the THREE new r13 queries lead (the maintain() decision table, the
+# the FOUR new r13 queries lead (the maintain() decision table, the
 # bloom-indexed near-dup ingest invariants, the chunked-prefix-scan
-# runs test), then the r12 vintage, then every previously-checked
+# runs test, the retention contract), then the r12 vintage, then
+# every previously-checked
 # query sorted oldest-evidence-first (alphabetical within one round
 # vintage; unchanged from the r11 regeneration). As of r12 every
 # registered query has at least one green driver row, so everything
 # below the new head is re-verification.
 _PRIORITY = [
     'txlog_maintain', 'pipeline_near_ingest_indexed',
-    'stats_runs_test_chunked',
+    'stats_runs_test_chunked', 'txlog_retention',
     'ml_pca_gram_compact', 'dedup_substring_keepone',
     'pipeline_dedup_ingest_sink', 'sim_rrf_fusion', 'stats_jackknife',
     'stats_permutation_test', 'doc_quality_gopher_ngrams',

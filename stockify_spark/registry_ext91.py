@@ -251,3 +251,101 @@ def pipeline_near_ingest_indexed(spark, sf_dir):
         " planted_dups_kept long, absent_probe_files long, replay_noop boolean",
     )
 
+
+
+# ---------------------------------------------------------------------------
+# txlog_retention — log retention as a driver-facing contract: after
+# expire_log trims the prefix below a checkpointed horizon, every
+# in-horizon version still reads EXACTLY (counts stated by the oracle
+# from the same slicing arithmetic), out-of-horizon reads raise the
+# documented error, history pages over the surviving range, and the
+# table keeps accepting writes. Most faces are exercised LIVE at
+# query time against the cached expired fixture — not replayed from
+# persisted flags.
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH c AS (SELECT o_orderkey % 6 AS r FROM orders)
+SELECT 'earliest_version' AS face, CAST(3 AS BIGINT) AS value
+UNION ALL SELECT 'snap_v3', (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE r <= 3)
+UNION ALL SELECT 'snap_v4', (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE r <= 4)
+UNION ALL SELECT 'snap_v5', (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE r <= 5)
+UNION ALL SELECT 'expired_read_raises', CAST(1 AS BIGINT)
+UNION ALL SELECT 'expired_ts_raises', CAST(1 AS BIGINT)
+UNION ALL SELECT 'history_rows_default', CAST(4 AS BIGINT)
+UNION ALL SELECT 'history_rows_page_3_5', CAST(3 AS BIGINT)
+UNION ALL SELECT 'history_rows_page_4_5', CAST(2 AS BIGINT)
+UNION ALL SELECT 'post_append_head', CAST(6 AS BIGINT)
+"""
+
+
+@register("txlog_retention", _RETENTION_SQL)
+def txlog_retention(spark, sf_dir):
+    """Log retention end-to-end: a six-commit history (create + five
+    appends of the o_orderkey % 6 residue slices) checkpointed at v3,
+    appended to v5, then expire_log(keep_versions=3) — commits 0..2
+    physically gone, v6 appended after. The oracle recomputes the
+    surviving versions' exact row counts from the slicing arithmetic
+    (a version-v snapshot is the residues <= v), and states the
+    contract booleans: reads and timestamp resolution below the
+    horizon raise VersionExpired, history defaults to the surviving
+    range and pages within it, and the post-expiry append landed.
+
+    Scale shape: retention bounds the log dir at O(keep_versions)
+    JSON files and history cost at O(page); data files and every
+    in-horizon read are untouched — the contract that lets a
+    10⁶-commit stream table run maintain() forever."""
+    import os
+
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def build(path: str) -> None:
+        t = os.path.join(path, "t")
+        txlog.create(orders.filter(F.col("o_orderkey") % 6 == 0).coalesce(1), t)
+        for r in (1, 2, 3):
+            txlog.append(
+                orders.filter(F.col("o_orderkey") % 6 == r).coalesce(1), t
+            )
+        assert txlog.checkpoint_log(t) == 3
+        for r in (4, 5):
+            txlog.append(
+                orders.filter(F.col("o_orderkey") % 6 == r).coalesce(1), t
+            )
+        removed = txlog.expire_log(t, keep_versions=3)
+        assert [n for n in removed if n.endswith(".json")] and len(removed) == 3
+        # the table keeps accepting writes after expiry: v6 is an
+        # empty append (head advances, slice arithmetic undisturbed)
+        txlog.append(
+            orders.filter(F.col("o_orderkey") % 6 == 0).limit(0).coalesce(1),
+            t,
+        )
+
+    root = _scratch_table(sf_dir, "retention", build)
+    t = os.path.join(root, "t")
+    rows = [("earliest_version", txlog.earliest_version(t))]
+    for v in (3, 4, 5):
+        rows.append((f"snap_v{v}", txlog.snapshot(spark, t, version=v).count()))
+    try:
+        txlog.snapshot(spark, t, version=2).count()
+        rows.append(("expired_read_raises", 0))
+    except txlog.VersionExpired:
+        rows.append(("expired_read_raises", 1))
+    try:
+        txlog.version_at_timestamp(t, txlog.commit_timestamp(t, 3) - 1)
+        rows.append(("expired_ts_raises", 0))
+    except txlog.VersionExpired:
+        rows.append(("expired_ts_raises", 1))
+    # default range is earliest..head (v3..v6, incl. the post-expiry
+    # append); explicit pages stay inside the surviving window
+    rows.append(("history_rows_default", txlog.history(spark, t).count()))
+    rows.append(
+        ("history_rows_page_3_5", txlog.history(spark, t, start=3, end=5).count())
+    )
+    rows.append(
+        ("history_rows_page_4_5", txlog.history(spark, t, start=4, end=5).count())
+    )
+    rows.append(("post_append_head", txlog.current_version(t)))
+    return spark.createDataFrame(rows, "face string, value long")
