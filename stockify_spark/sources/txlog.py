@@ -246,30 +246,61 @@ def _load_commit(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def expire_log(path: str, keep_versions: int) -> list[str]:
-    """Log retention (Delta's ``logRetentionDuration``, version-
-    horizon form): physically delete commit files — and superseded
-    checkpoints — below the newest checkpoint at or below
-    ``head - keep_versions + 1``. That checkpoint stays as the replay
-    base, so every version from it to head remains fully readable
-    (time travel, CDF, timestamp resolution included); versions below
-    it raise :class:`VersionExpired` afterwards. Without a checkpoint
-    at or below the horizon NOTHING is deleted (the checkpoint
-    contract is never broken — run :func:`checkpoint_log` first, or
-    let :func:`maintain` order the two).
+def expire_log(
+    path: str,
+    keep_versions: int | None = None,
+    max_age_ms: int | None = None,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Log retention (Delta's ``logRetentionDuration``): physically
+    delete commit files — and superseded checkpoints — below the
+    newest checkpoint at or below the retention horizon. That
+    checkpoint stays as the replay base, so every version from it to
+    head remains fully readable (time travel, CDF, timestamp
+    resolution included); versions below it raise
+    :class:`VersionExpired` afterwards. Without a checkpoint at or
+    below the horizon NOTHING is deleted (the checkpoint contract is
+    never broken — run :func:`checkpoint_log` first, or let
+    :func:`maintain` order the two).
+
+    The horizon comes from either or both bounds (most-retentive
+    wins when both are given):
+
+    - ``keep_versions``: the last N versions stay readable.
+    - ``max_age_ms``: every version readable at any timestamp within
+      the age window stays — the horizon is the version a TIMESTAMP
+      AS OF read at ``now - max_age_ms`` resolves to (Delta's
+      semantics: the resolved version itself must survive, or the
+      oldest in-window read would break). Legacy ts-less prefixes
+      count as infinitely old. ``now_ms`` is a test seam.
 
     Rationale at scale: a 10⁶-commit streaming table otherwise
     accumulates 10⁶ JSON files forever, and every un-paged
     :func:`history` call walks all of them driver-side. Retention
-    bounds the log dir at O(keep_versions); DATA files are untouched
+    bounds the log dir at O(window); DATA files are untouched
     (that is :func:`vacuum`'s job — the two horizons compose but are
     independent, exactly as in Delta).
 
     Returns the log-dir file names deleted, sorted."""
-    if keep_versions < 1:
-        raise ValueError("keep_versions must be >= 1")
+    if keep_versions is None and max_age_ms is None:
+        raise ValueError("pass keep_versions and/or max_age_ms")
     head = current_version(path)
-    horizon = head - keep_versions + 1
+    horizons = []
+    if keep_versions is not None:
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        horizons.append(head - keep_versions + 1)
+    if max_age_ms is not None:
+        if max_age_ms < 0:
+            raise ValueError("max_age_ms must be >= 0")
+        cutoff = (_now_ms() if now_ms is None else now_ms) - max_age_ms
+        try:
+            horizons.append(version_at_timestamp(path, cutoff))
+        except FileNotFoundError:
+            return []  # the whole log is inside the age window
+        except VersionExpired:
+            return []  # everything below the cutoff is already gone
+    horizon = min(horizons)
     if horizon <= 0:
         return []
     ck = _latest_checkpoint(path, horizon)
@@ -324,6 +355,9 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
       retention horizon (metric: commit files removed; a no-op until
       a checkpoint at/below the horizon exists, which the checkpoint
       step above supplies over successive calls).
+    - ``log_max_age_ms``: A — the age form of the same expiry
+      (Delta's logRetentionDuration proper), its own decision row
+      ``expire_log_age``; both forms may be active at once.
     - ``orphan_age_seconds``: A — sweep never-referenced data/dv/log
       debris older than A seconds (metric: files removed).
 
@@ -344,6 +378,7 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         "compact_target_partitions",
         "gram_partial_rows",
         "log_keep_versions",
+        "log_max_age_ms",
         "orphan_age_seconds",
     }
     unknown = set(policy) - known
@@ -406,12 +441,42 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         n_commits = sum(1 for name in removed if name[:-5].isdigit())
         record("expire_log", n_commits, k, bool(removed), len(removed))
 
+    if "log_max_age_ms" in policy:
+        age = int(policy["log_max_age_ms"])
+        removed = expire_log(path, max_age_ms=age)
+        n_commits = sum(1 for name in removed if name[:-5].isdigit())
+        record("expire_log_age", n_commits, age, bool(removed), len(removed))
+
     if "orphan_age_seconds" in policy:
         a = float(policy["orphan_age_seconds"])
         deleted = vacuum_orphans(path, min_age_seconds=a)
         record("vacuum_orphans", len(deleted), a, bool(deleted), len(deleted))
 
     return decisions
+
+
+def maintained_sink(sink, spark: SparkSession, path: str, policy: dict, every: int = 10):
+    """Wrap a ``foreachBatch`` sink so :func:`maintain` runs after
+    every ``every``-th batch — the shape that keeps a streaming
+    destination healthy WITHOUT an external scheduler: the same
+    process that fragments the table (one small commit per
+    micro-batch) amortizes its repair. The cadence keys on
+    ``batch_id`` (deterministic under replay), and maintain itself is
+    an idempotent fixpoint, so a replayed maintenance batch re-runs a
+    converged policy and changes nothing — exactly-once data, at-
+    least-once maintenance, which is safe BECAUSE maintenance is
+    idempotent. Threshold gating means off-cadence fragmentation just
+    waits for the next cadence point; thresholds, not the cadence,
+    decide the work."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, batch_id)
+        if (batch_id + 1) % every == 0:
+            maintain(spark, path, policy)
+
+    return wrapped
 
 
 def _abs(path: str, p: str) -> str:

@@ -179,6 +179,82 @@ class TestMaintain:
         with pytest.raises(ValueError, match="unknown maintain policy"):
             txlog.maintain(spark, path, {"compact_every": 5})
 
+    def test_age_based_expiry(self, spark, tmp):
+        """log_max_age_ms / expire_log(max_age_ms=...): the horizon is
+        the version a TIMESTAMP AS OF read at now-age resolves to —
+        that version itself survives (the oldest in-window read must
+        keep working), everything below a checkpoint at/below it
+        expires."""
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path, n_appends=5)  # v0..v5
+        txlog.checkpoint_log(path)  # at v5
+        txlog.append(_orders(spark).limit(3).coalesce(1), path)  # v6
+        ts0 = txlog.commit_timestamp(path, 0)
+        ts3 = txlog.commit_timestamp(path, 3)
+        ts5 = txlog.commit_timestamp(path, 5)
+        # cutoff older than everything: nothing to do
+        assert txlog.expire_log(path, max_age_ms=100, now_ms=ts0) == []
+        # cutoff between v3 and v4: horizon v3, but the only
+        # checkpoint (v5) is above it — contract holds, no deletion
+        assert txlog.expire_log(path, max_age_ms=0, now_ms=ts3) == []
+        # cutoff at v5's ts: horizon v5 = the checkpoint; v0..v4 go
+        removed = txlog.expire_log(path, max_age_ms=0, now_ms=ts5)
+        assert removed == sorted(f"{v:016d}.json" for v in range(5))
+        # the resolved version itself still reads
+        assert txlog.snapshot(spark, path, timestamp_ms=ts5).count() > 0
+        assert txlog.earliest_version(path) == 5
+        # idempotent; and a cutoff now BELOW the expired horizon
+        # resolves through the VersionExpired branch to a no-op
+        assert txlog.expire_log(path, max_age_ms=0, now_ms=ts5) == []
+        assert txlog.expire_log(path, max_age_ms=0, now_ms=ts3) == []
+        with pytest.raises(ValueError):
+            txlog.expire_log(path)
+        # maintain's decision row for the age form
+        d = _by_action(
+            txlog.maintain(spark, path, {"log_max_age_ms": 10**15})
+        )
+        assert not d["expire_log_age"]["triggered"]
+
+    def test_maintained_sink_runs_policy_on_cadence(self, spark, tmp):
+        """maintained_sink: the wrapped foreachBatch sink triggers the
+        policy every N batches; data is untouched; a replayed cadence
+        batch re-runs a converged policy as a no-op."""
+        from stockify_spark.llm.dedup import dedup_ingest_sink
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dst = os.path.join(tmp, "corpus")
+        inner = dedup_ingest_sink(spark, dst, "ms", "text", "doc_id")
+        policy = {"checkpoint_commits": 0}
+        sink = txlog.maintained_sink(inner, spark, dst, policy, every=2)
+        for b in range(4):
+            sink(docs.filter(F.col("doc_id") % 4 == b), b)
+        # cadence points after batches 1 and 3: checkpoints exist and
+        # the newest is at the batch-3 commit
+        names = [
+            n
+            for n in os.listdir(os.path.join(dst, "_txlog"))
+            if n.startswith("checkpoint.")
+        ]
+        assert len(names) == 2
+        n_rows = txlog.snapshot(spark, dst).count()
+        head = txlog.current_version(dst)
+        # replay of the last cadence batch: data no-op (idempotent
+        # marker) AND maintenance no-op (converged policy)
+        sink(docs.filter(F.col("doc_id") % 4 == 3), 3)
+        assert txlog.snapshot(spark, dst).count() == n_rows
+        assert txlog.current_version(dst) == head
+        assert len(
+            [
+                n
+                for n in os.listdir(os.path.join(dst, "_txlog"))
+                if n.startswith("checkpoint.")
+            ]
+        ) == 2
+        with pytest.raises(ValueError):
+            txlog.maintained_sink(inner, spark, dst, policy, every=0)
+
     def test_retention_converges_over_successive_calls(self, spark, tmp):
         """First call checkpoints AND expires in one pass (checkpoint
         runs before retention, so the replay base it writes already
