@@ -157,11 +157,14 @@ def _plan_commits(
     data_bounds = {c: b for c, b in bounds.items() if c != "_commit_version"}
     parts: list[_FilePartition] = []
     for v in range(start_after + 1, end + 1):
-        cpath = txlog._commit_path(path, v)
-        if not os.path.exists(cpath):
+        # expired commits surface txlog.VersionExpired (a stream
+        # whose offset fell below the retention horizon cannot
+        # replay; restart it with starting_version at or past
+        # txlog.earliest_version), never a bare missing-file error
+        try:
+            actions = txlog._load_commit(path, v)["actions"]
+        except FileNotFoundError:
             raise ValueError(f"version {v} not found at {path}")
-        with open(cpath) as f:
-            actions = json.load(f)["actions"]
         is_change = any("remove" in a or "add_dv" in a or "remove_dv" in a for a in actions)
         if is_change:
             if skip_change_commits:
@@ -311,11 +314,11 @@ def _plan_changes(
     rename = {p: lg for lg, p in m.items()}
     parts: list[InputPartition] = []
     for v in range(start_after + 1, end + 1):
-        cpath = txlog._commit_path(path, v)
-        if not os.path.exists(cpath):
+        # expired commits: txlog.VersionExpired (see _plan_commits)
+        try:
+            actions = txlog._load_commit(path, v)["actions"]
+        except FileNotFoundError:
             raise ValueError(f"version {v} not found at {path}")
-        with open(cpath) as f:
-            actions = json.load(f)["actions"]
         added = [a["add"]["path"] for a in actions if "add" in a]
         removed = [a["remove"]["path"] for a in actions if "remove" in a]
         dv_acts = [
@@ -649,11 +652,10 @@ def _commit_add_bytes(path: str, version: int) -> int:
     actions' ``size`` fields (recorded at write time). Legacy
     commits written before sizes were logged fall back to one local
     stat per file — a migration path only; new logs never stat."""
-    cpath = txlog._commit_path(path, version)
-    if not os.path.exists(cpath):
+    try:
+        actions = txlog._load_commit(path, version)["actions"]
+    except FileNotFoundError:
         raise ValueError(f"version {version} not found at {path}")
-    with open(cpath) as f:
-        actions = json.load(f)["actions"]
     total = 0
     for a in actions:
         add = a.get("add")

@@ -175,6 +175,79 @@ class TestExpireLog:
         assert txlog.snapshot(spark, path).count() == n + 2
 
 
+class TestRetentionStreamInterplay:
+    def test_batch_face_below_horizon_raises_versionexpired(self, spark, tmp):
+        """A batch range read whose starting_version fell below the
+        retention horizon fails with the documented retention error
+        (naming the earliest readable version), never a bare
+        missing-file error; starting at/after the horizon works."""
+        from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+        path = os.path.join(tmp, "t")
+        _build(spark, path, n_appends=4)  # v0..v4
+        txlog.checkpoint_log(path)
+        txlog.append(_orders(spark).limit(3).coalesce(1), path)  # v5
+        txlog.expire_log(path, keep_versions=2)  # base 4: v0..v3 gone
+        register_txlog_stream(spark)
+
+        def read(sv):
+            return (
+                spark.read.format("txlog_stream")
+                .option("path", path)
+                .option("starting_version", str(sv))
+                .load()
+            )
+
+        with pytest.raises(Exception, match="earliest readable"):
+            read(0).count()
+        with pytest.raises(Exception, match="earliest readable"):
+            read(2).count()
+        got = read(4)
+        assert set(
+            r["_commit_version"]
+            for r in got.select("_commit_version").distinct().collect()
+        ) == {4, 5}
+
+    def test_stream_restart_below_horizon_fails_loud(self, spark, tmp):
+        """A streaming checkpoint whose committed offset fell below
+        the horizon (commits expired while the stream was down) must
+        fail the restart loudly — silently skipping the expired
+        commits would drop data exactly-once promised to deliver."""
+        from stockify_spark.sources.txlog_stream import register_txlog_stream
+
+        path = os.path.join(tmp, "t")
+        o = _orders(spark)
+        txlog.create(o.filter(F.col("o_orderkey") % 10 == 0).coalesce(1), path)
+        register_txlog_stream(spark)
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+
+        def run_once():
+            sdf = (
+                spark.readStream.format("txlog_stream")
+                .option("path", path)
+                .load()
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()  # offset now at v0
+        # grow the log while the stream is down, then expire below v3
+        for r in (1, 2, 3):
+            txlog.append(o.filter(F.col("o_orderkey") % 10 == r).coalesce(1), path)
+        txlog.checkpoint_log(path)  # at v3
+        txlog.append(o.filter(F.col("o_orderkey") % 10 == 4).coalesce(1), path)
+        txlog.expire_log(path, keep_versions=2)  # base 3: v1, v2 expired
+        with pytest.raises(Exception, match="removed by log retention"):
+            run_once()
+
+
 class TestHistoryPaging:
     def test_history_pages_and_defaults_to_surviving_range(self, spark, tmp):
         path = os.path.join(tmp, "t")
