@@ -1030,6 +1030,38 @@ def fuzzy_set_join(
 
 from stockify_spark.functions.scale import spread_small_scan as _spread_small_scan
 
+# Scan-once materialization durability (the r12 ADVICE trade): the
+# substring-dedup family materializes corpus-sized intermediates so
+# two consumers share one scan. Default localCheckpoint is
+# executor-LOCAL and unreplicated (lineage truncated — an executor
+# loss mid-query fails the query); set this session conf to "true"
+# on a real cluster to use persist(DISK_ONLY_2) instead: 2×
+# replicated, lineage kept, same plan shape — the query then
+# survives a lost executor at the cost of a replicated disk write.
+REPLICATED_MATERIALIZE_CONF = "spark.stockify.dedup.replicatedMaterialize"
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a frame that multiple consumers will read
+    (pre-exchange subtrees get no ReusedExchange — without this, each
+    consumer re-runs the producing scan). Durability is governed by
+    :data:`REPLICATED_MATERIALIZE_CONF`; both forms cost one pass and
+    return a frame whose downstream plan is identical."""
+    try:
+        replicated = (
+            df.sparkSession.conf.get(REPLICATED_MATERIALIZE_CONF, "false")
+            == "true"
+        )
+    except Exception:  # noqa: BLE001 — conf access varies across harnesses
+        replicated = False
+    if replicated:
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY_2)
+        out.count()  # eager: consumers read the replicated store
+        return out
+    return df.localCheckpoint()
+
 
 def _win_hash(w: Column) -> Column:
     """64-bit key for the substring-dedup exchanges: ``xxhash64`` of
@@ -1191,23 +1223,25 @@ def repeated_substring_spans(
     mid-query fails the query (no recompute path) and it must be
     rerun. That is the right trade for the local/bench path and for
     idempotent batch jobs (rerun = retry); for a long multi-tenant
-    job at cluster scale substitute ``persist(StorageLevel.
-    DISK_ONLY_2)`` (2× replicated, lineage kept) or a reliable
-    ``checkpoint()`` to HDFS/object storage at the same two sites —
-    the plan shape is unchanged, only the materialization's
-    durability. The same trade (and the same substitution) applies
-    at every corpus-sized localCheckpoint in this family:
-    :func:`keepone_substring_spans`, registry_ext4's tfidf term
-    frame, and registry_ext37's CDC chunk stream."""
+    job at cluster scale set the session conf
+    ``spark.stockify.dedup.replicatedMaterialize=true`` and the same
+    two sites persist with ``StorageLevel.DISK_ONLY_2`` instead (2×
+    replicated, lineage kept) — the plan shape is unchanged, only
+    the materialization's durability (parity pinned in
+    tests/test_dedup.py). The same trade applies at the other
+    corpus-sized materializations in this family:
+    :func:`keepone_substring_spans` (also conf-switched),
+    registry_ext4's tfidf term frame, and registry_ext37's CDC
+    chunk stream."""
     L = min_tokens
     df = _spread_small_scan(df)
     # materialize the hashed-window stream ONCE: the count side and
     # the probe side below are two consumers of the same pre-exchange
     # map subtree, which would otherwise re-run the window-
     # materialization scan per side (the pca_block_pairs lesson —
-    # ReusedExchange only dedups AFTER an exchange). localCheckpoint
-    # is RDD-level, reclaimed by ContextCleaner on GC.
-    wh = _windows_hashed(df, text_col, id_col, L).localCheckpoint()
+    # ReusedExchange only dedups AFTER an exchange). Durability via
+    # REPLICATED_MATERIALIZE_CONF (see _materialize).
+    wh = _materialize(_windows_hashed(df, text_col, id_col, L))
     # hashes occurring > 1 time corpus-wide: groupBy + semi-join back
     # on the 8-byte key, NEVER count().over(Window.partitionBy("h"))
     # — repeated-substring hashes are power-law keys, and a window
@@ -1228,7 +1262,7 @@ def repeated_substring_spans(
     # true repeats are candidates, so the text count is exact).
     # Same skew-safe shape — the hot TEXT keys are exactly the hot
     # hash keys that motivated it.
-    cand_w = _candidate_window_text(df, cand, text_col, id_col, L).localCheckpoint()
+    cand_w = _materialize(_candidate_window_text(df, cand, text_col, id_col, L))
     hot_w = (
         cand_w.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1264,8 +1298,8 @@ def keepone_substring_spans(
     L = min_tokens
     df = _spread_small_scan(df)
     # same skew-safe shape as repeated_substring_spans (see its
-    # step-2 comment): checkpoint once, groupBy-count, semi-join back
-    wh = _windows_hashed(df, text_col, id_col, L).localCheckpoint()
+    # step-2 comment): materialize once, groupBy-count, semi-join back
+    wh = _materialize(_windows_hashed(df, text_col, id_col, L))
     hot = (
         wh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1273,7 +1307,7 @@ def keepone_substring_spans(
         .select("h")
     )
     cand = wh.join(hot, "h", "left_semi").select("_id", "sp")
-    cand_w = _candidate_window_text(df, cand, text_col, id_col, L).localCheckpoint()
+    cand_w = _materialize(_candidate_window_text(df, cand, text_col, id_col, L))
     # per verified (text-counted, collision-free) window: who keeps it
     keep = (
         cand_w.groupBy("w")

@@ -347,7 +347,15 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
       bytes exceeds f, at least two fragments exist, and no deletion
       vectors are active (MOR sidecars block rewrites — materialize
       first; the decision then reports triggered=False rather than
-      raising, so the rest of the policy still runs).
+      raising, so the rest of the policy still runs). With
+      ``compact_sort_by`` (a column) or ``compact_zorder_by`` (2-4
+      columns), the SAME trigger runs the clustered full rewrite
+      instead — Delta's OPTIMIZE [ZORDER BY] semantics: ingest
+      fragmentation destroys the data-skipping layout, so the repair
+      restores clustering, not just file sizes. The rewrite is
+      O(live set) where bin-packing is O(fragments) — at 100 TB
+      scope the table (or run this policy per partition of a
+      partitioned layout); the decision row is ``compact_cluster``.
     - ``gram_partial_rows``: B — fold the incremental-PCA stats table
       to one row when its partial-row count exceeds B (the table must
       have the gram schema; see llm/pca.compact_gram).
@@ -376,11 +384,15 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         "small_file_bytes",
         "small_file_fraction",
         "compact_target_partitions",
+        "compact_sort_by",
+        "compact_zorder_by",
         "gram_partial_rows",
         "log_keep_versions",
         "log_max_age_ms",
         "orphan_age_seconds",
     }
+    if "compact_sort_by" in policy and "compact_zorder_by" in policy:
+        raise ValueError("compact_sort_by and compact_zorder_by are mutually exclusive")
     unknown = set(policy) - known
     if unknown:
         raise ValueError(f"unknown maintain policy keys: {sorted(unknown)}")
@@ -411,18 +423,30 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         rels = _live_rel(path)
         small = [r for r in rels if os.path.getsize(_abs(path, r)) < b]
         frac = len(small) / len(rels) if rels else 0.0
+        tp = int(policy.get("compact_target_partitions", 1))
+        clustered = "compact_sort_by" in policy or "compact_zorder_by" in policy
         trig = frac > f_thr and len(small) >= 2 and not _has_active_dvs(path)
-        res = (
-            compact_small(
-                spark,
-                path,
-                min_bytes=b,
-                target_partitions=int(policy.get("compact_target_partitions", 1)),
+        if clustered:
+            # convergence gate for the full rewrite: once the table is
+            # at (or under) the target layout width, re-clustering the
+            # same file set is a no-gain rewrite — the policy must be
+            # a fixpoint at any scale, incl. toy tables whose
+            # compacted files never outgrow small_file_bytes
+            trig = trig and len(rels) > tp
+        res = -1
+        if trig:
+            res = (
+                compact(
+                    spark,
+                    path,
+                    target_partitions=tp,
+                    sort_by=policy.get("compact_sort_by"),
+                    zorder_by=policy.get("compact_zorder_by"),
+                )
+                if clustered
+                else compact_small(spark, path, min_bytes=b, target_partitions=tp)
             )
-            if trig
-            else -1
-        )
-        record("compact_small", frac, f_thr, trig, res)
+        record("compact_cluster" if clustered else "compact_small", frac, f_thr, trig, res)
 
     if "gram_partial_rows" in policy:
         b = int(policy["gram_partial_rows"])

@@ -151,6 +151,59 @@ class TestMaintain:
         )
         assert d["compact_small"]["triggered"]
 
+    def test_clustered_compaction_restores_skipping_layout(self, spark, tmp):
+        """compact_zorder_by in the policy: the small-file trigger
+        runs the clustered FULL rewrite (OPTIMIZE ZORDER), so a
+        fragmented table comes back with its multi-column skipping
+        layout — pruned probes open a strict subset of files on BOTH
+        clustered columns; second call converges (one healthy file)."""
+        path = os.path.join(tmp, "t")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_custkey"
+        )
+        txlog.create(o.filter(F.col("o_orderkey") % 8 == 0).coalesce(1), path)
+        for r in range(1, 8):
+            txlog.append(o.filter(F.col("o_orderkey") % 8 == r).coalesce(1), path)
+        pol = {
+            "small_file_bytes": 512 << 20,
+            "small_file_fraction": 0.5,
+            "compact_target_partitions": 4,
+            "compact_zorder_by": ["o_totalprice", "o_custkey"],
+        }
+        n = txlog.snapshot(spark, path).count()
+        d = _by_action(txlog.maintain(spark, path, pol))
+        assert d["compact_cluster"]["triggered"]
+        assert txlog.snapshot(spark, path).count() == n
+        assert len(txlog.live_files(path)) == 4
+        lo = o.agg(F.min("o_totalprice")).collect()[0][0]
+        ck = o.agg(F.min("o_custkey")).collect()[0][0]
+        # the 2-D min-corner probe must skip files through the
+        # restored Z-layout boxes (bench E2c physics at 4 files)
+        pruned = txlog.snapshot_pruned_multi(
+            spark,
+            path,
+            [("o_totalprice", lo, lo + 1000.0), ("o_custkey", ck, ck + 5)],
+        )
+        assert len(pruned.inputFiles()) < 4
+        # convergence: the table is AT the target layout width, so the
+        # second pass must not rewrite (even though every file is
+        # still under small_file_bytes at toy scale) — until new
+        # fragments push the file count past the target again
+        files_before = sorted(txlog.live_files(path))
+        d2 = _by_action(txlog.maintain(spark, path, pol))
+        assert not d2["compact_cluster"]["triggered"]
+        assert sorted(txlog.live_files(path)) == files_before
+        txlog.append(o.limit(7).coalesce(1), path)  # fragment returns
+        d3 = _by_action(txlog.maintain(spark, path, pol))
+        assert d3["compact_cluster"]["triggered"]
+        assert len(txlog.live_files(path)) == 4
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            txlog.maintain(
+                spark,
+                path,
+                {**pol, "compact_sort_by": "o_totalprice"},
+            )
+
     def test_gram_fold_threshold(self, spark, tmp):
         from stockify_spark.llm.pca import gram_update
 
