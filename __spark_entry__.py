@@ -37,9 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r13 priority:
-# the FOUR new r13 queries lead (the maintain() decision table, the
+# the FIVE new r13 queries lead (the maintain() decision table, the
 # bloom-indexed near-dup ingest invariants, the chunked-prefix-scan
-# runs test, the retention contract), then the r12 vintage, then
+# runs test, the retention contract, the clustered OPTIMIZE policy), then the r12 vintage, then
 # every previously-checked
 # query sorted oldest-evidence-first (alphabetical within one round
 # vintage; unchanged from the r11 regeneration). As of r12 every
@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # below the new head is re-verification.
 _PRIORITY = [
     'txlog_maintain', 'pipeline_near_ingest_indexed',
-    'stats_runs_test_chunked', 'txlog_retention',
+    'stats_runs_test_chunked', 'txlog_retention', 'txlog_maintain_cluster',
     'ml_pca_gram_compact', 'dedup_substring_keepone',
     'pipeline_dedup_ingest_sink', 'sim_rrf_fusion', 'stats_jackknife',
     'stats_permutation_test', 'doc_quality_gopher_ngrams',

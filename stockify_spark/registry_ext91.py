@@ -349,3 +349,99 @@ def txlog_retention(spark, sf_dir):
     )
     rows.append(("post_append_head", txlog.current_version(t)))
     return spark.createDataFrame(rows, "face string, value long")
+
+
+# ---------------------------------------------------------------------------
+# txlog_maintain_cluster — the clustered form of the maintenance
+# policy (Delta's OPTIMIZE ZORDER BY as a threshold decision): the
+# small-file trigger runs the full Z-ordered rewrite, the vacuum step
+# reclaims the retired fragments in the same pass, and the policy
+# converges (call 2 triggers nothing — the convergence gate is the
+# target layout width, since at fixture scale compacted files never
+# outgrow small_file_bytes). Read-time invariants prove the rewrite
+# preserved every row and RESTORED multi-column skipping.
+# ---------------------------------------------------------------------------
+
+_MAINTAIN_CLUSTER_SQL = """
+SELECT 'call1_compact_triggered' AS face, CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 'call1_compact_result', CAST(8 AS BIGINT)
+UNION ALL SELECT 'call1_vacuum_result', CAST(8 AS BIGINT)
+UNION ALL SELECT 'call2_compact_triggered', CAST(0 AS BIGINT)
+UNION ALL SELECT 'call2_vacuum_result', CAST(0 AS BIGINT)
+UNION ALL SELECT 'files_live', CAST(4 AS BIGINT)
+UNION ALL SELECT 'rows', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL SELECT 'pruned_lt_total', CAST(1 AS BIGINT)
+"""
+
+
+@register("txlog_maintain_cluster", _MAINTAIN_CLUSTER_SQL)
+def txlog_maintain_cluster(spark, sf_dir):
+    """Clustered maintenance end-to-end: an 8-fragment trickle table
+    (o_orderkey % 8 residues, one file each) maintained with
+    compact_zorder_by=(o_totalprice, o_custkey), target width 4, and
+    vacuum_keep_last=1. Call 1 must Z-rewrite into 4 files (commit
+    v8) AND reclaim the 8 retired fragments' bytes; call 2 must be a
+    fixpoint. Live invariants at read time: 4 live files, the exact
+    source row count survived the rewrite+vacuum, and a 2-D
+    min-corner probe through the log's min/max boxes opens FEWER
+    files than the layout width — the skipping geometry the rewrite
+    exists to restore (bench E2c measures the same physics at 16
+    files).
+
+    Scale shape: the clustered form is the policy's one O(live set)
+    action, gated on layout width so it cannot loop; vacuum's cost is
+    O(files reclaimed); the probe is log-metadata-only pruning."""
+    import json as _json
+    import os
+
+    from stockify_spark.registry_ext7 import _scratch_table
+    from stockify_spark.sources import txlog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    pol = {
+        "small_file_bytes": 512 << 20,
+        "small_file_fraction": 0.5,
+        "compact_target_partitions": 4,
+        "compact_zorder_by": ["o_totalprice", "o_custkey"],
+        "vacuum_keep_last": 1,
+    }
+
+    def build(path: str) -> None:
+        t = os.path.join(path, "t")
+        txlog.create(orders.filter(F.col("o_orderkey") % 8 == 0).coalesce(1), t)
+        for r in range(1, 8):
+            txlog.append(
+                orders.filter(F.col("o_orderkey") % 8 == r).coalesce(1), t
+            )
+        calls = [txlog.maintain(spark, t, pol) for _ in (1, 2)]
+        with open(os.path.join(path, "decisions.json"), "w") as f:
+            _json.dump(calls, f)
+
+    root = _scratch_table(sf_dir, "maintaincluster", build)
+    t = os.path.join(root, "t")
+    with open(os.path.join(root, "decisions.json")) as f:
+        c1, c2 = _json.load(f)
+    d1 = {d["action"]: d for d in c1}
+    d2 = {d["action"]: d for d in c2}
+    lo_p, lo_c = orders.agg(
+        F.min("o_totalprice"), F.min("o_custkey")
+    ).collect()[0]
+    pruned = txlog.snapshot_pruned_multi(
+        spark,
+        t,
+        [("o_totalprice", lo_p, lo_p + 1000.0), ("o_custkey", lo_c, lo_c + 5)],
+    )
+    n_live = len(txlog.live_files(t))
+    rows = [
+        ("call1_compact_triggered", int(d1["compact_cluster"]["triggered"])),
+        ("call1_compact_result", int(d1["compact_cluster"]["result"])),
+        ("call1_vacuum_result", int(d1["vacuum"]["result"])),
+        ("call2_compact_triggered", int(d2["compact_cluster"]["triggered"])),
+        ("call2_vacuum_result", int(d2["vacuum"]["result"])),
+        ("files_live", n_live),
+        ("rows", txlog.snapshot(spark, t).count()),
+        ("pruned_lt_total", int(len(pruned.inputFiles()) < n_live)),
+    ]
+    return spark.createDataFrame(rows, "face string, value long")

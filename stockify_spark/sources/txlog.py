@@ -366,6 +366,11 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
     - ``log_max_age_ms``: A — the age form of the same expiry
       (Delta's logRetentionDuration proper), its own decision row
       ``expire_log_age``; both forms may be active at once.
+    - ``vacuum_keep_last``: N — physically reclaim data files no
+      retained version references (:func:`vacuum`; metric: files
+      deleted). Runs AFTER compaction, so fragments a rewrite
+      retired become reclaimable as soon as they leave the N-version
+      window (immediately, at N=1).
     - ``orphan_age_seconds``: A — sweep never-referenced data/dv/log
       debris older than A seconds (metric: files removed).
 
@@ -389,6 +394,7 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         "gram_partial_rows",
         "log_keep_versions",
         "log_max_age_ms",
+        "vacuum_keep_last",
         "orphan_age_seconds",
     }
     if "compact_sort_by" in policy and "compact_zorder_by" in policy:
@@ -470,6 +476,11 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
         removed = expire_log(path, max_age_ms=age)
         n_commits = sum(1 for name in removed if name[:-5].isdigit())
         record("expire_log_age", n_commits, age, bool(removed), len(removed))
+
+    if "vacuum_keep_last" in policy:
+        n = int(policy["vacuum_keep_last"])
+        deleted = vacuum(path, keep_last=n)
+        record("vacuum", len(deleted), n, bool(deleted), len(deleted))
 
     if "orphan_age_seconds" in policy:
         a = float(policy["orphan_age_seconds"])

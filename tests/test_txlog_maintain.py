@@ -226,6 +226,28 @@ class TestMaintain:
         assert not d["compact_gram"]["triggered"]
         assert d["compact_gram"]["metric"] == 1.0
 
+    def test_vacuum_policy_reclaims_compacted_fragments(self, spark, tmp):
+        """vacuum_keep_last: after the compaction step retires the
+        fragments, the vacuum step (same pass, keep_last=1) reclaims
+        their bytes; snapshots keep reading; second pass is a no-op."""
+        path = os.path.join(tmp, "t")
+        _fragmented(spark, path, n_appends=4)  # 5 fragments
+        n = txlog.snapshot(spark, path).count()
+        pol = {
+            "small_file_bytes": 512 << 20,
+            "small_file_fraction": 0.5,
+            "vacuum_keep_last": 1,
+        }
+        d = _by_action(txlog.maintain(spark, path, pol))
+        assert d["compact_small"]["triggered"]
+        assert d["vacuum"]["triggered"] and d["vacuum"]["result"] == 5
+        # the fragments are physically gone; the table still reads
+        data_files = os.listdir(os.path.join(path, "data"))
+        assert len([f for f in data_files if f.endswith(".parquet")]) == 1
+        assert txlog.snapshot(spark, path).count() == n
+        d2 = _by_action(txlog.maintain(spark, path, pol))
+        assert not d2["vacuum"]["triggered"] and d2["vacuum"]["result"] == 0
+
     def test_unknown_policy_key_rejected(self, spark, tmp):
         path = os.path.join(tmp, "t")
         txlog.create(_orders(spark).limit(5).coalesce(1), path)
