@@ -183,9 +183,19 @@ def checkpoint_log(path: str) -> int:
         {a["mtxn"] for commit in commits for a in commit["actions"] if "mtxn" in a}
     )
     txn_actions += [{"mtxn": m} for m in mtxns]
+    # the partition spec is metadata too: a reader replaying from the
+    # checkpoint must still know to reconstitute partition columns
+    partmeta = _partitioning(path)
+    part_actions = [{"partitioning": partmeta}] if partmeta else []
     ck = {
         "version": version,
-        "actions": cons + dvs + rens + idxs + txn_actions + [{"add": a} for a in adds],
+        "actions": part_actions
+        + cons
+        + dvs
+        + rens
+        + idxs
+        + txn_actions
+        + [{"add": a} for a in adds],
     }
     # tmp name must NOT match the reader's checkpoint pattern: a
     # concurrent _latest_checkpoint listing the log dir mid-write
@@ -705,6 +715,17 @@ def append(df: DataFrame, path: str) -> int:
     # every file of the table shares one footer naming scheme
     _validate_constraints(df, path)
     _reject_tombstoned(df, path)
+    part = _partitioning(path)
+    if part is not None:
+        missing = [c for c in part["cols"] if c not in df.columns]
+        if missing:
+            raise ValueError(f"append missing partition columns: {missing}")
+        return _commit(
+            path,
+            _write_data_files_partitioned(
+                _to_physical(df, _mapping(path)), path, part["cols"]
+            ),
+        )
     return _commit(path, _write_data_files(_to_physical(df, _mapping(path)), path))
 
 
@@ -748,6 +769,168 @@ def _validate_constraints(df: DataFrame, path: str) -> None:
         raise ConstraintViolation(
             "; ".join(f"constraint {n!r} violated by {v} row(s)" for n, v in bad)
         )
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partition columns (Delta's partitionValues)
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partitioning(path: str, version: int | None = None) -> dict | None:
+    """The table's partition spec ({"cols": [...], "types": {...}}),
+    or None for an unpartitioned table. Recorded once at create; the
+    last action wins (there is no ALTER face, but replay order is the
+    contract everywhere else in this log)."""
+    part = None
+    for c in _read_log(path, version):
+        for a in c["actions"]:
+            if "partitioning" in a:
+                part = a["partitioning"]
+    return part
+
+
+def _require_not_partitioned(path: str, op: str) -> None:
+    """Faces that read data files RAW (and would therefore silently
+    drop the partition columns, which live only in the log's
+    partitionValues) or rewrite files without re-deriving those
+    values must refuse partitioned tables until taught about them —
+    a loud NotImplementedError beats a silently narrower schema."""
+    if _partitioning(path) is not None:
+        raise NotImplementedError(f"{op} does not support partitioned tables yet")
+
+
+def _write_data_files_partitioned(
+    df: DataFrame, path: str, cols: list[str]
+) -> list[dict]:
+    """Partitioned variant of _write_data_files: stage with Spark's
+    hive-layout writer, then lift each leaf file out of its
+    ``col=value`` directory chain into flat data/ — the values move
+    INTO the add action (Delta's partitionValues), not the file path,
+    so the log stays the single source of partition truth and file
+    names stay uniform."""
+    import shutil
+    import urllib.parse
+
+    staging = os.path.join(_data_dir(path), f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").partitionBy(*cols).parquet(staging)
+    adds = []
+    for root, dirs, files in os.walk(staging):
+        dirs.sort()
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            pvals: dict[str, str | None] = {}
+            rel_dir = os.path.relpath(root, staging)
+            for seg in () if rel_dir == "." else rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+            rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+            final = os.path.join(path, rel)
+            os.rename(os.path.join(root, name), final)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": os.path.getsize(final),
+                        "stats": _file_stats(final),
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def create_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> int:
+    """Create a table partitioned by ``partition_by`` (Delta's
+    partitionValues design): partition column values are stored in
+    the LOG, not in the data files, so a reader prunes partitions
+    from the commit metadata alone — zero file opens for pruned
+    partitions — and reconstitutes the columns as literals per file
+    group at read time. Column types are recorded so the literals
+    come back with the writer's dtypes."""
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in DataFrame: {missing}")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    types = {c: df.schema[c].dataType.simpleString() for c in partition_by}
+    actions: list[dict] = [
+        {"partitioning": {"cols": list(partition_by), "types": types}}
+    ]
+    actions += _write_data_files_partitioned(df, path, list(partition_by))
+    return _commit(path, actions)
+
+
+def _read_partitioned(
+    spark: SparkSession, path: str, adds: list[dict], part: dict
+) -> DataFrame:
+    """Union-by-name read of add actions grouped by partitionValues,
+    with the partition columns re-attached as typed literals — the
+    Delta read path for partitioned tables. Group count = partition
+    count; each group is ONE multi-file parquet scan, so the plan
+    stays a union of scans, not a per-file loop."""
+    groups: dict[tuple, list[str]] = {}
+    for a in adds:
+        key = tuple(sorted(a.get("partitionValues", {}).items()))
+        groups.setdefault(key, []).append(_abs(path, a["path"]))
+    pieces = []
+    # nulls (hive default partition) sort last within each column
+    order = lambda key: [(c, v is None, v or "") for c, v in key]  # noqa: E731
+    for key, files in sorted(groups.items(), key=lambda kv: order(kv[0])):
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        for col, val in key:
+            typ = part.get("types", {}).get(col, "string")
+            df = df.withColumn(col, F.lit(val).cast(typ))
+        pieces.append(df)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def snapshot_partition_pruned(
+    spark: SparkSession,
+    path: str,
+    equals: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot restricted to the partitions whose values equal
+    ``equals`` (column -> value), decided ENTIRELY from the log:
+    files in other partitions are never listed, opened, or planned —
+    the partition-pruning contract that makes a 100 TB table behave
+    like its matching slice. Complement to snapshot_pruned's
+    stats-based skipping (which still opens nothing but must keep
+    stats-less files; partition pruning is exact by construction)."""
+    part = _partitioning(path, version)
+    if part is None:
+        raise ValueError(f"table at {path} is not partitioned")
+    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
+    unknown = [k for k in want if k not in part["cols"]]
+    if unknown:
+        raise ValueError(f"not partition columns: {unknown}")
+    adds = [
+        a
+        for a in _live_adds(path, version)
+        if all(a.get("partitionValues", {}).get(k) == v for k, v in want.items())
+    ]
+    if not adds:
+        return snapshot(spark, path, version).filter(F.lit(False))
+    m, dropped = _fold_schema(path, version)
+    return _to_logical(_read_partitioned(spark, path, adds, part), m, dropped)
+
+
+def partition_files(path: str, equals: dict, version: int | None = None) -> list[str]:
+    """The file list a partition-pruned read would open — the
+    observability hook tests and benchmarks assert IO bounds on."""
+    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
+    return [
+        a["path"]
+        for a in _live_adds(path, version)
+        if all(a.get("partitionValues", {}).get(k) == v for k, v in want.items())
+    ]
 
 
 def history(
@@ -938,6 +1121,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     either table cannot touch the other's files: the clone's vacuum
     skips foreign (root-escaping) references by rule, and the
     source's vacuum only consults its own log."""
+    _require_not_partitioned(src, "clone")
     adds = _live_adds(src, version)  # inner add dicts (path + stats)
 
     def _rebase(p: str) -> str:
@@ -1260,6 +1444,17 @@ def snapshot(
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
         version = version_at_timestamp(path, timestamp_ms)
+    part = _partitioning(path, version)
+    if part is not None:
+        if _live_dvs(path, version):
+            raise NotImplementedError(
+                "deletion vectors on partitioned tables are not supported"
+            )
+        adds = _live_adds(path, version)
+        if not adds:
+            raise FileNotFoundError(f"empty txlog table at {path}")
+        m, dropped = _fold_schema(path, version)
+        return _to_logical(_read_partitioned(spark, path, adds, part), m, dropped)
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
@@ -1348,6 +1543,7 @@ def snapshot_pruned(
     — the Delta/Iceberg data-skipping read path. Files without stats
     for the column are conservatively kept; the residual filter is
     still applied, so the result is exact regardless of stats."""
+    _require_not_partitioned(path, "snapshot_pruned")
     from pyspark.sql import functions as F
 
     m, dropped = _fold_schema(path, version)
@@ -1379,6 +1575,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     """Copy-on-write delete: only files that actually contain
     matching rows are rewritten; untouched files stay shared between
     the old and new snapshots."""
+    _require_not_partitioned(path, "delete_where")
     _require_no_dvs(path, "delete_where")
     m, dropped = _fold_schema(path)
     actions: list[dict] = []
@@ -1417,6 +1614,7 @@ def merge_upsert(
     add/remove multiset difference cancels the copy-on-write
     survivors, same as delete_where.
     """
+    _require_not_partitioned(path, "merge_upsert")
     _require_no_dvs(path, "merge_upsert")
     from pyspark.sql import functions as F
 
@@ -1509,6 +1707,7 @@ def compact_small(
     rewrite 100 TB to fix 100 MB — this rewrites only the fragments,
     so the maintenance cost tracks the fragmentation, not the table.
     Returns the commit version (unchanged if nothing qualifies)."""
+    _require_not_partitioned(path, "compact_small")
     _require_no_dvs(path, "compact_small")
     small = [
         rel
@@ -1545,6 +1744,7 @@ def compact(
     while the Z-curve gives every listed column boxes ~sqrt-as-tight
     — the multi-dimensional data-skipping trade, measured in
     bench.py's layout experiment."""
+    _require_not_partitioned(path, "compact")
     _require_no_dvs(path, "compact")
     if sort_by is not None and zorder_by is not None:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
@@ -1586,6 +1786,7 @@ def snapshot_pruned_multi(
     listed columns prune; on a 1-D-sorted table only the sort column
     does — same exact result either way (the residual filter runs
     regardless), different files_read."""
+    _require_not_partitioned(path, "snapshot_pruned_multi")
     from pyspark.sql import functions as F
 
     m, dropped = _fold_schema(path, version)
@@ -1648,6 +1849,7 @@ def changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     Returns the table schema plus a ``_change_type`` column
     ('insert' | 'delete').
     """
+    _require_not_partitioned(path, "changes")
     from pyspark.sql import functions as F
 
     # read the commit FILE directly: _read_log may substitute a
@@ -1802,6 +2004,7 @@ def attach_bloom(
     (batch-sized work), instead of re-scanning the whole table per
     batch. A compaction's new files are picked up the same way on
     the next call."""
+    _require_not_partitioned(path, "attach_bloom")
     from pyspark.sql import functions as F
 
     if bits is not None and bits & (bits - 1):
@@ -1884,6 +2087,7 @@ def snapshot_point(
     filter — conservatively kept). Exact regardless: the residual
     equality filter always runs; the bloom can only skip files where
     the value is provably absent."""
+    _require_not_partitioned(path, "snapshot_point")
     import base64
 
     from pyspark.sql import functions as F
@@ -1944,6 +2148,7 @@ def snapshot_point_any(
     bitset, O(files × values) with no IO — and the Spark job then
     opens only files that might contain a colliding key. Results are
     exact: the residual IN filter always runs."""
+    _require_not_partitioned(path, "snapshot_point_any")
     import base64
     import hashlib as _hashlib
 
@@ -2168,6 +2373,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> int:
     into the scan instead of the broadcast anti-join, same contract.
 
     Returns the commit version (unchanged if nothing matched)."""
+    _require_not_partitioned(path, "delete_where_dv")
     files = live_files(path)
     if not files:
         raise FileNotFoundError(f"empty txlog table at {path}")
@@ -2316,6 +2522,7 @@ def incremental_mv(
     the merge step is merge_upsert keyed on ``keys``; the algebra
     here is identical.
     """
+    _require_not_partitioned(path, "incremental_mv")
     if mv is None:
         mv = (
             snapshot(spark, path, from_version)
@@ -2489,6 +2696,7 @@ def replicate_changes(
     usable inside ``foreachBatch``.
 
     Returns the src version delivered through (= the new marker)."""
+    _require_not_partitioned(src, "replicate_changes")
     if to_version is None:
         to_version = current_version(src)
     done = last_txn_version(dst, app_id)

@@ -693,6 +693,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
         if "path" not in options:
             raise ValueError("txlog_stream requires a 'path' option")
         self._path = options["path"]
+        # partitioned tables keep partition values in the LOG, not in
+        # data files — this reader's per-file Arrow path would drop
+        # those columns silently; refuse loudly until taught
+        txlog._require_not_partitioned(self._path, "txlog_stream")
         # starting_version is INCLUSIVE (Delta's startingVersion);
         # default 0 replays the table's whole append history.
         # starting_timestamp (Delta's startingTimestamp) resolves to
@@ -827,6 +831,7 @@ class _TxlogBatchReader(DataSourceReader):
         if "path" not in options:
             raise ValueError("txlog_stream requires a 'path' option")
         self._path = options["path"]
+        txlog._require_not_partitioned(self._path, "txlog_stream batch")
         self._start = _resolve_start(options)
         end = options.get("end_version")
         self._end = int(end) if end is not None else txlog.current_version(options["path"])

@@ -1,0 +1,131 @@
+"""Partition-column support in the txlog (sources/txlog.py
+create_partitioned / partitionValues / snapshot_partition_pruned),
+plus the label-propagation pins of registry_ext95."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockify_spark.sources import txlog
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def ptable(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="ptab_"), "t")
+    df = spark.range(0, 100).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 4).cast("string")))
+        .alias("grp"),
+    )
+    v0 = txlog.create_partitioned(df.coalesce(1), path, ["bucket", "grp"])
+    txlog.append(df.withColumn("id", F.col("id") + 100).coalesce(1), path)
+    exp = df.union(df.withColumn("id", F.col("id") + 100))
+    return path, exp, v0
+
+
+def _vals(df):
+    return sorted((r.id, r.bucket, r.grp) for r in df.collect())
+
+
+def test_snapshot_reconstitutes_partition_columns(spark, ptable):
+    path, exp, _ = ptable
+    snap = txlog.snapshot(spark, path)
+    assert _vals(snap) == _vals(exp)
+    # typed literals, not strings: bucket comes back as the int the
+    # writer declared
+    assert dict(snap.dtypes)["bucket"] == "int"
+
+
+def test_partition_pruning_is_exact_and_bounded(spark, ptable):
+    path, exp, _ = ptable
+    pr = txlog.snapshot_partition_pruned(spark, path, {"bucket": 1, "grp": "g1"})
+    want = exp.filter((F.col("bucket") == 1) & (F.col("grp") == "g1"))
+    assert _vals(pr) == _vals(want)
+    opened = txlog.partition_files(path, {"bucket": 1, "grp": "g1"})
+    assert len(opened) == 2  # one file per write for this partition
+    assert len(opened) < len(txlog.live_files(path))
+    # single-column prune matches a filter over the full snapshot
+    pr1 = txlog.snapshot_partition_pruned(spark, path, {"bucket": 2})
+    assert _vals(pr1) == _vals(exp.filter(F.col("bucket") == 2))
+
+
+def test_null_partition_values_round_trip(spark, ptable):
+    path, exp, _ = ptable
+    prn = txlog.snapshot_partition_pruned(spark, path, {"grp": None})
+    rows = prn.collect()
+    assert len(rows) == 20 and all(r.grp is None for r in rows)
+
+
+def test_time_travel_and_checkpoint_preserve_partitioning(spark, ptable):
+    path, exp, v0 = ptable
+    assert txlog.snapshot(spark, path, version=v0).count() == 100
+    txlog.checkpoint_log(path)
+    snap = txlog.snapshot(spark, path)
+    assert snap.count() == 200
+    assert "bucket" in snap.columns  # spec survived the collapse
+    assert txlog._partitioning(path)["cols"] == ["bucket", "grp"]
+
+
+def test_append_requires_partition_columns(spark, ptable):
+    path, _, _ = ptable
+    with pytest.raises(ValueError, match="partition columns"):
+        txlog.append(spark.range(3).select("id"), path)
+
+
+def test_unpartitioned_tables_reject_partition_faces(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="flat_"), "t")
+    txlog.create(spark.range(5), path)
+    with pytest.raises(ValueError, match="not partitioned"):
+        txlog.snapshot_partition_pruned(spark, path, {"id": 1})
+
+
+def test_raw_read_and_rewrite_faces_refuse_partitioned_tables(spark, ptable):
+    path, _, _ = ptable
+    for op, call in [
+        ("compact_small", lambda: txlog.compact_small(spark, path)),
+        ("delete_where", lambda: txlog.delete_where(spark, path, F.col("id") < 5)),
+        (
+            "merge_upsert",
+            lambda: txlog.merge_upsert(spark, path, spark.range(2), ["id"]),
+        ),
+        ("changes", lambda: txlog.changes(spark, path, 1)),
+        (
+            "snapshot_pruned",
+            lambda: txlog.snapshot_pruned(spark, path, "id", 0, 5),
+        ),
+        ("clone", lambda: txlog.clone(path, path + "_c")),
+    ]:
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            call()
+
+
+def test_label_propagation_matches_python(spark):
+    """2-round deterministic LPA recomputed in pure Python from the
+    same residue-graph edges."""
+    from stockify_spark.registry_ext10 import _kcore_sym_edges
+    from stockify_spark.registry_ext95 import graph_label_propagation
+
+    sym = _kcore_sym_edges(spark, SF_SMOKE)
+    nbrs = defaultdict(list)
+    for r in sym.collect():
+        nbrs[r.a].append(r.b)
+    labels = {n: n for n in nbrs}
+    for _ in range(2):
+        new = {}
+        for n, ns in nbrs.items():
+            votes = Counter(labels[x] for x in ns)
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        labels = new
+    got = {r.node: r.label for r in graph_label_propagation(spark, SF_SMOKE).collect()}
+    assert got == labels
+    # propagation actually coarsens: fewer distinct labels than nodes
+    assert len(set(labels.values())) < len(labels)
