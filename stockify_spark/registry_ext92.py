@@ -388,19 +388,17 @@ WITH med AS (SELECT o_orderpriority AS g, median(o_totalprice) AS md
 z AS (SELECT g, abs(o_totalprice - md) AS z
       FROM orders JOIN med ON o_orderpriority = g),
 grp AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, AVG(z) AS zbar,
-               SUM(z) AS zsum
+               SUM(z) AS zsum, SUM(z * z) AS zsq
         FROM z GROUP BY 1),
 gl AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS nt,
-              SUM(zsum) / SUM(n) AS zg
-       FROM grp),
-numer AS (SELECT SUM(n * (zbar - zg) * (zbar - zg)) AS num
-          FROM grp CROSS JOIN gl),
-denom AS (SELECT SUM((z.z - grp.zbar) * (z.z - grp.zbar)) AS den
-          FROM z JOIN grp USING (g))
-SELECT ROUND((gl.nt - gl.k) / (gl.k - 1) * numer.num / denom.den, 6) AS w_stat,
-       CAST(gl.k - 1 AS BIGINT) AS df1,
-       CAST(gl.nt - gl.k AS BIGINT) AS df2
-FROM gl CROSS JOIN numer CROSS JOIN denom
+              SUM(zsum) / SUM(n) AS zg,
+              SUM(zsq - n * zbar * zbar) AS den,
+              SUM(n * zbar * zbar) AS s2
+       FROM grp)
+SELECT ROUND((nt - k) / (k - 1) * (s2 - nt * zg * zg) / den, 6) AS w_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(nt - k AS BIGINT) AS df2
+FROM gl
 """
 
 
@@ -416,9 +414,11 @@ def stats_brown_forsythe(spark, sf_dir):
     priorities — the same sort-based percentile aggregate
     agg_exact_median already pins; per-group state is the group's
     values, acceptable only because k is tiny and documented as
-    such), broadcast back for the |y - median| pass, then two moment
-    aggregates. The fact table is scanned twice (median pass +
-    deviation pass) — unavoidable for an exact-median center;
+    such), broadcast back for ONE |y - median| aggregation pass that
+    carries (n, mean, Σz, Σz²) per group — the within-group sum of
+    squares comes from the Σz² decomposition (Σ(z-z̄)² = Σz² - n·z̄²),
+    so the fact table is scanned exactly twice (median pass +
+    deviation pass), the floor for an exact-median center;
     mean-centered Levene would fuse to one scan at the cost of
     robustness."""
     o = _t(spark, sf_dir, "orders").select(
@@ -432,34 +432,29 @@ def stats_brown_forsythe(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("z").alias("zbar"),
         F.sum("z").alias("zsum"),
+        F.sum(F.col("z") * F.col("z")).alias("zsq"),
     )
+    # between-group sum of squares by the same decomposition:
+    # Σ n(z̄_g - z̄)² = Σ n·z̄_g² - nt·z̄², so the WHOLE statistic
+    # folds out of ONE aggregate over the 5-row group table — no
+    # second pass over grp, no cross join
     gl = grp.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
         F.sum("n").alias("nt"),
         (F.sum("zsum") / F.sum("n")).alias("zg"),
-    )
-    numer = grp.crossJoin(F.broadcast(gl)).agg(
-        F.sum(
-            F.col("n") * (F.col("zbar") - F.col("zg")) * (F.col("zbar") - F.col("zg"))
-        ).alias("num")
-    )
-    denom = z.join(F.broadcast(grp.select("g", "zbar")), "g").agg(
-        F.sum((F.col("z") - F.col("zbar")) * (F.col("z") - F.col("zbar"))).alias(
+        F.sum(F.col("zsq") - F.col("n") * F.col("zbar") * F.col("zbar")).alias(
             "den"
-        )
+        ),
+        F.sum(F.col("n") * F.col("zbar") * F.col("zbar")).alias("s2"),
     )
-    return (
-        gl.crossJoin(numer)
-        .crossJoin(denom)
-        .select(
-            F.round(
-                (F.col("nt") - F.col("k"))
-                / (F.col("k") - 1)
-                * F.col("num")
-                / F.col("den"),
-                6,
-            ).alias("w_stat"),
-            (F.col("k") - 1).cast("bigint").alias("df1"),
-            (F.col("nt") - F.col("k")).cast("bigint").alias("df2"),
-        )
+    return gl.select(
+        F.round(
+            (F.col("nt") - F.col("k"))
+            / (F.col("k") - 1)
+            * (F.col("s2") - F.col("nt") * F.col("zg") * F.col("zg"))
+            / F.col("den"),
+            6,
+        ).alias("w_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("nt") - F.col("k")).cast("bigint").alias("df2"),
     )

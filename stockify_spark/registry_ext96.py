@@ -106,9 +106,15 @@ def ml_gbt_two_stumps(spark, sf_dir):
     )
 
     def stump(d, xcol):
+        # the grouped table carries Σy² too, so the moment TOTALS are
+        # a rollup of the (feature-cardinality-sized) partials — the
+        # fact table is scanned ONCE per stump, not twice (plan-audit
+        # catch; cross-engine sum-order drift is absorbed by the
+        # 6dp-rounded gain the argmax runs on)
         g = d.groupBy(F.col(xcol).alias("x")).agg(
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("q"),
         )
         wo = Window.orderBy("x")
         c = g.select(
@@ -120,10 +126,10 @@ def ml_gbt_two_stumps(spark, sf_dir):
                 Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             ).alias("ndist"),
         )
-        t = d.agg(
-            F.count(F.lit(1)).cast("double").alias("nn"),
-            F.sum("y").alias("ss"),
-            F.sum(F.col("y") * F.col("y")).alias("sq"),
+        t = g.agg(
+            F.sum("n").alias("nn"),
+            F.sum("s").alias("ss"),
+            F.sum("q").alias("sq"),
         )
         cand = (
             c.crossJoin(F.broadcast(t))
