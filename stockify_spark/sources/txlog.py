@@ -922,6 +922,49 @@ def snapshot_partition_pruned(
     return _to_logical(_read_partitioned(spark, path, adds, part), m, dropped)
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    equals: dict,
+    target_partitions: int = 1,
+) -> int:
+    """Partition-scoped compaction — the maintenance face partitioned
+    tables need (table-wide compact_small refuses them): rewrite ONE
+    partition's files as ``target_partitions`` new files carrying the
+    SAME partitionValues, in one atomic commit. Files of every other
+    partition are untouched and stay shared with prior snapshots, so
+    the rewrite cost tracks the fragmented partition, never the
+    table — the per-partition OPTIMIZE loop Delta runs after
+    streaming ingest into a partitioned layout.
+
+    ``equals`` must name every partition column: a partial key would
+    merge files whose remaining partition values differ, and the
+    rewrite could no longer carry well-defined partitionValues."""
+    part = _partitioning(path)
+    if part is None:
+        raise ValueError(f"table at {path} is not partitioned")
+    if set(equals) != set(part["cols"]):
+        raise ValueError(
+            f"compact_partition needs the FULL partition key {part['cols']}"
+        )
+    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
+    adds = [
+        a
+        for a in _live_adds(path)
+        if all(a.get("partitionValues", {}).get(k) == v for k, v in want.items())
+    ]
+    if len(adds) <= target_partitions:
+        return current_version(path)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_abs(path, a["path"]) for a in adds]
+    )
+    new_adds = _write_data_files(df.coalesce(target_partitions), path)
+    for a in new_adds:
+        a["add"]["partitionValues"] = dict(want)
+    actions = [{"remove": {"path": a["path"]}} for a in adds] + new_adds
+    return _commit(path, actions)
+
+
 def partition_files(path: str, equals: dict, version: int | None = None) -> list[str]:
     """The file list a partition-pruned read would open — the
     observability hook tests and benchmarks assert IO bounds on."""

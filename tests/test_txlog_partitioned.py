@@ -129,3 +129,43 @@ def test_label_propagation_matches_python(spark):
     assert got == labels
     # propagation actually coarsens: fewer distinct labels than nodes
     assert len(set(labels.values())) < len(labels)
+
+
+def test_compact_partition_rewrites_only_the_target(spark, ptable):
+    path, exp, _ = ptable
+    tgt = {"bucket": 1, "grp": "g1"}
+    other = {"bucket": 2, "grp": "g2"}
+    before_t = txlog.partition_files(path, tgt)
+    before_o = txlog.partition_files(path, other)
+    v_pre = txlog.current_version(path)
+    assert len(before_t) == 2
+    txlog.compact_partition(spark, path, tgt)
+    after_t = txlog.partition_files(path, tgt)
+    assert len(after_t) == 1 and set(after_t).isdisjoint(before_t)
+    # untouched partition keeps its exact files (still shared)
+    assert txlog.partition_files(path, other) == before_o
+    # values identical through the rewrite, and time travel to the
+    # pre-compaction version still sees the old file layout
+    snap = txlog.snapshot_partition_pruned(spark, path, tgt)
+    want = exp.filter((F.col("bucket") == 1) & (F.col("grp") == "g1"))
+    assert _vals(snap) == _vals(want)
+    assert txlog.partition_files(path, tgt, version=v_pre) == before_t
+    assert _vals(txlog.snapshot(spark, path)) == _vals(exp)
+
+
+def test_compact_partition_requires_full_key_and_partitioned_table(spark, ptable):
+    path, _, _ = ptable
+    with pytest.raises(ValueError, match="FULL partition key"):
+        txlog.compact_partition(spark, path, {"bucket": 1})
+    flat = os.path.join(tempfile.mkdtemp(prefix="flatc_"), "t")
+    txlog.create(spark.range(5), flat)
+    with pytest.raises(ValueError, match="not partitioned"):
+        txlog.compact_partition(spark, flat, {"id": 1})
+
+
+def test_compact_partition_noop_when_already_compact(spark, ptable):
+    path, _, _ = ptable
+    tgt = {"bucket": 1, "grp": "g1"}
+    txlog.compact_partition(spark, path, tgt)
+    v = txlog.current_version(path)
+    assert txlog.compact_partition(spark, path, tgt) == v  # fixpoint
