@@ -37,15 +37,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing order. The driver verifies queries in dict order and
 # may budget-cap how many it checks per round (~50). r13 priority:
-# the FIVE new r13 queries lead (the maintain() decision table, the
-# bloom-indexed near-dup ingest invariants, the chunked-prefix-scan
-# runs test, the retention contract, the clustered OPTIMIZE policy), then the r12 vintage, then
-# every previously-checked
-# query sorted oldest-evidence-first (alphabetical within one round
-# vintage; unchanged from the r11 regeneration). As of r12 every
-# registered query has at least one green driver row, so everything
-# below the new head is re-verification.
+# the 29 continuation-wave queries lead (waves 92-99: partitioned
+# txlog tables, GIF/ADPCM codecs, CUSUM streaming, the stats/ML/
+# graph additions), then the five early-r13 queries (maintain
+# decision table, indexed near-dup ingest, chunked runs test,
+# retention, clustered OPTIMIZE), then the r12 vintage, then every
+# previously-checked query sorted oldest-evidence-first
+# (alphabetical within one round vintage). As of r12 every
+# PREVIOUSLY-registered query has at least one green driver row, so
+# everything below the new head is re-verification.
 _PRIORITY = [
+    # round-13 continuation waves 92-99: no driver evidence yet —
+    # verified locally (tools/check_oracle.py) but first in line here
+    'txlog_partitioned', 'txlog_partitioned_compact', 'stream_cusum_alarm',
+    'media_gif_decode', 'media_adpcm_roundtrip', 'graph_label_propagation',
+    'graph_katz_centrality', 'ml_gbt_two_stumps', 'ml_lda_fisher',
+    'ml_calibration_ece', 'stats_moments_merge', 'stats_brown_forsythe',
+    'stats_cramers_v', 'stats_negbinom_mom', 'stats_lin_ccc',
+    'stats_deming_regression', 'stats_mcnemar', 'stats_vif',
+    'stats_seasonal_strength', 'window_savitzky_golay', 'window_pacf',
+    'window_circular_stats', 'events_poisson_rate_test', 'text_sppmi',
+    'tokenizer_vocab_coverage', 'dq_mahalanobis_outliers',
+    'pipeline_epoch_allocation', 'orders_customer_npv', 'sim_matryoshka_topk',
     'txlog_maintain', 'pipeline_near_ingest_indexed',
     'stats_runs_test_chunked', 'txlog_retention', 'txlog_maintain_cluster',
     'ml_pca_gram_compact', 'dedup_substring_keepone',
