@@ -349,6 +349,39 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
                 spark, tx_path, "l_extendedprice", hi[0], hi[1]
             ).inputFiles()
         )
+        # E2e: PARTITION pruning (round-13 partitionValues). A table
+        # partitioned by l_returnflag answers a one-flag query from
+        # exactly its own partition's files — pruning decided on the
+        # driver from the log alone, zero opens elsewhere. Compared
+        # against the full snapshot + residual filter on the SAME
+        # partitioned table (same reconstitution cost on both sides,
+        # so the delta is the pruning).
+        pt_path = os.path.join(tmp, "ptable")
+        txlog.create_partitioned(
+            li.repartition(4), pt_path, ["l_returnflag"]
+        )
+        t_part_full = probe(
+            lambda: txlog.snapshot(spark, pt_path).filter(
+                F.col("l_returnflag") == "R"
+            )
+        )
+        t_part_pruned = probe(
+            lambda: txlog.snapshot_partition_pruned(
+                spark, pt_path, {"l_returnflag": "R"}
+            )
+        )
+        part_stats = {
+            "partition_full_sec": round(t_part_full, 4),
+            "partition_pruned_sec": round(t_part_pruned, 4),
+            "partition_prune_speedup": (
+                round(t_part_full / t_part_pruned, 3) if t_part_pruned else 0.0
+            ),
+            "partition_files_read": len(
+                txlog.partition_files(pt_path, {"l_returnflag": "R"})
+            ),
+            "partition_files_live": len(txlog.live_files(pt_path)),
+        }
+
         # E2c: multi-dimensional clustering. The 1-D sorted layout has
         # perfect boxes on l_extendedprice and useless ones on every
         # other column; the Z-ordered layout gives BOTH probe columns
@@ -546,6 +579,7 @@ def layout_experiment(spark, sf_dir: str) -> dict[str, float]:
         }
         return {
             **dv_stats,
+            **part_stats,
             "layout_unsorted_sec": round(t_unsorted, 4),
             "layout_sorted_sec": round(t_sorted, 4),
             "layout_sorted_speedup": round(t_unsorted / t_sorted, 3) if t_sorted else 0.0,

@@ -778,11 +778,26 @@ def _validate_constraints(df: DataFrame, path: str) -> None:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _partition_marker(path: str) -> str:
+    """Fast-path marker written by create_partitioned next to the
+    commits. The LOG action remains the source of truth (it must
+    survive checkpoint collapse and version replay); the marker is a
+    pure denormalization so the guard on every raw-read face — and
+    the presence probe every snapshot of an UNPARTITIONED table pays
+    — is one os.path.exists, not an O(commits) log walk. (The first
+    guard draft walked the log; the bench caught it immediately: the
+    ingest sinks call guarded faces per batch, and the near-dup sink
+    doubled its wall-clock on log re-reads alone.)"""
+    return os.path.join(_log_dir(path), "_partitioning.json")
+
+
 def _partitioning(path: str, version: int | None = None) -> dict | None:
     """The table's partition spec ({"cols": [...], "types": {...}}),
     or None for an unpartitioned table. Recorded once at create; the
     last action wins (there is no ALTER face, but replay order is the
     contract everywhere else in this log)."""
+    if not os.path.exists(_partition_marker(path)):
+        return None  # the common (unpartitioned) case: zero log IO
     part = None
     for c in _read_log(path, version):
         for a in c["actions"]:
@@ -797,7 +812,7 @@ def _require_not_partitioned(path: str, op: str) -> None:
     partitionValues) or rewrite files without re-deriving those
     values must refuse partitioned tables until taught about them —
     a loud NotImplementedError beats a silently narrower schema."""
-    if _partitioning(path) is not None:
+    if os.path.exists(_partition_marker(path)):
         raise NotImplementedError(f"{op} does not support partitioned tables yet")
 
 
@@ -857,9 +872,10 @@ def create_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> int
     os.makedirs(_log_dir(path), exist_ok=True)
     os.makedirs(_data_dir(path), exist_ok=True)
     types = {c: df.schema[c].dataType.simpleString() for c in partition_by}
-    actions: list[dict] = [
-        {"partitioning": {"cols": list(partition_by), "types": types}}
-    ]
+    spec = {"cols": list(partition_by), "types": types}
+    with open(_partition_marker(path), "w") as f:
+        json.dump(spec, f)  # O(1) presence probe; the log action rules
+    actions: list[dict] = [{"partitioning": spec}]
     actions += _write_data_files_partitioned(df, path, list(partition_by))
     return _commit(path, actions)
 
