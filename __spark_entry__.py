@@ -47,8 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # PREVIOUSLY-registered query has at least one green driver row, so
 # everything below the new head is re-verification.
 _PRIORITY = [
-    # round-13 continuation waves 92-99: no driver evidence yet —
+    # round-13 continuation waves 92-101: no driver evidence yet —
     # verified locally (tools/check_oracle.py) but first in line here
+    'orders_credit_scorecard', 'stats_gini_auc', 'events_power_law_hill',
+    'ml_nearest_centroid', 'stats_wilcoxon_signed_rank', 'stats_friedman',
+    'orders_price_elasticity', 'stats_odds_ratio_mh', 'window_downsample_m4',
+    'fn_business_days',
     'txlog_partitioned', 'txlog_partitioned_compact', 'stream_cusum_alarm',
     'media_gif_decode', 'media_adpcm_roundtrip', 'graph_label_propagation',
     'graph_katz_centrality', 'ml_gbt_two_stumps', 'ml_lda_fisher',
