@@ -52,7 +52,7 @@ _PRIORITY = [
     'orders_credit_scorecard', 'stats_gini_auc', 'events_power_law_hill',
     'ml_nearest_centroid', 'stats_wilcoxon_signed_rank', 'stats_friedman',
     'orders_price_elasticity', 'stats_odds_ratio_mh', 'window_downsample_m4',
-    'fn_business_days',
+    'fn_business_days', 'stats_cronbach_alpha', 'stats_icc',
     'txlog_partitioned', 'txlog_partitioned_compact', 'stream_cusum_alarm',
     'media_gif_decode', 'media_adpcm_roundtrip', 'graph_label_propagation',
     'graph_katz_centrality', 'ml_gbt_two_stumps', 'ml_lda_fisher',
