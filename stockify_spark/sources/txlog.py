@@ -449,19 +449,45 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
             # a fixpoint at any scale, incl. toy tables whose
             # compacted files never outgrow small_file_bytes
             trig = trig and len(rels) > tp
+        part = _partitioning(path)
+        if part is not None and clustered:
+            raise NotImplementedError(
+                "clustered compaction on partitioned tables is not supported"
+            )
+        if part is not None:
+            # a partitioned table converges when no PARTITION is wider
+            # than the target — the table-wide width gate would loop
+            trig = trig and any(
+                len(v) > tp
+                for v in _group_adds_by_partition(_live_adds(path)).values()
+            )
         res = -1
         if trig:
-            res = (
-                compact(
-                    spark,
-                    path,
-                    target_partitions=tp,
-                    sort_by=policy.get("compact_sort_by"),
-                    zorder_by=policy.get("compact_zorder_by"),
+            if part is not None:
+                # partitioned tables compact PER PARTITION (the unit
+                # compact_partition defines); only fragmented
+                # partitions are rewritten, so the cost tracks the
+                # fragmentation exactly as in the flat case
+                for key, adds in sorted(
+                    _group_adds_by_partition(_live_adds(path)).items(),
+                    key=lambda kv: [(c, v is None, v or "") for c, v in kv[0]],
+                ):
+                    if len(adds) > tp:
+                        res = compact_partition(
+                            spark, path, dict(key), target_partitions=tp
+                        )
+            else:
+                res = (
+                    compact(
+                        spark,
+                        path,
+                        target_partitions=tp,
+                        sort_by=policy.get("compact_sort_by"),
+                        zorder_by=policy.get("compact_zorder_by"),
+                    )
+                    if clustered
+                    else compact_small(spark, path, min_bytes=b, target_partitions=tp)
                 )
-                if clustered
-                else compact_small(spark, path, min_bytes=b, target_partitions=tp)
-            )
         record("compact_cluster" if clustered else "compact_small", frac, f_thr, trig, res)
 
     if "gram_partial_rows" in policy:
@@ -814,6 +840,17 @@ def _require_not_partitioned(path: str, op: str) -> None:
     a loud NotImplementedError beats a silently narrower schema."""
     if os.path.exists(_partition_marker(path)):
         raise NotImplementedError(f"{op} does not support partitioned tables yet")
+
+
+def _group_adds_by_partition(adds: list[dict]) -> dict[tuple, list[dict]]:
+    """Live add actions keyed by their partitionValues tuple — the
+    grouping both the partitioned read path and per-partition
+    maintenance share."""
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        key = tuple(sorted(a.get("partitionValues", {}).items()))
+        groups.setdefault(key, []).append(a)
+    return groups
 
 
 def _write_data_files_partitioned(

@@ -169,3 +169,29 @@ def test_compact_partition_noop_when_already_compact(spark, ptable):
     txlog.compact_partition(spark, path, tgt)
     v = txlog.current_version(path)
     assert txlog.compact_partition(spark, path, tgt) == v  # fixpoint
+
+
+def test_maintain_compacts_partitioned_tables_per_partition(spark, ptable):
+    path, exp, _ = ptable
+    policy = {"small_file_bytes": 512 << 20, "small_file_fraction": 0.5}
+    decisions = {d["action"]: d for d in txlog.maintain(spark, path, policy)}
+    assert decisions["compact_small"]["triggered"]
+    # every partition is now at the 1-file target; values intact
+    for key, adds in txlog._group_adds_by_partition(
+        txlog._live_adds(path)
+    ).items():
+        assert len(adds) == 1, key
+    assert _vals(txlog.snapshot(spark, path)) == _vals(exp)
+    # idempotence: the converged state is a fixpoint
+    again = {d["action"]: d for d in txlog.maintain(spark, path, policy)}
+    assert not again["compact_small"]["triggered"]
+
+
+def test_maintain_rejects_clustered_policy_on_partitioned(spark, ptable):
+    path, _, _ = ptable
+    with pytest.raises(NotImplementedError, match="clustered"):
+        txlog.maintain(
+            spark,
+            path,
+            {"small_file_bytes": 1, "compact_sort_by": "id"},
+        )
