@@ -450,9 +450,9 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
             # compacted files never outgrow small_file_bytes
             trig = trig and len(rels) > tp
         part = _partitioning(path)
-        if part is not None and clustered:
+        if part is not None and "compact_zorder_by" in policy:
             raise NotImplementedError(
-                "clustered compaction on partitioned tables is not supported"
+                "z-ordered compaction on partitioned tables is not supported"
             )
         if part is not None:
             # a partitioned table converges when no PARTITION is wider
@@ -474,7 +474,11 @@ def maintain(spark: SparkSession, path: str, policy: dict) -> list[dict]:
                 ):
                     if len(adds) > tp:
                         res = compact_partition(
-                            spark, path, dict(key), target_partitions=tp
+                            spark,
+                            path,
+                            dict(key),
+                            target_partitions=tp,
+                            sort_by=policy.get("compact_sort_by"),
                         )
             else:
                 res = (
@@ -980,6 +984,7 @@ def compact_partition(
     path: str,
     equals: dict,
     target_partitions: int = 1,
+    sort_by: str | None = None,
 ) -> int:
     """Partition-scoped compaction — the maintenance face partitioned
     tables need (table-wide compact_small refuses them): rewrite ONE
@@ -1011,7 +1016,22 @@ def compact_partition(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[_abs(path, a["path"]) for a in adds]
     )
-    new_adds = _write_data_files(df.coalesce(target_partitions), path)
+    if sort_by is not None:
+        if sort_by in part["cols"]:
+            raise ValueError(
+                f"sort_by {sort_by!r} is a partition column — it is constant "
+                "within the partition; cluster on a data column"
+            )
+        # clustered per-partition OPTIMIZE: range-partition + local
+        # sort on the data column, so the rewritten files carry tight
+        # min/max boxes for snapshot_pruned-style skipping WITHIN the
+        # partition (the compact(sort_by=...) contract, scoped here)
+        df = df.repartitionByRange(target_partitions, sort_by).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        df = df.coalesce(target_partitions)
+    new_adds = _write_data_files(df, path)
     for a in new_adds:
         a["add"]["partitionValues"] = dict(want)
     actions = [{"remove": {"path": a["path"]}} for a in adds] + new_adds

@@ -187,11 +187,36 @@ def test_maintain_compacts_partitioned_tables_per_partition(spark, ptable):
     assert not again["compact_small"]["triggered"]
 
 
-def test_maintain_rejects_clustered_policy_on_partitioned(spark, ptable):
-    path, _, _ = ptable
-    with pytest.raises(NotImplementedError, match="clustered"):
+def test_maintain_clustered_sort_runs_per_partition_zorder_refused(spark, ptable):
+    path, exp, _ = ptable
+    with pytest.raises(NotImplementedError, match="z-ordered"):
         txlog.maintain(
             spark,
             path,
-            {"small_file_bytes": 1, "compact_sort_by": "id"},
+            {"small_file_bytes": 1, "compact_zorder_by": ["id", "bucket"]},
+        )
+    # sorted per-partition OPTIMIZE: compacts AND clusters on id
+    policy = {
+        "small_file_bytes": 512 << 20,
+        "small_file_fraction": 0.5,
+        "compact_sort_by": "id",
+    }
+    decisions = {d["action"]: d for d in txlog.maintain(spark, path, policy)}
+    assert decisions["compact_cluster"]["triggered"]
+    for key, adds in txlog._group_adds_by_partition(
+        txlog._live_adds(path)
+    ).items():
+        assert len(adds) == 1, key
+        st = adds[0].get("stats", {})
+        assert "id" in st.get("min", {})  # stats present for skipping
+    assert _vals(txlog.snapshot(spark, path)) == _vals(exp)
+    again = {d["action"]: d for d in txlog.maintain(spark, path, policy)}
+    assert not again["compact_cluster"]["triggered"]
+
+
+def test_compact_partition_sort_by_rejects_partition_columns(spark, ptable):
+    path, _, _ = ptable
+    with pytest.raises(ValueError, match="partition column"):
+        txlog.compact_partition(
+            spark, path, {"bucket": 1, "grp": "g1"}, sort_by="bucket"
         )
