@@ -541,3 +541,4 @@ from stockify_spark import registry_ext99  # noqa: E402,F401  (registration side
 from stockify_spark import registry_ext100  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext101  # noqa: E402,F401  (registration side effect)
 from stockify_spark import registry_ext102  # noqa: E402,F401  (registration side effect)
+from stockify_spark import registry_ext103  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,134 @@
+"""Round-13 extension wave 103: pipeline health reports.
+
+Two audit queries a curation pipeline runs before anything expensive:
+the dedup impact report (what exact dedup would remove, stated
+before/after so the run decision is one row), and the embedding
+health audit (norm distribution + degenerate-vector counts per
+label — the check that catches a broken encoder before an ANN index
+is built over garbage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockify_spark.registry import register, _t
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_impact — before/after report for exact dedup
+# ---------------------------------------------------------------------------
+
+_IMPACT_SQL = """
+WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS toks
+           FROM documents),
+k AS (SELECT text, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(toks) AS toks
+      FROM t GROUP BY text)
+SELECT CAST(SUM(n) AS BIGINT) AS docs_before,
+       CAST(COUNT(*) AS BIGINT) AS docs_after,
+       CAST(SUM(n * toks) AS BIGINT) AS tokens_before,
+       CAST(SUM(toks) AS BIGINT) AS tokens_after,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS docs_removed,
+       ROUND(1 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS doc_dup_ratio,
+       ROUND(1 - SUM(toks) / CAST(SUM(n * toks) AS DOUBLE), 6)
+         AS token_dup_ratio,
+       CAST(MAX(n) AS BIGINT) AS largest_dup_group
+FROM k
+"""
+
+
+@register("pipeline_dedup_impact", _IMPACT_SQL)
+def pipeline_dedup_impact(spark, sf_dir):
+    """The exact-dedup impact report: documents and whitespace tokens
+    before vs after first-wins dedup on full text, the removal
+    ratios on both axes (token-weighted duplication is the number
+    that predicts training impact — a few duplicated long documents
+    move it more than many short ones), and the largest duplicate
+    group (the smoking gun a curation review opens first). States
+    dedup_exact's EFFECT as one row, the form a pipeline gate
+    consumes — run it before paying for the rewrite.
+
+    Shape: one groupBy on the content key (the skew-safe exact-dedup
+    shuffle dedup_exact already uses — at 100 TB the key is a
+    fixed-width hash of text, same cost model), then one 8-column
+    fold of the group table."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("toks")
+    )
+    k = t.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("toks").alias("toks"),
+    )
+    return k.agg(
+        F.sum("n").cast("bigint").alias("docs_before"),
+        F.count(F.lit(1)).cast("bigint").alias("docs_after"),
+        F.sum(F.col("n") * F.col("toks")).cast("bigint").alias("tokens_before"),
+        F.sum("toks").cast("bigint").alias("tokens_after"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("docs_removed"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("n").cast("double"), 6).alias(
+            "doc_dup_ratio"
+        ),
+        F.round(
+            1 - F.sum("toks") / F.sum(F.col("n") * F.col("toks")).cast("double"), 6
+        ).alias("token_dup_ratio"),
+        F.max("n").cast("bigint").alias("largest_dup_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_embedding_health — norm/degeneracy audit per label
+# ---------------------------------------------------------------------------
+
+_HEALTH_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding :: DOUBLE[], embedding :: DOUBLE[]))
+           AS nrm,
+         CAST(len(embedding) AS INT) AS dim
+  FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MAX(dim) AS INT) AS dim,
+       ROUND(MIN(nrm), 6) AS norm_min,
+       ROUND(AVG(nrm), 6) AS norm_mean,
+       ROUND(MAX(nrm), 6) AS norm_max,
+       ROUND(STDDEV_POP(nrm) / AVG(nrm), 6) AS norm_cv,
+       CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate
+FROM n GROUP BY label
+"""
+
+
+@register("sim_embedding_health", _HEALTH_SQL)
+def sim_embedding_health(spark, sf_dir):
+    """Embedding health audit per label: L2-norm distribution
+    (min/mean/max and the coefficient of variation — cosine
+    retrieval silently becomes dot-product retrieval when norms
+    spread, so norm_cv is the number an ANN pipeline alarms on) plus
+    degenerate near-zero vectors (a broken encoder's signature; a
+    zero vector makes cosine undefined and poisons centroids). Run
+    BEFORE building any index over sim_*'s corpus — every downstream
+    operator here assumes these invariants.
+
+    Shape: one map-side norm fold (the dimension-sequential dot both
+    engines share), one per-label aggregate; nothing
+    corpus-squared."""
+    from stockify_spark.llm.similarity import dot
+
+    n = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.max("dim").cast("int").alias("dim"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.avg("nrm"), 6).alias("norm_mean"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+        F.round(F.stddev_pop("nrm") / F.avg("nrm"), 6).alias("norm_cv"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0)).cast("bigint").alias(
+            "n_degenerate"
+        ),
+    )

@@ -1,0 +1,62 @@
+"""Pins for the round-13 pipeline-health wave (registry_ext103)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_impact_consistent_with_dedup_exact(spark):
+    from stockify_spark.llm.dedup import exact_dedup
+    from stockify_spark.registry import _t
+    from stockify_spark.registry_ext103 import pipeline_dedup_impact
+
+    docs = _t(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    groups = Counter(r.text for r in docs)
+    toks = {}
+    for r in docs:
+        toks[r.text] = len(r.text.split(" "))
+    got = pipeline_dedup_impact(spark, SF_SMOKE).collect()[0]
+    assert got.docs_before == len(docs)
+    assert got.docs_after == len(groups)
+    assert got.docs_removed == len(docs) - len(groups)
+    assert got.tokens_before == sum(groups[t] * toks[t] for t in groups)
+    assert got.tokens_after == sum(toks[t] for t in groups)
+    assert got.largest_dup_group == max(groups.values())
+    assert abs(got.doc_dup_ratio - (1 - len(groups) / len(docs))) < 1e-6
+    # relationship with the operator it predicts: exact_dedup
+    # fingerprints NORMALIZED text, which can only merge MORE than
+    # raw-text equality — its keeper count is bounded by docs_after
+    kept = exact_dedup(
+        _t(spark, SF_SMOKE, "documents"), "text", "doc_id"
+    ).count()
+    assert kept <= got.docs_after
+
+
+def test_embedding_health_matches_numpy(spark):
+    import numpy as np
+
+    from stockify_spark.registry import _t
+    from stockify_spark.registry_ext103 import sim_embedding_health
+
+    by_label = defaultdict(list)
+    for r in _t(spark, SF_SMOKE, "embeddings").collect():
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    got = {r.label: r for r in sim_embedding_health(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        norms = [float(np.sqrt(v @ v)) for v in vecs]
+        g = got[lab]
+        assert g.n_vecs == len(vecs) and g.dim == 64
+        assert abs(g.norm_min - min(norms)) < 1e-5
+        assert abs(g.norm_max - max(norms)) < 1e-5
+        mean = sum(norms) / len(norms)
+        assert abs(g.norm_mean - mean) < 1e-5
+        sd = math.sqrt(sum((x - mean) ** 2 for x in norms) / len(norms))
+        assert abs(g.norm_cv - sd / mean) < 1e-5
+        assert g.n_degenerate == sum(1 for x in norms if x < 1e-6)
+        # health invariants this corpus satisfies (an index build
+        # would assert exactly these)
+        assert g.n_degenerate == 0 and g.norm_min > 0
