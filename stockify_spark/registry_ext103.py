@@ -132,3 +132,70 @@ def sim_embedding_health(spark, sf_dir):
             "n_degenerate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_cohens_d — effect size for the click-vs-view comparison
+# ---------------------------------------------------------------------------
+
+_COHEN_SQL = """
+WITH s AS (SELECT
+  AVG(CASE WHEN event_type = 'click' THEN value END) AS m1,
+  AVG(CASE WHEN event_type = 'view' THEN value END) AS m2,
+  VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v1,
+  VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS v2,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n1,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n2
+ FROM events),
+d AS (SELECT n1, n2,
+             (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+               AS d
+      FROM s)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(d, 6) AS cohens_d,
+       ROUND(d * (1 - 3 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+       ROUND(sqrt((n1 + n2) / (n1 * n2) + d * d / (2 * (n1 + n2))), 6)
+         AS se_d
+FROM d
+"""
+
+
+@register("stats_cohens_d", _COHEN_SQL)
+def stats_cohens_d(spark, sf_dir):
+    """Cohen's d for the click-vs-view value comparison — the EFFECT
+    SIZE stats_ttest's significance doesn't give (the same
+    complement relationship as stats_cramers_v to stats_chi2):
+    pooled-SD standardized mean difference, the small-sample Hedges'
+    g correction (×(1 − 3/(4N−9))), and the standard error of d for
+    interval construction. One conditional-aggregate scan; scalar
+    arithmetic after.
+
+    Shape: single scan, one reduce — the stats_ttest shape with a
+    different numerator."""
+    click = F.col("event_type") == "click"
+    view = F.col("event_type") == "view"
+    s = _t(spark, sf_dir, "events").agg(
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.avg(F.when(view, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(click, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(view, F.col("value"))).alias("v2"),
+        F.count(F.when(click, 1)).cast("double").alias("n1"),
+        F.count(F.when(view, 1)).cast("double").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = (F.col("m1") - F.col("m2")) / F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    dd = s.select("n1", "n2", d.alias("d"))
+    return dd.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(F.col("d"), 6).alias("cohens_d"),
+        F.round(F.col("d") * (1 - 3 / (4 * (n1 + n2) - 9)), 6).alias("hedges_g"),
+        F.round(
+            F.sqrt(
+                (n1 + n2) / (n1 * n2) + F.col("d") * F.col("d") / (2 * (n1 + n2))
+            ),
+            6,
+        ).alias("se_d"),
+    )

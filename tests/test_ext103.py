@@ -60,3 +60,32 @@ def test_embedding_health_matches_numpy(spark):
         # health invariants this corpus satisfies (an index build
         # would assert exactly these)
         assert g.n_degenerate == 0 and g.norm_min > 0
+
+
+def test_cohens_d_matches_python_and_g_shrinks(spark):
+    from stockify_spark.registry import _t
+    from stockify_spark.registry_ext103 import stats_cohens_d
+
+    rows = _t(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    a = [r.value for r in rows if r.event_type == "click"]
+    b = [r.value for r in rows if r.event_type == "view"]
+
+    def mean(x):
+        return sum(x) / len(x)
+
+    def var_s(x):
+        m = mean(x)
+        return sum((v - m) ** 2 for v in x) / (len(x) - 1)
+
+    n1, n2 = len(a), len(b)
+    pooled = ((n1 - 1) * var_s(a) + (n2 - 1) * var_s(b)) / (n1 + n2 - 2)
+    d = (mean(a) - mean(b)) / math.sqrt(pooled)
+    got = stats_cohens_d(spark, SF_SMOKE).collect()[0]
+    assert (got.n1, got.n2) == (n1, n2)
+    assert abs(got.cohens_d - d) < 1e-5
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    assert abs(got.hedges_g - g) < 1e-5
+    # Hedges' correction SHRINKS toward zero, never past it
+    assert abs(got.hedges_g) <= abs(got.cohens_d)
+    assert got.hedges_g * got.cohens_d >= 0
+    assert got.se_d > 0
