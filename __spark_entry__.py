@@ -54,6 +54,7 @@ _PRIORITY = [
     'orders_price_elasticity', 'stats_odds_ratio_mh', 'window_downsample_m4',
     'fn_business_days', 'stats_cronbach_alpha', 'stats_icc',
     'pipeline_dedup_impact', 'sim_embedding_health', 'stats_cohens_d',
+    'stats_bland_altman',
     'txlog_partitioned', 'txlog_partitioned_compact', 'stream_cusum_alarm',
     'media_gif_decode', 'media_adpcm_roundtrip', 'graph_label_propagation',
     'graph_katz_centrality', 'ml_gbt_two_stumps', 'ml_lda_fisher',

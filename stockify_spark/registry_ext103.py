@@ -199,3 +199,78 @@ def stats_cohens_d(spark, sf_dir):
             6,
         ).alias("se_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_bland_altman — limits of agreement
+# ---------------------------------------------------------------------------
+
+_BA_SQL = """
+WITH p AS (
+  SELECT value AS x, LAG(value) OVER w AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+d AS (SELECT x - y AS diff FROM p WHERE y IS NOT NULL),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(diff) AS bias,
+             STDDEV_SAMP(diff) AS sd
+      FROM d)
+SELECT n,
+       ROUND(bias, 6) AS bias,
+       ROUND(sd, 6) AS sd_diff,
+       ROUND(bias - 1.96 * sd, 6) AS loa_lower,
+       ROUND(bias + 1.96 * sd, 6) AS loa_upper,
+       ROUND((SELECT CAST(SUM(CASE WHEN diff >= bias - 1.96 * sd
+                                    AND diff <= bias + 1.96 * sd
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+              FROM d CROSS JOIN s), 6) AS frac_within
+FROM s
+"""
+
+
+@register("stats_bland_altman", _BA_SQL)
+def stats_bland_altman(spark, sf_dir):
+    """Bland-Altman limits of agreement on the consecutive-pair
+    differences stats_lin_ccc correlates: bias (mean difference),
+    SD of differences, the 95% limits bias ± 1.96·SD, and the
+    observed fraction of pairs inside them (≈0.95 when differences
+    are near-normal — the check Bland & Altman 1986 prescribe before
+    trusting the limits). Completes the method-comparison trio: CCC
+    scores agreement, Deming fits it, Bland-Altman BOUNDS it.
+
+    Shape: one series-key window shuffle, one moment aggregate, one
+    counted second pass against the broadcast limits (the price of
+    the within-limits diagnostic)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    d = (
+        ev.select((F.col("value") - F.lag("value").over(w)).alias("diff"))
+        .filter(F.col("diff").isNotNull())
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("diff").alias("bias"),
+        F.stddev_samp("diff").alias("sd"),
+    )
+    within = d.crossJoin(F.broadcast(s)).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("diff") >= F.col("bias") - 1.96 * F.col("sd"))
+                    & (F.col("diff") <= F.col("bias") + 1.96 * F.col("sd")),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_within")
+    )
+    return s.crossJoin(within).select(
+        "n",
+        F.round("bias", 6).alias("bias"),
+        F.round("sd", 6).alias("sd_diff"),
+        F.round(F.col("bias") - 1.96 * F.col("sd"), 6).alias("loa_lower"),
+        F.round(F.col("bias") + 1.96 * F.col("sd"), 6).alias("loa_upper"),
+        "frac_within",
+    )

@@ -89,3 +89,35 @@ def test_cohens_d_matches_python_and_g_shrinks(spark):
     assert abs(got.hedges_g) <= abs(got.cohens_d)
     assert got.hedges_g * got.cohens_d >= 0
     assert got.se_d > 0
+
+
+def test_bland_altman_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from stockify_spark.registry import _t
+    from stockify_spark.registry_ext103 import stats_bland_altman
+
+    series = defaultdict(list)
+    for r in (
+        _t(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "value", F.unix_millis("ts").alias("ms"))
+        .collect()
+    ):
+        series[r.user_id].append((r.ms, r.event_id, r.value))
+    diffs = []
+    for v in series.values():
+        vals = [x[2] for x in sorted(v)]
+        diffs += [b - a for a, b in zip(vals, vals[1:])]
+    n = len(diffs)
+    bias = sum(diffs) / n
+    sd = math.sqrt(sum((d - bias) ** 2 for d in diffs) / (n - 1))
+    within = sum(1 for d in diffs if bias - 1.96 * sd <= d <= bias + 1.96 * sd) / n
+    got = stats_bland_altman(spark, SF_SMOKE).collect()[0]
+    assert got.n == n
+    assert abs(got.bias - bias) < 1e-5
+    assert abs(got.sd_diff - sd) < 1e-5
+    assert abs(got.loa_lower - (bias - 1.96 * sd)) < 1e-4
+    assert abs(got.loa_upper - (bias + 1.96 * sd)) < 1e-4
+    assert abs(got.frac_within - within) < 1e-6
+    # near-normal differences put ~95% inside the limits
+    assert 0.90 <= got.frac_within <= 0.99
