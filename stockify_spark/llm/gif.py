@@ -98,6 +98,16 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
         cur = nxt[-1:]
     if cur:
         w.write(table[cur], width)
+        # the decoder performs ONE MORE table assignment on reading
+        # this final code (the encoder assigns at emission, the
+        # decoder one code later — so here their counters meet): when
+        # that assignment lands on 2^width - 1 an early-change
+        # decoder widens BEFORE reading EOI, so the encoder must
+        # write EOI at the widened width too (r13 ADVICE item 4; the
+        # in-repo decoder masked this by exiting on n_expected, but
+        # external decoders hit it on boundary-sized streams)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     w.write(eoi, width)
     return w.flush()
 

@@ -45,7 +45,7 @@ FROM b CROSS JOIN t
 
 
 @register("orders_credit_scorecard", _WOE_SQL)
-def orders_credit_scorecard(spark, sf_dir):
+def orders_credit_scorecard(spark, sf_dir, _debug: dict | None = None):
     """Weight-of-evidence scorecard binning of total price against
     the F-status "bad" flag: 10 equal-count buckets (NTILE with the
     deterministic (x, bad) tie-break so both engines cut identical
@@ -54,20 +54,49 @@ def orders_credit_scorecard(spark, sf_dir):
     feature-screening standard (IV < 0.02 useless, > 0.3 strong).
     Counts are exact integers; only the ratios round.
 
-    Shape: one NTILE window (a single global sort over the fact —
-    the equidepth-binning cost every scorecard pays; at 100 TB the
-    same bins come from approx-quantile fences instead, the
-    agg_histogram_equidepth trade documented there), one 10-row
-    aggregate, one broadcast of the two totals."""
+    Shape (r14 rewrite, operators/ranks.py): NO full-table NTILE
+    window. Every (x, bad) group is homogeneous in the label, so
+    NTILE's per-bucket counts depend only on which global positions
+    a group's rows occupy — minrank..cum from the distinct-value
+    prefix-sum — intersected with the 10 bucket fences (exact
+    ⌈n/10⌉/⌊n/10⌋ spans from the one-row total). One parallel
+    groupBy over the fact, a |distinct|-row prefix-sum, a
+    broadcast-10-row interval-overlap join; identical counts to the
+    NTILE form (ties split across fences contribute the same label
+    either way), hash-equal to the unchanged oracle."""
+    from stockify_spark.operators.ranks import (
+        distinct_value_ranks,
+        ntile_bucket_bounds,
+    )
+
     d = _t(spark, sf_dir, "orders").select(
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
         F.col("o_totalprice").alias("x"),
     )
-    rk = d.withColumn("bucket", F.ntile(10).over(Window.orderBy("x", "bad")))
-    b = rk.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("bad").cast("double").alias("nbad"),
-        (F.count(F.lit(1)) - F.sum("bad")).cast("double").alias("ngood"),
+    g = distinct_value_ranks(
+        d.select(F.struct(F.col("x"), F.col("bad")).alias("k")), "k"
+    )
+    if _debug is not None:
+        _debug["rank_frame"] = g
+    fences = ntile_bucket_bounds(
+        spark, d.agg(F.count(F.lit(1)).cast("long").alias("n_total")), 10
+    )
+    take = (
+        F.least(F.col("cum"), F.col("b_end"))
+        - F.greatest(F.col("minrank"), F.col("b_start"))
+        + 1
+    )
+    ov = g.join(
+        F.broadcast(fences),
+        (F.col("minrank") <= F.col("b_end"))
+        & (F.col("cum") >= F.col("b_start")),
+    ).select("bucket", F.col("k.bad").alias("bad"), take.alias("take"))
+    b = ov.groupBy("bucket").agg(
+        F.sum("take").cast("double").alias("n"),
+        F.sum(F.col("take") * F.col("bad")).cast("double").alias("nbad"),
+        (F.sum("take") - F.sum(F.col("take") * F.col("bad")))
+        .cast("double")
+        .alias("ngood"),
     )
     t = b.agg(F.sum("nbad").alias("tbad"), F.sum("ngood").alias("tgood"))
     pg = F.col("ngood") / F.col("tgood")
@@ -117,7 +146,7 @@ FROM s
 
 
 @register("stats_gini_auc", _AUC_SQL)
-def stats_gini_auc(spark, sf_dir):
+def stats_gini_auc(spark, sf_dir, _debug: dict | None = None):
     """ROC AUC of the z-scored price against the F-status label via
     the Mann-Whitney identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with
     MIDRANKS for ties (RANK + (ties−1)/2 — the tie treatment that
@@ -128,9 +157,15 @@ def stats_gini_auc(spark, sf_dir):
     ml_confusion_metrics (one threshold) and ml_calibration_ece
     (probability quality): AUC is the threshold-FREE ranking metric.
 
-    Shape: one moment broadcast, one global rank (the sort every
-    exact AUC pays — at 100 TB the same identity runs on
-    approx-quantile score buckets), one scalar fold."""
+    Shape (r14 rewrite, operators/ranks.py): NO full-table rank.
+    R₁ = Σ_values npos(v)·midrank(v), so one parallel
+    groupBy(score) carries the fact; the only single-partition
+    stage is the prefix-sum over the distinct 6dp-score table
+    (≤ 2M rows regardless of fact size). All sums are exact
+    half-integers in double, so the result is hash-equal to the
+    per-row rank form and the unchanged DuckDB oracle."""
+    from stockify_spark.operators.ranks import distinct_value_ranks
+
     o = _t(spark, sf_dir, "orders")
     m = o.agg(
         F.avg("o_totalprice").alias("mu"),
@@ -142,17 +177,15 @@ def stats_gini_auc(spark, sf_dir):
             "score"
         ),
     )
-    r = p.select(
-        "y",
-        F.rank().over(Window.orderBy("score")).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("ties"),
+    g = distinct_value_ranks(
+        p, "score", {"npos": F.sum("y").cast("long")}
     )
-    s = r.agg(
-        F.sum(
-            F.when(F.col("y") == 1, F.col("rnk") + (F.col("ties") - 1) / 2.0)
-        ).cast("double").alias("rsum"),
-        F.sum("y").cast("double").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("n0"),
+    if _debug is not None:
+        _debug["rank_frame"] = g
+    s = g.agg(
+        F.sum(F.col("npos") * F.col("midrank")).cast("double").alias("rsum"),
+        F.sum("npos").cast("double").alias("n1"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("double").alias("n0"),
     )
     auc = (F.col("rsum") - F.col("n1") * (F.col("n1") + 1) / 2) / (
         F.col("n1") * F.col("n0")

@@ -44,7 +44,7 @@ FROM s
 
 
 @register("stats_wilcoxon_signed_rank", _WSR_SQL)
-def stats_wilcoxon_signed_rank(spark, sf_dir):
+def stats_wilcoxon_signed_rank(spark, sf_dir, _debug: dict | None = None):
     """Wilcoxon signed-rank test on consecutive-measurement
     differences within each user's click/view series — the PAIRED
     nonparametric location test (stats_mannwhitney is the unpaired
@@ -54,8 +54,16 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
     large-sample normal score. Diffs are per-row exact; only the
     rank-sum statistics round.
 
-    Shape: one series-key window shuffle, one global rank of |d|
-    (the sort a rank test pays), one scalar fold."""
+    Shape (r14 rewrite, operators/ranks.py): the per-user lag
+    window shuffles on user_id (parallel, unchanged); the |d|
+    MIDRANK — the r13-flagged full-table global rank — now comes
+    from the distinct-|d| prefix-sum: W⁺ = Σ_values
+    npos(v)·midrank(v), so only |distinct diffs| rows cross the
+    single-partition stage. Exact-double diffs group identically on
+    both faces (the oracle already partitions by raw ad); sums are
+    exact half-integers, hash-equal to the unchanged oracle."""
+    from stockify_spark.operators.ranks import distinct_value_ranks
+
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
@@ -64,18 +72,20 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
         F.col("d").isNotNull() & (F.col("d") != 0)
     )
     nz = p.withColumn("ad", F.abs("d"))
-    r = nz.select(
-        "d",
-        F.rank().over(Window.orderBy("ad")).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("ad")).alias("ties"),
+    g = distinct_value_ranks(
+        nz,
+        "ad",
+        {
+            "npos": F.sum(
+                F.when(F.col("d") > 0, 1).otherwise(0)
+            ).cast("long")
+        },
     )
-    s = r.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(
-            F.when(F.col("d") > 0, F.col("rnk") + (F.col("ties") - 1) / 2.0).otherwise(
-                0.0
-            )
-        ).alias("wplus"),
+    if _debug is not None:
+        _debug["rank_frame"] = g
+    s = g.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.col("npos") * F.col("midrank")).alias("wplus"),
     )
     n, wplus = F.col("n"), F.col("wplus")
     return s.select(

@@ -370,11 +370,20 @@ def stats_spearman(spark, sf_dir):
     ties - 1) are INTEGERS, so every accumulated sum (sx, sxy <=
     ~3.2e13) is exact in double and engine sum order cannot drift;
     rho is then one deterministic Pearson formula over six exact
-    scalars, rho being invariant to the x2 rank scaling. Two rank
-    sorts + one agg; heavy p_size tie groups (~50 distinct sizes
-    over 20k rows) are exactly what average-ranking is for."""
-    from pyspark.sql import Window
+    scalars, rho being invariant to the x2 rank scaling. Heavy
+    p_size tie groups (~50 distinct sizes over 20k rows) are
+    exactly what average-ranking is for.
+
+    Shape (r14 rewrite, operators/ranks.py): the two global rank
+    windows became distinct-value prefix-sums — the doubled average
+    rank 2·RANK + ties − 1 = 2·minrank + cnt − 1 is a per-VALUE
+    constant, so each axis ranks its distinct-value table
+    (single-partition stage bounded by value cardinality, ~cents
+    for price / ~50 for size) and joins back by value: two parallel
+    equi-joins instead of two full-table sorts."""
     from pyspark.sql import functions as F
+
+    from stockify_spark.operators.ranks import distinct_value_ranks
 
     base = (
         _t(spark, sf_dir, "part")
@@ -385,14 +394,19 @@ def stats_spearman(spark, sf_dir):
         )
     )
 
-    def dranks(col):
-        return (
-            2 * F.rank().over(Window.orderBy(col))
-            + F.count(F.lit(1)).over(Window.partitionBy(col))
-            - 1
-        ).cast("double")
+    def drank_table(col):
+        return distinct_value_ranks(base.select(col), col).select(
+            col,
+            (2 * F.col("minrank") + F.col("cnt") - 1)
+            .cast("double")
+            .alias("r" + col[0]),
+        )
 
-    ranked = base.select(dranks("xv").alias("rx"), dranks("yv").alias("ry"))
+    ranked = (
+        base.join(drank_table("xv"), "xv")
+        .join(drank_table("yv"), "yv")
+        .select("rx", "ry")
+    )
     s = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rx").alias("sx"),

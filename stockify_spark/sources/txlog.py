@@ -948,6 +948,60 @@ def _read_partitioned(
     return out
 
 
+def _normalize_partition_equals(
+    path: str, equals: dict, version: int | None = None
+) -> dict:
+    """Caller-supplied partition predicate -> the exact strings
+    Spark's hive writer recorded in partitionValues. ``str(v)`` alone
+    is wrong for booleans (directories say "true"/"false" while
+    str(True) is "True" — r13 ADVICE item 3) and unreliable for
+    float/decimal/timestamp/date formatting, where a formatting
+    mismatch would silently return an EMPTY result instead of the
+    partition. Booleans are normalized through the recorded type;
+    the float/temporal types must be passed as the stored directory
+    string (take one from :func:`partition_files`) — anything else
+    raises loudly instead of matching nothing."""
+    part = _partitioning(path, version)
+    if part is None:
+        raise ValueError(f"table at {path} is not partitioned")
+    unknown = [k for k in equals if k not in part["cols"]]
+    if unknown:
+        raise ValueError(f"not partition columns: {unknown}")
+    types = part.get("types", {})
+    want: dict[str, str | None] = {}
+    for k, v in equals.items():
+        typ = types.get(k, "string")
+        if v is None:
+            want[k] = None
+        elif typ == "boolean":
+            if isinstance(v, bool):
+                want[k] = "true" if v else "false"
+            elif isinstance(v, str) and v.lower() in ("true", "false"):
+                want[k] = v.lower()
+            else:
+                raise ValueError(
+                    f"{v!r} is not a boolean partition value for {k!r}"
+                )
+        elif isinstance(v, bool):
+            raise ValueError(
+                f"boolean value for non-boolean partition column {k!r} "
+                f"(recorded type {typ})"
+            )
+        elif typ in ("float", "double") or typ.startswith(
+            ("decimal", "timestamp", "date")
+        ):
+            if not isinstance(v, str):
+                raise ValueError(
+                    f"pass {typ} partition values for {k!r} as the stored "
+                    f"directory string (see partition_files) — "
+                    f"{type(v).__name__} does not round-trip str() reliably"
+                )
+            want[k] = v
+        else:
+            want[k] = str(v)
+    return want
+
+
 def snapshot_partition_pruned(
     spark: SparkSession,
     path: str,
@@ -964,10 +1018,7 @@ def snapshot_partition_pruned(
     part = _partitioning(path, version)
     if part is None:
         raise ValueError(f"table at {path} is not partitioned")
-    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
-    unknown = [k for k in want if k not in part["cols"]]
-    if unknown:
-        raise ValueError(f"not partition columns: {unknown}")
+    want = _normalize_partition_equals(path, equals, version)
     adds = [
         a
         for a in _live_adds(path, version)
@@ -1005,7 +1056,7 @@ def compact_partition(
         raise ValueError(
             f"compact_partition needs the FULL partition key {part['cols']}"
         )
-    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
+    want = _normalize_partition_equals(path, equals)
     adds = [
         a
         for a in _live_adds(path)
@@ -1041,7 +1092,7 @@ def compact_partition(
 def partition_files(path: str, equals: dict, version: int | None = None) -> list[str]:
     """The file list a partition-pruned read would open — the
     observability hook tests and benchmarks assert IO bounds on."""
-    want = {k: (None if v is None else str(v)) for k, v in equals.items()}
+    want = _normalize_partition_equals(path, equals, version)
     return [
         a["path"]
         for a in _live_adds(path, version)
@@ -2743,7 +2794,22 @@ def append_idempotent(
         return current_version(path)
     _validate_constraints(df, path)
     _reject_tombstoned(df, path)
-    actions = _write_data_files(_to_physical(df, _mapping(path)), path)
+    # partitioned tables route through the partitioned writer exactly
+    # like append() — without this, a streaming sink pointed at a
+    # partitioned table would commit partition-LESS adds that every
+    # pruned read silently misses (r13 ADVICE item 1)
+    part = _partitioning(path)
+    if part is not None:
+        missing = [c for c in part["cols"] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append_idempotent missing partition columns: {missing}"
+            )
+        actions = _write_data_files_partitioned(
+            _to_physical(df, _mapping(path)), path, part["cols"]
+        )
+    else:
+        actions = _write_data_files(_to_physical(df, _mapping(path)), path)
     actions.append({"txn": {"app": app_id, "version": int(txn_version)}})
     return _commit(path, actions)
 
@@ -2904,7 +2970,24 @@ def commit_multi(
         os.makedirs(_data_dir(path), exist_ok=True)
         _validate_constraints(df, path)
         _reject_tombstoned(df, path)
-        actions = _write_data_files(_to_physical(df, _mapping(path)), path)
+        # same partitioned-table routing as append()/append_idempotent:
+        # a partitioned member of a multi-table transaction must stage
+        # adds that carry partitionValues (r13 ADVICE item 2)
+        part = _partitioning(path)
+        if part is not None:
+            missing = [c for c in part["cols"] if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"commit_multi missing partition columns for "
+                    f"{path}: {missing}"
+                )
+            actions = _write_data_files_partitioned(
+                _to_physical(df, _mapping(path)), path, part["cols"]
+            )
+        else:
+            actions = _write_data_files(
+                _to_physical(df, _mapping(path)), path
+            )
         entries.append({"table": os.path.abspath(path), "actions": actions})
     # phase 2: publish the manifest — THE atomic commit point
     tmp = os.path.join(mdir, f".{mid}.tmp")

@@ -49,6 +49,33 @@ def test_lzw_small_code_size():
     assert lzw_decode(lzw_encode(data, 2), 2, len(data)) == data
 
 
+def test_lzw_eoi_at_widen_boundary():
+    # r13 ADVICE item 4: when the decoder's table assignment for the
+    # FINAL data code lands on 2^width - 1, an early-change decoder
+    # widens before reading EOI; a pre-fix encoder wrote EOI at the
+    # old width. LSB-first zero padding masks that except when the
+    # widened read crosses into a byte the encoder never flushed —
+    # this 295-pixel stream (found by search) puts the pre-widen EOI
+    # flush exactly at a byte boundary, so the pre-fix encoder's
+    # output raises "LZW bitstream truncated" in a conforming
+    # decoder. Asking for MORE pixels than exist forces the decoder
+    # to actually read EOI instead of exiting on count.
+    data = bytes(
+        int(c)
+        for c in "2023223313023000132200310312110103201100010232311233122031"
+        "2033030133013301010013111330020121320021123202232123213011001210"
+        "0333002103001220020002211223120120320001232123033322302001032133"
+        "1030330120230030232020322001031102011011333130022331020002003100"
+        "303022200102110012203010202120002032031"
+    )
+    enc = lzw_encode(data, 2)
+    assert lzw_decode(enc, 2, len(data) + 1) == data
+    assert lzw_decode(enc, 2, len(data)) == data
+    # cheap sibling: a 2-pixel stream whose final assignment also
+    # lands on the widen boundary (7 = 2^3 - 1)
+    assert lzw_decode(lzw_encode(b"\x00\x01", 2), 2, 3) == b"\x00\x01"
+
+
 # ---------------------------------------------------------------------------
 # GIF container
 # ---------------------------------------------------------------------------

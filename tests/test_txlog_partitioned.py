@@ -220,3 +220,126 @@ def test_compact_partition_sort_by_rejects_partition_columns(spark, ptable):
         txlog.compact_partition(
             spark, path, {"bucket": 1, "grp": "g1"}, sort_by="bucket"
         )
+
+
+# ---------------------------------------------------------------------------
+# r13 ADVICE items 1-3: partitioned routing for the idempotent /
+# multi-table writers, and typed partition-value normalization
+# ---------------------------------------------------------------------------
+
+
+def test_append_idempotent_routes_partition_values(spark, ptable):
+    """A streaming sink (append_idempotent / foreach_batch_sink)
+    pointed at a partitioned table must stage adds WITH
+    partitionValues — pre-fix it committed partition-less files that
+    every pruned read silently missed."""
+    path, exp, _ = ptable
+    batch = spark.range(200, 220).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+    )
+    txlog.append_idempotent(batch.coalesce(1), path, "app1", 0)
+    # every live add carries the full partition key
+    for a in txlog._live_adds(path):
+        assert set(a.get("partitionValues", {})) == {"bucket", "grp"}
+    # pruned read sees the new rows
+    pr = txlog.snapshot_partition_pruned(spark, path, {"bucket": 1, "grp": "g1"})
+    got = sorted(r.id for r in pr.collect() if r.id >= 200)
+    want = sorted(
+        r.id for r in batch.collect() if r.bucket == 1 and r.grp == "g1"
+    )
+    assert got == want and len(want) > 0
+    # snapshot reconstitutes typed partition columns, no nulls
+    snap = txlog.snapshot(spark, path)
+    assert snap.filter(F.col("bucket").isNull()).count() == 0
+    # replayed batch is still a no-op
+    v = txlog.current_version(path)
+    txlog.append_idempotent(batch.coalesce(1), path, "app1", 0)
+    assert txlog.current_version(path) == v
+    # missing partition columns raise instead of committing
+    with pytest.raises(ValueError, match="partition columns"):
+        txlog.append_idempotent(
+            spark.range(300, 301).select("id"), path, "app1", 1
+        )
+
+
+def test_commit_multi_routes_partition_values(spark, ptable):
+    """A partitioned member of a multi-table transaction stages adds
+    with partitionValues (pre-fix: silent partition-less adds)."""
+    path, exp, _ = ptable
+    root = tempfile.mkdtemp(prefix="mtxn_")
+    plain = os.path.join(root, "plain")
+    batch_p = spark.range(500, 510).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+    )
+    batch_u = spark.range(0, 5).select("id")
+    txlog.commit_multi(
+        [(batch_p.coalesce(1), path), (batch_u.coalesce(1), plain)], root
+    )
+    # all live adds on the partitioned table carry the key
+    for a in txlog._live_adds(path):
+        assert set(a.get("partitionValues", {})) == {"bucket", "grp"}
+    snap = txlog.snapshot(spark, path)
+    assert snap.filter(F.col("id") >= 500).count() == 10
+    assert snap.filter(F.col("bucket").isNull()).count() == 0
+    assert txlog.snapshot(spark, plain).count() == 5
+    # partitioned member missing its key raises in phase 1 (nothing
+    # staged to either table's log)
+    v_p = txlog.current_version(path)
+    v_u = txlog.current_version(plain)
+    with pytest.raises(ValueError, match="partition columns"):
+        txlog.commit_multi(
+            [(spark.range(900, 901).select("id"), path)], root
+        )
+    assert txlog.current_version(path) == v_p
+    assert txlog.current_version(plain) == v_u
+
+
+def test_boolean_partition_values_normalize(spark):
+    """equals={"flag": True} must match Spark's hive directory
+    booleans ("true"/"false"), not str(True)="True" — pre-fix the
+    pruned read silently returned an empty result."""
+    path = os.path.join(tempfile.mkdtemp(prefix="pbool_"), "t")
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2 == 0).alias("flag")
+    )
+    txlog.create_partitioned(df.coalesce(1), path, ["flag"])
+    stored = {
+        a["partitionValues"]["flag"] for a in txlog._live_adds(path)
+    }
+    assert stored == {"true", "false"}
+    pr = txlog.snapshot_partition_pruned(spark, path, {"flag": True})
+    assert sorted(r.id for r in pr.collect()) == list(range(0, 20, 2))
+    # string forms normalize case-insensitively
+    assert len(txlog.partition_files(path, {"flag": "False"})) == 1
+    # non-boolean junk raises instead of matching nothing
+    with pytest.raises(ValueError, match="boolean"):
+        txlog.partition_files(path, {"flag": "yes"})
+    # compaction actually fires on the boolean key (pre-fix: no-op)
+    txlog.append(df.filter(F.col("flag")).coalesce(1), path)
+    v = txlog.current_version(path)
+    txlog.compact_partition(spark, path, {"flag": True})
+    assert txlog.current_version(path) == v + 1
+    assert len(txlog.partition_files(path, {"flag": True})) == 1
+
+
+def test_float_partition_values_require_stored_strings(spark):
+    """Float/temporal partition values don't round-trip str()
+    reliably — non-string input raises loudly (r13 ADVICE item 3)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="pflt_"), "t")
+    df = spark.range(0, 6).select(
+        "id", (F.col("id") % 2).cast("double").alias("x")
+    )
+    txlog.create_partitioned(df.coalesce(1), path, ["x"])
+    with pytest.raises(ValueError, match="directory string"):
+        txlog.partition_files(path, {"x": 1.0})
+    stored = sorted(
+        a["partitionValues"]["x"] for a in txlog._live_adds(path)
+    )
+    assert len(txlog.partition_files(path, {"x": stored[0]})) == 1
+    # boolean value against a non-boolean column raises
+    with pytest.raises(ValueError, match="non-boolean"):
+        txlog.partition_files(path, {"x": True})
