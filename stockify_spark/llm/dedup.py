@@ -93,7 +93,7 @@ def _rotl(c, i: int):
 
 
 def _signatures_from_base(base: DataFrame, num_hashes: int) -> DataFrame:
-    """(_id, _sig) from a persisted (_id, _sh) base: explode → two
+    """(_id, _sig) from a materialized (_id, _sh) base: explode → two
     xxhash64 per shingle → XOR-rotate derivation of ``num_hashes``
     near-independent hashes (bit ops only — a multiply-based
     Kirsch-Mitzenmacher scheme overflows under ANSI mode) → map-side
@@ -187,10 +187,19 @@ def minhash_lsh_pairs_seeded(
     # (single-file scans serialize the expensive map; no-op at scale)
     from stockify_spark.functions.scale import spread_small_scan
 
-    base = (
+    # _materialize, NOT DataFrame.persist: persist() registers a
+    # CacheManager entry keyed on the logical plan with no unpersist
+    # hook here — repeat invocations silently REUSE the cached
+    # intermediate (the timed iteration no longer recomputes from the
+    # source), and across a many-query session the pinned entries
+    # accumulate until storage eviction thrash (r14 measured: the
+    # persist-family bench rows read 3-6x their solo probes while the
+    # localCheckpoint-family rows matched theirs). localCheckpoint
+    # blocks are ContextCleaner-reclaimed on GC and never shared
+    # across invocations.
+    base = _materialize(
         spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", shingles(text_col, k).alias("_sh"))
-        .persist()
     )
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     hv = F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % MINHASH_P
@@ -201,7 +210,8 @@ def minhash_lsh_pairs_seeded(
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
     )
-    banded = (
+    # _materialize, not persist (see the base comment above)
+    banded = _materialize(
         sig.select(
             "_id",
             F.explode(
@@ -217,9 +227,7 @@ def minhash_lsh_pairs_seeded(
                     ]
                 )
             ).alias("band"),
-        )
-        .select("_id", "band.band_id", "band.band_key")
-        .persist()
+        ).select("_id", "band.band_id", "band.band_key")
     )
     cand = (
         banded.select(F.col("_id").alias("id_a"), "band_id", "band_key")
@@ -276,16 +284,21 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
 
     # the shingle base feeds the signature pipeline AND both sides of
-    # the verification join — persist it once (cf. ngram_jaccard_pairs)
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).persist()
+    # the verification join — materialize it once. _materialize, not
+    # persist (CacheManager pinning / cross-invocation reuse — see
+    # minhash_lsh_pairs_seeded's base comment); spread first (ditto)
+    base = _materialize(
+        _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles(text_col, k).alias("_sh"))
+    )
     sig = _signatures_from_base(base, num_hashes)
 
-    # persisted: BOTH sides of the candidate self-join read this plan,
-    # and without the persist the whole explode→hash→min-agg signature
+    # materialized: BOTH sides of the candidate self-join read this
+    # plan, and without it the whole explode→hash→min-agg signature
     # pipeline executes twice. (id, band_id, band_hash) is the slim
     # banded index — at warehouse scale this is the LSH index table
     # you would materialize to storage.
-    banded = (
+    banded = _materialize(
         sig.select(
             "_id",
             F.explode(
@@ -299,9 +312,7 @@ def minhash_lsh_pairs(
                     ]
                 )
             ).alias("band"),
-        )
-        .select("_id", "band.band_id", "band.band_hash")
-        .persist()
+        ).select("_id", "band.band_id", "band.band_hash")
     )
 
     cand = (
@@ -347,12 +358,17 @@ def ngram_jaccard_pairs(
     window rank, both keyed on naturally-spread hash keys.
     """
     # base and prefix feed multiple downstream branches (self-join
-    # sides + verification); persist them or the shingle pipeline is
-    # re-evaluated once per branch. At warehouse scale this persist is
-    # the materialized shingle/prefix index you would write to storage.
-    base = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")
-    ).persist()
+    # sides + verification); materialize them or the shingle pipeline
+    # is re-evaluated once per branch (_materialize, not persist — the
+    # minhash_lsh_pairs base comment). At warehouse scale this is the
+    # materialized shingle/prefix index you would write to storage.
+    # spread before shingling: the per-doc regex split + k-gram build
+    # is the expensive serial map, and a single-row-group scan arrives
+    # in one partition (no-op at warehouse scale — see functions/scale)
+    base = _materialize(
+        _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles(text_col, k).alias("_sh"))
+    )
     inv = base.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
 
     # document frequency: groupBy + join-back, NOT a count window over
@@ -372,9 +388,11 @@ def ngram_jaccard_pairs(
             W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle"))
         ),
     )
-    prefix = ranked.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "_n", "_pos", "shingle").persist()
+    prefix = _materialize(
+        ranked.filter(
+            F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        ).select("_id", "_n", "_pos", "shingle")
+    )
 
     # overlap needed for J >= t: O >= ceil(t/(1+t) * (|A|+|B|))
     minoverlap = F.ceil(
@@ -454,10 +472,11 @@ def shingle_containment_pairs(
     never generate candidates and the join stays bounded by
     sum-of-prefix-df, the same bound ngram_jaccard_pairs carries.
     """
-    base = (
-        df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh"))
+    # spread before shingling (see ngram_jaccard_pairs)
+    base = _materialize(
+        _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles(text_col, k).alias("_sh"))
         .filter(F.size("_sh") > 0)
-        .persist()
     )
     inv = base.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
@@ -473,10 +492,41 @@ def shingle_containment_pairs(
     )
     probe = ranked.filter(
         F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select(F.col("_id").alias("_ida"), "shingle")
+    ).select(
+        F.col("_id").alias("_ida"),
+        F.col("_n").alias("_npr"),
+        F.col("_pos").alias("_posa"),
+        "shingle",
+    )
+    # container side carries its df-sorted position too: both lists
+    # are sorted by the SAME global (_df asc, shingle) order, so for
+    # the candidate's match at (posa, posb) every other common
+    # shingle sits after BOTH positions, bounding the reachable
+    # overlap by 1 + min(|A|-posa, |B|-posb). Requiring that bound
+    # >= ceil(t*|A|) (plus the |B| >= ceil(t*|A|) length bound —
+    # containment needs t*|A| shingles INSIDE B) prunes candidates
+    # whose only matches are late/frequent shingles with recall
+    # exactly 1.0: if C(A,B) >= t, A's FIRST common shingle passes
+    # the bound, so the pair survives the pre-distinct filter
+    # (guide §3.3 — prune the join's output before the expensive
+    # array_intersect verify; r14 measured 693k -> 462k candidates)
+    need = F.ceil(F.lit(threshold) * F.col("_npr"))
     cand = (
-        probe.join(inv.select(F.col("_id").alias("_idb"), "shingle"), "shingle")
+        probe.join(
+            ranked.select(
+                F.col("_id").alias("_idb"),
+                F.col("_n").alias("_nb"),
+                F.col("_pos").alias("_posb"),
+                "shingle",
+            ),
+            "shingle",
+        )
         .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.col("_nb") >= need)
+        .filter(
+            F.least(F.col("_npr") - F.col("_posa"), F.col("_nb") - F.col("_posb")) + 1
+            >= need
+        )
         .select("_ida", "_idb")
         .distinct()
     )

@@ -724,7 +724,15 @@ def geo_knn_suppliers(spark, sf_dir):
 
     D_LAT_BOUND = R_KM * math.radians(CELL)  # ~1111.95 km
 
-    cust = pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    # spread the single-file customer scan: everything up to the
+    # rank window's exchange — the ±k_lon cell explode, the
+    # broadcast cell join, and one haversine per candidate pair —
+    # runs INSIDE the scan stage, i.e. on ONE core for a one-row-
+    # group input (r14; the agg_countmin_sketch trig/crypto-map
+    # case, no-op at scale — see functions/scale)
+    from stockify_spark.functions.scale import spread_small_scan
+
+    cust = pts(spread_small_scan(_t(spark, sf_dir, "customer")), "c_custkey")
     sup = pts(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
         "s_suppkey",
         F.col("lat").alias("s_lat"),

@@ -292,7 +292,12 @@ def graph_modularity(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    e = pairs.where(coin % 100 < 12).persist()
+    # localCheckpoint, not persist: e feeds three consumers (degree
+    # union, m count, within filter) but persist() pins a CacheManager
+    # entry per invocation with no unpersist hook — repeat invocations
+    # reuse it and a long session accumulates pinned storage (the
+    # llm/dedup.py minhash_lsh_pairs lesson, r14)
+    e = pairs.where(coin % 100 < 12).localCheckpoint()
     und = e.select(F.col("a").alias("u")).unionAll(e.select(F.col("b").alias("u")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     m = e.count()

@@ -85,12 +85,18 @@ def stats_bootstrap_ci(spark, sf_dir):
     the entire reason this bootstrap variant exists. Coverage
     calibration (the CI catching the true mean of held-out
     re-draws) is pinned statistically in tests/test_ext46.py."""
+    from stockify_spark.functions.scale import spread_small_scan
+
     d = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").alias("x"),
         F.col("o_orderkey").alias("k"),
     )
-    e = d.select(
+    # spread the single-row-group orders scan BEFORE the ×B explode:
+    # the md5-per-(row, replicate) map is B× the scan bytes in CPU,
+    # and a one-file scan otherwise runs all of it in ONE task (the
+    # agg_countmin_sketch case, functions/scale §doc; no-op at scale)
+    e = spread_small_scan(d).select(
         "pri", "x", "k",
         F.explode(F.sequence(F.lit(1), F.lit(_B))).alias("b"),
     )

@@ -582,7 +582,12 @@ def stats_permutation_test(spark, sf_dir):
         ).cast("long")
         / F.lit(4294967296.0)
     )
-    e = d.select(
+    # spread the single-row-group orders scan BEFORE the ×P explode —
+    # the md5-per-(row, replicate) map otherwise runs serially in the
+    # one scan task (the agg_countmin_sketch case; no-op at scale)
+    from stockify_spark.functions.scale import spread_small_scan
+
+    e = spread_small_scan(d).select(
         "k", "y", F.explode(F.sequence(F.lit(1), F.lit(_PERM_P))).alias("b")
     )
     flags = e.select(

@@ -44,6 +44,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floors post-shuffle partitions at
+        # minPartitionSize (default 1m). That floor only binds when a
+        # stage's TOTAL shuffle bytes < cores x 1MB — i.e. slim
+        # id-only shuffles whose downstream map work is CPU-dense
+        # (the dedup verify joins: 2MB of candidate ids coalesced to
+        # ONE partition serialized 125k array_intersects onto one
+        # core; r14 measured 18.1s -> 3.3s on dedup_ngram_jaccard).
+        # At production scale partitions are >> 1MB and the value is
+        # inert; parameterized for operators who want the 1m default.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Explicit LTZ default: under TIMESTAMP_NTZ, cast-to-"timestamp"
         # and timestamp literals silently resolve NTZ, which epoch
