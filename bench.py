@@ -328,6 +328,13 @@ DEFERRED_ORACLES = {
     "pipeline_containment_dedup",
     "geo_knn_suppliers",
     "window_dist_stats",
+    # r14: the two remaining multi-second oracles (13 s and ~10 s
+    # DuckDB medians). Reproduced: a 12 s duck burn immediately
+    # before a Spark iteration inflated dedup_minhash_lsh's next
+    # reading 2.2 s -> 5.5 s (cache/CPU pressure) — the same
+    # contamination class the deferred pass exists to remove.
+    "dedup_minhash_lsh",
+    "pipeline_contamination",
 }
 
 

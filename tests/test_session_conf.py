@@ -136,3 +136,18 @@ def test_representative_queries_execute_under_ansi_mode(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert not fails, fails
+
+
+def test_factory_lowers_aqe_coalesce_floor(spark):
+    """The session factory must set the AQE coalescing floor below
+    Spark's 1m default (r14): slim id-only shuffles (couple of MB)
+    feeding CPU-dense verify maps (array_intersect per candidate
+    pair) otherwise coalesce to ONE partition and serialize the
+    verify onto one core. The floor only binds when a stage's total
+    shuffle bytes < cores x 1MB, so the lower value is inert at
+    production scale; SPARK_GRAFT_AQE_MIN_PARTITION_SIZE overrides."""
+    import os
+
+    expect = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+    got = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    assert got == expect
