@@ -18,6 +18,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__.strip().splitlines()[2].strip(), file=sys.stderr)
+        raise SystemExit(2)
     tag, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     from stockify_spark.registry import QUERIES
