@@ -40,3 +40,40 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     if n < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def spread_cpu_dense(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition of a SLIM frame whose
+    DOWNSTREAM work is CPU-dense (e.g. the dedup candidate id-pair
+    frames: a few bytes per row in, an ``array_intersect`` over two
+    shingle arrays per row out).
+
+    Why AQE cannot do this: coalescing decides partition counts from
+    shuffle BYTES (``advisoryPartitionSizeInBytes`` /
+    ``minPartitionSize``), and for these frames bytes are maximally
+    misleading — our own shuffle-slimming makes the exchange ~16
+    bytes/row while the per-row verify costs ~30 µs, so AQE packs the
+    whole stage into one or two partitions and the verify serializes
+    on one core (r14 measured dedup_ngram_jaccard 18.1 s → 3.3 s once
+    the stage was spread). The r14 session-wide fix
+    (``minPartitionSize=64k``) repaired this family but taxed every
+    sub-second query 5–10 % (more, smaller post-shuffle tasks
+    everywhere); this helper is the scoped replacement the r14
+    verdict asked for — the floor goes back to its 1m default and
+    ONLY the verify boundaries pay the explicit exchange.
+
+    Scale behavior: the repartitioned frame is ids-only, so the added
+    exchange is linear in candidate count and orders of magnitude
+    cheaper than the verify it parallelizes; at any scale the
+    byte-vs-CPU mismatch above persists (candidate bytes stay ~16/row
+    while verify cost stays per-pair), so the explicit spread is the
+    scale-correct shape, not a local[32] tuning. Unlike
+    :func:`spread_small_scan` this must NOT inspect
+    ``df.rdd.getNumPartitions()``: on a post-shuffle AQE frame that
+    would force execution of the upstream stages as a side job.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+    except Exception:
+        return df
+    return df.repartition(sc.defaultParallelism)

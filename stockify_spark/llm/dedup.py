@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stockify_spark.functions.scale import spread_cpu_dense
 from stockify_spark.functions.text import fingerprint, tokens
 
 
@@ -239,6 +240,11 @@ def minhash_lsh_pairs_seeded(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # scoped verify-boundary spread (see functions/scale.spread_cpu_dense):
+    # the exact-Jaccard verify below is broadcast-joined, so its
+    # parallelism is whatever AQE leaves this ids-only frame — bytes
+    # say "one partition", CPU says "every core"
+    cand = spread_cpu_dense(cand)
     joined = cand.join(
         base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.size("_sh").alias("_na")),
         "id_a",
@@ -323,6 +329,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # scoped verify-boundary spread (functions/scale.spread_cpu_dense)
+    cand = spread_cpu_dense(cand)
 
     joined = cand.join(
         base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
@@ -336,6 +344,20 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(inter / union, 6))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _ceil_bound(expr: Column) -> Column:
+    """``ceil`` of a threshold·size product, robust to FP double
+    rounding. The prune bounds below compare against
+    ``ceil(t * n)`` where ``t`` is a decimal like 0.6 with no exact
+    binary representation: ``0.6 * 35`` evaluates to
+    ``21.000000000000004`` and a bare ``ceil`` returns 22, silently
+    tightening the bound by 1 and pruning a boundary pair the exact
+    verify would have accepted — a recall hole the brute-force
+    oracles would eventually expose. Rounding to 9 decimals first
+    kills the ~1e-15 representation error (set sizes are far below
+    1e9, so a true fractional part can never be erased)."""
+    return F.ceil(F.round(expr, 9))
 
 
 def ngram_jaccard_pairs(
@@ -390,12 +412,12 @@ def ngram_jaccard_pairs(
     )
     prefix = _materialize(
         ranked.filter(
-            F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            F.col("_pos") <= F.col("_n") - _ceil_bound(F.lit(threshold) * F.col("_n")) + 1
         ).select("_id", "_n", "_pos", "shingle")
     )
 
     # overlap needed for J >= t: O >= ceil(t/(1+t) * (|A|+|B|))
-    minoverlap = F.ceil(
+    minoverlap = _ceil_bound(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
     )
     cand = (
@@ -406,7 +428,7 @@ def ngram_jaccard_pairs(
         # whose sizes differ by more than t can never qualify
         .filter(
             F.least(F.col("a._n"), F.col("b._n"))
-            >= F.ceil(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
+            >= _ceil_bound(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
         )
         # PPJoin positional filter: past this shared shingle, at most
         # min(remaining_a, remaining_b) + 1 shingles can still overlap
@@ -424,6 +446,10 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # scoped verify-boundary spread (functions/scale.spread_cpu_dense):
+    # the array_intersect verify below must engage every slot even
+    # though the candidate frame is only ~16 bytes/row
+    cand = spread_cpu_dense(cand)
     sh_a = base.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.size("_sh").alias("_na")
     )
@@ -464,13 +490,19 @@ def shingle_containment_pairs(
     A, so A must share a shingle with B inside A's rarest
     |A| - ceil(t*|A|) + 1 shingles (pigeonhole over the
     document-frequency-sorted order). Only the probe side A is
-    prefix-pruned; the container side B has no length bound (any
-    superset qualifies), so B contributes its FULL inverted index —
-    the standard containment-join asymmetry. Recall is exactly 1.0;
-    the oracle brute-forces all ordered pairs to prove it. At 100 TB
-    the probe prefix is rarest-first, so high-frequency shingles
-    never generate candidates and the join stays bounded by
-    sum-of-prefix-df, the same bound ngram_jaccard_pairs carries.
+    prefix-PRUNED (B contributes its full inverted index — any
+    superset qualifies — the standard containment-join asymmetry),
+    but candidates are still filtered on the B side (r14): B must
+    hold at least ceil(t*|A|) shingles (containment needs that many
+    INSIDE B), and the match position pair (posA, posB) in the shared
+    global (df, shingle) order bounds the reachable overlap by
+    1 + min(|A|-posA, |B|-posB), which must also reach ceil(t*|A|).
+    Recall is exactly 1.0 — A's FIRST common shingle with any true
+    container satisfies both bounds; the oracle brute-forces all
+    ordered pairs to prove it. At 100 TB the probe prefix is
+    rarest-first, so high-frequency shingles never generate
+    candidates and the join stays bounded by sum-of-prefix-df, the
+    same bound ngram_jaccard_pairs carries.
     """
     # spread before shingling (see ngram_jaccard_pairs)
     base = _materialize(
@@ -491,7 +523,7 @@ def shingle_containment_pairs(
         ),
     )
     probe = ranked.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_pos") <= F.col("_n") - _ceil_bound(F.lit(threshold) * F.col("_n")) + 1
     ).select(
         F.col("_id").alias("_ida"),
         F.col("_n").alias("_npr"),
@@ -510,7 +542,7 @@ def shingle_containment_pairs(
     # the bound, so the pair survives the pre-distinct filter
     # (guide §3.3 — prune the join's output before the expensive
     # array_intersect verify; r14 measured 693k -> 462k candidates)
-    need = F.ceil(F.lit(threshold) * F.col("_npr"))
+    need = _ceil_bound(F.lit(threshold) * F.col("_npr"))
     cand = (
         probe.join(
             ranked.select(
@@ -530,6 +562,8 @@ def shingle_containment_pairs(
         .select("_ida", "_idb")
         .distinct()
     )
+    # scoped verify-boundary spread (functions/scale.spread_cpu_dense)
+    cand = spread_cpu_dense(cand)
     sh_a = base.select(
         F.col("_id").alias("_ida"), F.col("_sh").alias("_sha"), F.size("_sh").alias("_na")
     )
@@ -1048,7 +1082,7 @@ def fuzzy_set_join(
         ),
     )
     prefix = ranked.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_pos") <= F.col("_n") - _ceil_bound(F.lit(threshold) * F.col("_n")) + 1
     ).select("_side", "_id", "_n", "tok")
     pl = prefix.filter(F.col("_side") == 0).drop("_side")
     pr = prefix.filter(F.col("_side") == 1).drop("_side")
@@ -1057,7 +1091,7 @@ def fuzzy_set_join(
         .join(pr.alias("b"), "tok")
         .filter(
             F.least(F.col("a._n"), F.col("b._n"))
-            >= F.ceil(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
+            >= _ceil_bound(F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")))
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -1096,7 +1130,15 @@ def _materialize(df: DataFrame) -> DataFrame:
     (pre-exchange subtrees get no ReusedExchange — without this, each
     consumer re-runs the producing scan). Durability is governed by
     :data:`REPLICATED_MATERIALIZE_CONF`; both forms cost one pass and
-    return a frame whose downstream plan is identical."""
+    return a frame whose downstream plan is identical.
+
+    The replicated mode persists with no unpersist hook — it PINS a
+    CacheManager entry per invocation and repeat invocations of the
+    same plan will silently reuse it, exactly the cross-invocation
+    reuse the default localCheckpoint path exists to avoid. It is a
+    durability escape hatch for long single-pass cluster jobs (lost-
+    executor recompute amplification), NOT for repeated-invocation
+    benchmarking; leave the conf unset anywhere timings matter."""
     try:
         replicated = (
             df.sparkSession.conf.get(REPLICATED_MATERIALIZE_CONF, "false")

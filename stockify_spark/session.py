@@ -45,17 +45,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # AQE coalescing floors post-shuffle partitions at
-        # minPartitionSize (default 1m). That floor only binds when a
-        # stage's TOTAL shuffle bytes < cores x 1MB — i.e. slim
-        # id-only shuffles whose downstream map work is CPU-dense
-        # (the dedup verify joins: 2MB of candidate ids coalesced to
-        # ONE partition serialized 125k array_intersects onto one
-        # core; r14 measured 18.1s -> 3.3s on dedup_ngram_jaccard).
-        # At production scale partitions are >> 1MB and the value is
-        # inert; parameterized for operators who want the 1m default.
+        # minPartitionSize — left at the 1m DEFAULT. r14 lowered it
+        # session-wide to 64k because slim id-only shuffles whose
+        # downstream map work is CPU-dense (the dedup verify joins:
+        # 2MB of candidate ids coalesced to ONE partition serialized
+        # 125k array_intersects onto one core) defeat AQE's byte
+        # proxy; that fixed the dedup family but taxed every
+        # sub-second query 5-10% (more, smaller post-shuffle tasks
+        # everywhere). r15 scopes the fix to the verify boundaries
+        # themselves (functions/scale.spread_cpu_dense — an explicit
+        # repartition where bytes misrepresent CPU) and restores the
+        # default here. Env hook kept for A/B measurement only.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         # Explicit LTZ default: under TIMESTAMP_NTZ, cast-to-"timestamp"

@@ -138,16 +138,32 @@ def test_representative_queries_execute_under_ansi_mode(spark):
     assert not fails, fails
 
 
-def test_factory_lowers_aqe_coalesce_floor(spark):
-    """The session factory must set the AQE coalescing floor below
-    Spark's 1m default (r14): slim id-only shuffles (couple of MB)
-    feeding CPU-dense verify maps (array_intersect per candidate
-    pair) otherwise coalesce to ONE partition and serialize the
-    verify onto one core. The floor only binds when a stage's total
-    shuffle bytes < cores x 1MB, so the lower value is inert at
-    production scale; SPARK_GRAFT_AQE_MIN_PARTITION_SIZE overrides."""
+def test_aqe_floor_default_and_scoped_verify_spread(spark):
+    """r15 scoping of the r14 AQE-floor fix: the session factory
+    leaves ``coalescePartitions.minPartitionSize`` at Spark's 1m
+    default (the 64k session-wide floor taxed every sub-second query
+    5-10%), and the dedup pair generators instead carry an EXPLICIT
+    round-robin repartition at their verify boundary — the ids-only
+    candidate frame (bytes say "one partition") feeding the CPU-dense
+    array_intersect verify (CPU says "every core"). The explicit
+    exchange must be visible in the physical plan so AQE cannot
+    coalesce the verify back onto one core."""
     import os
 
-    expect = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+    from stockify_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    expect = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m")
     got = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     assert got == expect
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3 + str(i % 7))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    for fn in (ngram_jaccard_pairs, shingle_containment_pairs):
+        plan = fn(docs, "text", "doc_id")._jdf.queryExecution().toString()
+        assert "RoundRobinPartitioning" in plan, fn.__name__
