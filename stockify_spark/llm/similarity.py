@@ -365,8 +365,18 @@ def quantize_int8(vec: Column | str, alias_scale: bool = False) -> Column:
     maxabs = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(_as_double(x)))), F.lit(1e-30)
     )
-    return F.transform(
-        v, lambda x: F.floor(_as_double(x) * 127.0 / maxabs + 0.5).cast("long")
+    # bind maxabs ONCE per row as a lambda variable: referencing the
+    # array_max reduction inside the per-element lambda re-evaluates
+    # it at every element — O(d²) per vector (higher-order-function
+    # lambdas get no cross-invocation CSE; the shingles() lesson)
+    return F.element_at(
+        F.transform(
+            F.array(maxabs),
+            lambda m: F.transform(
+                v, lambda x: F.floor(_as_double(x) * 127.0 / m + 0.5).cast("long")
+            ),
+        ),
+        1,
     )
 
 

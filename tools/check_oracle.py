@@ -21,6 +21,7 @@ sf0.01 and compares BOTH ways the driver might:
 from __future__ import annotations
 
 import math
+import os
 import sys
 from collections import Counter
 
@@ -30,7 +31,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
