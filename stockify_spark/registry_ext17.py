@@ -398,30 +398,74 @@ def agg_weighted_median(spark, sf_dir):
     l_quantity as the weight: the smallest price whose cumulative
     weight reaches half the total. The 2·cw >= tot comparison is
     INTEGER (quantities are integral), so the selection rule is
-    exact on both engines — no quantile interpolation anywhere. The
-    selection is well-defined under price ties because weights are
-    pre-grouped per (flag, price). One groupBy + one partitioned
-    running sum; the price domain per flag bounds the window
-    state."""
+    exact on both engines — no quantile interpolation anywhere.
+
+    Scale shape (r15): the direct form — groupBy(flag, price) then a
+    running sum windowed per flag — funnels the ~|distinct prices|
+    table through THREE window tasks (one per returnflag), and at
+    sf0.1 prices are near-unique (594k distinct of 600k rows), so
+    that stage is data-sized. Chunked prefix scan instead (the
+    operators/ranks.py recursion, same as stats_runs_test_chunked):
+
+      1. per-(flag, 256-wide price chunk) weight totals — the
+         partial-agg-absorbing shuffle carries ~3·|domain/256| rows
+         (~1.3k here), not |distinct prices|;
+      2. a prefix sum over THAT tiny table finds, per flag, the one
+         chunk where cumulative weight crosses tot/2, plus the exact
+         cumulative offset before it;
+      3. only that chunk's rows are re-read (broadcast fence join),
+         grouped per price, and run through the final per-flag
+         window — whose input is bounded by the PRICE DOMAIN inside
+         one chunk (≤ 25 600 cent values), not by row count.
+
+    The crossing chunk is exactly the first with 2·ccum >= tot,
+    i.e. the row with 2·ccum >= tot AND 2·(ccum − cwt) < tot
+    (cumulative weight is monotone since quantities are positive),
+    so the fence is one filter — no self-join. Within it,
+    off + running_sum equals the global cumulative weight, so the
+    selected price is identical to the direct form's."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from stockify_spark.registry import _t
 
     li = _t(spark, sf_dir, "lineitem")
-    w = li.groupBy(
-        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
-    win = Window.partitionBy("flag").orderBy("price")
-    # per-flag totals as a 3-row broadcast instead of a second
-    # (unordered) window pass over the full grouped stream — one
-    # WindowExec, not two, over the ~|distinct prices| rows
-    totals = w.groupBy("flag").agg(F.sum("wt").alias("tot"))
-    cum = w.select(
+    chunk = F.floor(F.col("l_extendedprice") / 256).cast("long")
+    wt = F.sum(F.col("l_quantity").cast("long"))
+    cst = li.groupBy(
+        F.col("l_returnflag").alias("flag"), chunk.alias("chunk")
+    ).agg(wt.alias("cwt"))
+    cwin = Window.partitionBy("flag").orderBy("chunk")
+    totals = cst.groupBy("flag").agg(F.sum("cwt").alias("tot"))
+    cc = cst.select(
+        "flag", "chunk", "cwt", F.sum("cwt").over(cwin).alias("ccum")
+    ).join(F.broadcast(totals), "flag")
+    fence = cc.filter(
+        (2 * F.col("ccum") >= F.col("tot"))
+        & (2 * (F.col("ccum") - F.col("cwt")) < F.col("tot"))
+    ).select(
+        F.col("flag").alias("mflag"),
+        F.col("chunk").alias("mchunk"),
+        (F.col("ccum") - F.col("cwt")).alias("off"),
+        "tot",
+    )
+    sl = li.join(
+        F.broadcast(fence),
+        (F.col("l_returnflag") == F.col("mflag")) & (chunk == F.col("mchunk")),
+    )
+    w2 = sl.groupBy(
+        F.col("mflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        "off",
+        "tot",
+    ).agg(wt.alias("wt"))
+    pwin = Window.partitionBy("flag").orderBy("price")
+    cum = w2.select(
         "flag",
         "price",
-        F.sum("wt").over(win).alias("cw"),
-    ).join(F.broadcast(totals), "flag")
+        "tot",
+        (F.col("off") + F.sum("wt").over(pwin)).alias("cw"),
+    )
     return (
         cum.filter(2 * F.col("cw") >= F.col("tot"))
         .groupBy("flag")

@@ -150,3 +150,75 @@ class TestRanksHelpers:
         assert covered[0][0] == 1 and covered[-1][1] == n
         for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
             assert s2 == e1 + 1
+
+
+class TestWeightedMedianChunkedPlan:
+    def test_final_window_input_is_domain_bounded(self, spark):
+        """r15: agg_weighted_median's chunked prefix scan. The
+        per-price window must consume the fence-joined single-chunk
+        slice, never the full distinct-price table: in the formatted
+        plan, every Window node's subtree must contain either only
+        the tiny per-chunk aggregate (prefix-sum over ~|domain/256|
+        rows) or a BroadcastHashJoin against the one-row-per-flag
+        fence BEFORE the parquet scan."""
+        from stockify_spark.registry_ext17 import agg_weighted_median
+
+        df = agg_weighted_median(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        win_lines = [i for i, ln in enumerate(lines) if "Window" in ln]
+        assert len(win_lines) >= 2, plan  # chunk prefix-sum + slice window
+        for i in win_lines:
+            sub = lines[i + 1 :]
+            ok = False
+            for ln in sub:
+                if "BroadcastHashJoin" in ln or "HashAggregate" in ln:
+                    ok = True
+                    break
+                if "Scan parquet" in ln or "FileScan" in ln:
+                    break
+            assert ok, f"Window over raw fact rows:\n{plan}"
+
+    def test_chunk_boundary_crossing_exact(self, spark):
+        """Synthetic fence edge: cumulative weight hits exactly tot/2
+        at the last price of a chunk — the median must be THAT price
+        (2·cw >= tot is inclusive), not the first price of the next
+        chunk. Checked against the direct window form."""
+        from pyspark.sql import Window as W
+
+        rows = [
+            # flag 'X': prices straddle the 256-chunk fence at 512
+            ("X", 300.0, 2),   # cw 2
+            ("X", 511.0, 2),   # cw 4 = tot/2 -> median price 511.0
+            ("X", 600.0, 3),
+            ("X", 700.0, 1),   # tot 8
+        ]
+        df = spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double, l_quantity int"
+        )
+        w = df.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+        win = W.partitionBy("flag").orderBy("price")
+        tot = w.groupBy("flag").agg(F.sum("wt").alias("tot"))
+        direct = (
+            w.select("flag", "price", F.sum("wt").over(win).alias("cw"))
+            .join(F.broadcast(tot), "flag")
+            .filter(2 * F.col("cw") >= F.col("tot"))
+            .groupBy("flag")
+            .agg(F.min("price").alias("p"), F.max("tot").alias("t"))
+            .collect()
+        )
+        assert direct[0].p == 511.0
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "lineitem.parquet"))
+            from stockify_spark.registry_ext17 import agg_weighted_median
+
+            got = agg_weighted_median(spark, td).collect()
+        assert len(got) == 1
+        assert got[0].weighted_median_price == 511.0
+        assert got[0].total_weight == 8
