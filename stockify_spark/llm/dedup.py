@@ -812,15 +812,24 @@ def simhash_near_dup_pairs_seeded(
             for g in range(n_groups)
         ],
     )
-    sig_expr = None
-    for b in range(n_bits):
-        g, j = b % n_groups, b // n_groups
-        ones = F.shiftrightunsigned(f"_p{g}", 15 * j).bitwiseAND(F.lit(0x7FFF))
-        term = (
-            F.when(ones * 2 > F.col("_n"), F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sig_expr = term if sig_expr is None else sig_expr + term
+    # Signature assembly as ONE constant-size higher-order aggregate
+    # instead of a 60-term chained  when(...) + when(...)  column
+    # (r15): the chained form's expression tree made Catalyst
+    # planning the dominant cost of the whole query — ~1.5-2 s of
+    # DRIVER time per fresh DataFrame (measured: plan-only 1.5 s,
+    # execution 0.7 s) — and the bench constructs the query every
+    # iteration, as any real caller would. Bit b of the signature is
+    # field ⌊b/15⌋ of packed sum _p{b%15}; majority  Σ±1 > 0  ⇔
+    # 2·ones > n. Long addition is associative, so the HOF fold
+    # equals the chained sum bit-for-bit. `>>` (arithmetic shift) is
+    # safe: packed sums are non-negative (≤4 fields × 15 bits + no
+    # sign-bit contact below 32 768 tokens/doc, the documented bound).
+    ps = F.array(*[F.col(f"_p{g}") for g in range(n_groups)])
+    sig_expr = F.expr(
+        "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + "
+        "CASE WHEN ((_ps[b % 15] >> ((b DIV 15) * 15)) & 32767) * 2 > _n "
+        "THEN shiftleft(1L, b) ELSE 0L END)"
+    )
     # One materialization barrier before the self-join: the signature
     # aggregation (explode + md5 per token + 15-way packed sum) is the
     # dominant cost of the whole query, and the band self-join's two
@@ -831,7 +840,11 @@ def simhash_near_dup_pairs_seeded(
     # entries the way DataFrame.persist would. Halves wall-clock at
     # sf0.1; at cluster scale the checkpoint is (id, int64) per doc —
     # ~16 bytes/row, trivially memory-resident.
-    sig = accs.select("_id", sig_expr.alias("_sig")).localCheckpoint()
+    sig = (
+        accs.select("_id", "_n", ps.alias("_ps"))
+        .select("_id", sig_expr.alias("_sig"))
+        .localCheckpoint()
+    )
 
     chunks = sig.select(
         "_id",

@@ -533,3 +533,61 @@ def test_jaccard_hot_shingle_correctness(spark):
         for r in ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.75).collect()
     }
     assert pairs == {(299, 1300)}
+
+
+def test_seeded_signature_hof_matches_chained_reference(spark):
+    """r15: simhash_near_dup_pairs_seeded assembles the 60-bit
+    signature with one higher-order aggregate instead of a 60-term
+    chained when-sum (the chained tree made Catalyst planning the
+    dominant cost). Pin the fold bit-for-bit against a Python
+    recomputation of the packed-field majority rule on real rows."""
+    import hashlib
+
+    from stockify_spark.llm.dedup import simhash_near_dup_pairs_seeded
+
+    texts = [
+        (0, BASE),
+        (1, NEAR),
+        (2, OTHER),
+        (3, "one"),
+        (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (5, BASE),  # exact dup of 0: hamming 0, guarantees a pair
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def md5_60(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    def sig60(text: str) -> int:
+        toks = text.strip().lower().split()
+        n = len(toks)
+        ones = [0] * 60
+        for t in toks:
+            h = md5_60(t)
+            for b in range(60):
+                ones[b] += (h >> b) & 1
+        out = 0
+        for b in range(60):
+            if 2 * ones[b] > n:
+                out |= 1 << b
+        return out
+
+    want = {i: sig60(t) for i, t in texts}
+    # reconstruct pairs the expected way: band agreement + hamming
+    def bands(s):
+        return {(c, (s >> (c * 15)) & 0x7FFF) for c in range(4)}
+
+    expected = set()
+    for i, _ in texts:
+        for j, _ in texts:
+            if i < j and bands(want[i]) & bands(want[j]):
+                d = bin(want[i] ^ want[j]).count("1")
+                if d <= 10:
+                    expected.add((i, j, d))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs_seeded(
+            df, "text", "doc_id", max_hamming=10
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
