@@ -1215,19 +1215,28 @@ def _windows_hashed(
     (sequence/transform/explode inside JVM codegen) — crucially the
     raw window TEXT never leaves the map task; only the hash enters
     downstream exchanges. This projection's schema (no string
-    column) is pinned by tests/test_dedup.py."""
-    t = tokens(text_col)
-    n = F.size(t)
-    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    column) is pinned by tests/test_dedup.py.
+
+    The token array is bound ONCE per row as a lambda variable (the
+    one-element outer ``transform`` — the shingles() idiom, r15):
+    referencing the ``tokens()`` expression inside the per-window
+    lambda re-ran the whole lower+trim+split chain at every window
+    position — O(T²) per document (HOF lambdas get no
+    cross-invocation CSE)."""
+
+    def win_structs(ts):
+        starts = F.when(
+            F.size(ts) >= L, F.sequence(F.lit(1), F.size(ts) - L + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.struct(
+            i.alias("sp"),
+            _win_hash(F.slice(ts, i, L)).alias("h"),
+        ))
+
     return df.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            F.transform(starts, lambda i: F.struct(
-                i.alias("sp"),
-                _win_hash(F.slice(t, i, L)).alias("h"),
-            ))
+            F.flatten(F.transform(F.array(tokens(text_col)), win_structs))
         ).alias("x"),
     ).select("_id", F.col("x.sp").cast("long").alias("sp"), "x.h")
 
@@ -1532,20 +1541,32 @@ def contaminated_spans(
     rejected by the text equi-join, so the output is exact.
     Returns (id, span_start, span_end, span_tokens), 1-based."""
     L = min_tokens
+
     # eval window (hash, text): the SMALL side — distinct'd before
-    # either join so cost is the eval vocabulary, not eval positions
-    t = tokens(text_col)
-    n = F.size(t)
-    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    # either join so cost is the eval vocabulary, not eval positions.
+    # Token array bound once per row (the shingles() idiom, r15) and
+    # each window sliced once via a nested one-element transform —
+    # the previous form re-tokenized at every position (O(T²)) AND
+    # evaluated the slice twice (text + hash).
+    def ev_structs(ts):
+        starts = F.when(
+            F.size(ts) >= L, F.sequence(F.lit(1), F.size(ts) - L + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda i: F.element_at(
+                F.transform(F.array(F.slice(ts, i, L)), lambda win: F.struct(
+                    F.concat_ws(" ", win).alias("w"),
+                    _win_hash(win).alias("h"),
+                )),
+                1,
+            ),
+        )
+
     ev_w = (
         eval_df.select(
             F.explode(
-                F.transform(starts, lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(t, i, L)).alias("w"),
-                    _win_hash(F.slice(t, i, L)).alias("h"),
-                ))
+                F.flatten(F.transform(F.array(tokens(text_col)), ev_structs))
             ).alias("x")
         )
         .select("x.w", "x.h")
