@@ -8,12 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stockify_spark.functions.text import (
-    avg_token_len,
     fingerprint,
     lang_id,
     quality_score,
-    stopword_ratio,
-    token_count,
     LANG_PROFILES,
 )
 from stockify_spark.llm.dedup import (
@@ -512,12 +509,39 @@ def dedup_exact(spark, sf_dir):
     " / len(toks), 6) AS en_stopword_ratio FROM t",
 )
 def text_stats(spark, sf_dir):
+    """r15: the token array is bound ONCE per row (the shingles()
+    one-element-transform idiom) — composing token_count +
+    avg_token_len + stopword_ratio re-ran the lower+trim+split chain
+    5× per row (each helper evaluates its tokens() argument per
+    reference; HOF lambdas get no cross-expression CSE). Identical
+    arithmetic per statistic, so results are unchanged (oracled)."""
+    from stockify_spark.functions.text import tokens
+
     df = _t(spark, sf_dir, "documents")
+    sw = LANG_PROFILES["en"]
+
+    def stats_of(ts):
+        n = F.size(ts)
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    ts, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+                )
+                / n,
+                6,
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter(ts, lambda x: x.isin(*sw))).cast("double") / n, 6
+            ).alias("en_stopword_ratio"),
+        )
+
+    s = F.element_at(F.transform(F.array(tokens("text")), stats_of), 1)
     return df.select(
         "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
-        F.round(stopword_ratio("text", LANG_PROFILES["en"]), 6).alias("en_stopword_ratio"),
+        s["n_tokens"].alias("n_tokens"),
+        s["avg_token_len"].alias("avg_token_len"),
+        s["en_stopword_ratio"].alias("en_stopword_ratio"),
     )
 
 
