@@ -164,6 +164,14 @@ def main(only: list[str]) -> int:
 
     spark = get_spark("oracle-check", cpus=8)
     con = duckdb.connect()
+    # Optional DuckDB thread cap for SHARDED gate runs (r15): the
+    # quadratic reference oracles take 30+ min each at sf0.1, and N
+    # concurrent gates each defaulting to all-cores DuckDB thrash
+    # the box into zero progress. Values verified thread-count-
+    # independent for the float-boundary rows before adopting.
+    th = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+    if th:
+        con.execute(f"SET threads={int(th)}")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
